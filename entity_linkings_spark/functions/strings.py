@@ -1,0 +1,83 @@
+"""String normalization & tokenization — the reference's scalar surface
+(SURVEY.md section 2.7) as Catalyst expressions.
+
+Reference provenance (all paths under /root/reference/entity_linkings/):
+  * norm_despace — lowercase + space-strip prior key
+    (candidate_retriever/prior/indexer.py:26, :115)
+  * norm_alnum   — punctuation-stripped prior key, regex ``[\\W]+``
+    (candidate_retriever/prior/indexer.py:19, :44, :117)
+  * norm_title   — ``' ' -> '_'`` wiki-title normalization
+    (data_utils/entity_dictionary.py:78-84; appendix/data_convert/utils.py:27)
+  * tokenize     — word tokenizer regex ``(?u)\\b[\\w#]+\\b``
+    (candidate_retriever/bm25/indexer.py:44-48)
+  * mention_substring — ``text[start:end]`` projection
+    (candidate_retriever/bm25/bm25.py:53; pipeline.py:29-36)
+
+Every expression here has an exact DuckDB twin (same regex dialect subset, same
+semantics) so the driver's oracle verifies them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = r"[\w#]+"  # applied to lowercased text; \b anchors are implicit
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def norm_exact(col: Column | str) -> Column:
+    """Tier-0 key: trimmed lowercase."""
+    return F.lower(F.trim(_c(col)))
+
+
+def norm_despace(col: Column | str) -> Column:
+    """Tier-1 key: lowercase with all whitespace removed (reference 'simpler')."""
+    return F.regexp_replace(F.lower(_c(col)), r"\s+", "")
+
+
+def norm_alnum(col: Column | str) -> Column:
+    """Tier-2 key: lowercase with every non-word run removed (reference
+    'most simple', regex ``[\\W]+`` -> '')."""
+    return F.regexp_replace(F.lower(_c(col)), r"[\W]+", "")
+
+
+def norm_title(col: Column | str) -> Column:
+    """Wiki-title form: spaces to underscores (case preserved, as in the
+    reference's title index)."""
+    return F.translate(_c(col), " ", "_")
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercased word tokens (array<string>), the blocking-token source.
+
+    ``regexp_extract_all(lower(text), '[\\w#]+')`` matches the reference's
+    BM25 tokenizer on ASCII text and is identical in DuckDB.
+    """
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(TOKEN_PATTERN), 0)
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles (array<string>, overlapping, order kept).
+
+    Built with sequence+transform so it stays a Catalyst expression; strings
+    shorter than n yield a single shingle = the whole string, so short
+    mentions still participate in MinHash instead of vanishing.
+    """
+    c = _c(col)
+    return F.when(F.length(c) <= n, F.array(c)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+    )
+
+
+def mention_substring(text: Column | str, start: Column | str, end: Column | str) -> Column:
+    """``text[start:end]`` with 0-based ``start``, exclusive ``end`` (the
+    reference's Python slice semantics) on Spark's 1-based substr."""
+    t, s, e = _c(text), _c(start), _c(end)
+    return t.substr(s + F.lit(1), e - s)
