@@ -1,0 +1,125 @@
+"""Transitive clustering: connected components via alternating
+large-star / small-star contraction (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) as an iterative DataFrame algorithm.
+
+The reference has no clustering — it resolves each mention independently by
+argmax (/root/reference/entity_linkings/candidate_reranker/crossencoder/
+crossencoder.py:159, pipeline.py:48); "reference clusters" are mentions grouped
+by resolved entity id. Our match graph generalizes that, and star contraction
+is the scalable way to close it transitively (north rule).
+
+Scale properties:
+  * Each round is two self-join/groupBy passes over the edge set — shuffle
+    keyed by node id; converges in O(log n) rounds (components here are
+    surface-form clusters: small diameter, typically 2-3 rounds).
+  * Lineage is cut every round with ``localCheckpoint`` (the "checkpointed
+    edge frontiers" of the north rule) — without it the iterative plan grows
+    unboundedly and re-optimization dominates. The lifecycle layer can swap
+    in a durable snapshot-store checkpoint per round for resumability.
+  * Convergence test = count + order-insensitive hash-sum of the canonical
+    edge set (one cheap aggregate, no expensive subtract()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_linkings_spark.functions.hashing import h60
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edges (u < v), deduped, no self-loops."""
+    u, v = F.col("u"), F.col("v")
+    return (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .where(u != v)
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to u's min neighborhood
+    element (including u itself)."""
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    out = (
+        sym.where(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return _canon(out)
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Within each node's smaller-or-equal neighborhood, connect everything
+    to the minimum."""
+    e = _canon(edges).select(F.col("v").alias("u"), F.col("u").alias("v"))  # u > v
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = e.join(m, "u").select("v", "m")  # each small neighbor -> min
+    selfe = m.select(F.col("u").alias("v"), "m")  # u itself -> min
+    return _canon(nbrs.unionByName(selfe).select(F.col("v").alias("u"), F.col("m").alias("v")))
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        # decimal(38,0) accumulator: a sum of 60-bit hashes overflows int64
+        # long before web scale, and ANSI mode (Spark 4 default) would throw
+        F.coalesce(
+            F.sum(h60(F.concat_ws("|", "u", "v")).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, checkpoint: bool = True
+) -> DataFrame:
+    """(node, cluster_id) for every node in ``edges`` (u,v string columns);
+    cluster_id = min node id of the component (FIXTURES.md section 6).
+
+    Driver loop with per-round checkpointed frontiers; raises if not converged
+    in ``max_iterations`` (graphs here converge in a handful)."""
+    cur = _canon(edges)
+    if checkpoint:
+        cur = cur.localCheckpoint()
+    prev_fp = _edge_fingerprint(cur)
+    for _ in range(max_iterations):
+        nxt = _small_star(_large_star(cur))
+        if checkpoint:
+            nxt = nxt.localCheckpoint()
+        fp = _edge_fingerprint(nxt)
+        cur = nxt
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iterations} rounds")
+
+    # At the fixpoint every component is a star rooted at its minimum node,
+    # so canonical (u < v) edges read (root, member). Roots map to themselves.
+    members = (
+        cur.select(F.col("v").alias("node"), F.col("u").alias("cluster_id"))
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    roots = (
+        cur.select(F.col("u").alias("node"))
+        .distinct()
+        .join(members, "node", "left_anti")
+        .withColumn("cluster_id", F.col("node"))
+    )
+    return members.unionByName(roots)
+
+
+def clusters_with_singletons(assignments: DataFrame, all_nodes: DataFrame) -> DataFrame:
+    """Union in singleton clusters for nodes with no match edge (NIL-like
+    mentions stay their own cluster — entity_dictionary.py:51-57 semantics)."""
+    singles = (
+        all_nodes.join(assignments, all_nodes["node"] == assignments["node"], "left_anti")
+        .select(all_nodes["node"])
+        .withColumn("cluster_id", F.col("node"))
+    )
+    return assignments.unionByName(singles)

@@ -1,0 +1,183 @@
+"""Set-based evaluation (SURVEY.md section 2.4 A3-A5) + the acceptance metric
+(pairwise F1 on labeled pairs restricted to a shared blocking key).
+
+Reference provenance (/root/reference/entity_linkings/utils.py):
+  * calculate_inkb_f1  :169-189 — span set-match + label-set intersection,
+    micro-averaged  -> inkb_micro_f1
+  * calculate_recall_mrr :138-166 — recall@k / MRR over ranked candidates
+    -> recall_mrr
+  * top-1 accuracy :132-135 -> top1_accuracy
+
+All metrics come back as one-row DataFrames so they can be unioned into the
+lifecycle metrics table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from entity_linkings_spark.functions.strings import mention_substring, norm_exact
+from entity_linkings_spark.operators.blocking import cap_blocks, token_block_keys, lsh_block_keys
+
+
+def gold_surface_pairs(
+    gold_mentions: DataFrame,
+    transcripts: DataFrame,
+    max_block_size: int = 1000,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """labeled_pairs (FIXTURES.md section 4) derived from planted gold:
+    distinct gold surfaces paired within shared blocking keys (token + LSH,
+    the same keys the pipeline blocks on), is_match = same planted entity.
+
+    Surfaces whose instances carry conflicting entity labels are dropped (and
+    countable by the caller via the ambiguity of the source table) — a
+    surface-level pair cannot be labeled if its surface is ambiguous.
+    """
+    golds = (
+        gold_mentions.join(
+            transcripts.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
+        )
+        .select(
+            norm_exact(mention_substring("text", "start", "end")).alias("surface"),
+            F.element_at("label", 1).alias("entity_id"),
+        )
+        .groupBy("surface")
+        .agg(F.collect_set("entity_id").alias("entities"))
+        .where(F.size("entities") == 1)
+        .select(
+            F.md5("surface").alias("skey"),
+            "surface",
+            F.element_at("entities", 1).alias("entity_id"),
+        )
+    )
+    keys = cap_blocks(
+        token_block_keys(golds).unionByName(
+            lsh_block_keys(golds, num_bands, rows_per_band)
+        ),
+        max_block_size,
+    ).join(golds.select("skey", "entity_id"), "skey")
+
+    a = keys.select(
+        "block_key",
+        F.col("skey").alias("skey_a"),
+        F.col("entity_id").alias("entity_a"),
+    )
+    b = keys.select(
+        "block_key",
+        F.col("skey").alias("skey_b"),
+        F.col("entity_id").alias("entity_b"),
+    )
+    return (
+        a.join(b, "block_key")
+        .where(F.col("skey_a") < F.col("skey_b"))
+        .groupBy("skey_a", "skey_b")
+        .agg(
+            F.min("block_key").alias("block_key"),
+            (F.first("entity_a") == F.first("entity_b")).alias("is_match"),
+        )
+    )
+
+
+def pairwise_f1(assignments: DataFrame, labeled_pairs: DataFrame) -> DataFrame:
+    """Pairwise P/R/F1 of cluster assignments against labeled pairs.
+
+    ``assignments``: (node, cluster_id) keyed by skey; nodes missing from the
+    assignment are treated as singletons (their own cluster).
+    """
+    def side(s: str) -> DataFrame:
+        return assignments.select(
+            F.col("node").alias(f"skey_{s}"), F.col("cluster_id").alias(f"c_{s}")
+        )
+
+    j = (
+        labeled_pairs.join(side("a"), "skey_a", "left")
+        .join(side("b"), "skey_b", "left")
+        .withColumn(
+            "pred_match",
+            F.coalesce("c_a", F.col("skey_a")) == F.coalesce("c_b", F.col("skey_b")),
+        )
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("pred_match") & F.col("is_match"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred_match") & ~F.col("is_match"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred_match") & F.col("is_match"), 1).otherwise(0)).alias("fn"),
+        F.count("*").alias("n_pairs"),
+    )
+    return agg.select(
+        "n_pairs",
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))).alias("precision"),
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))).alias("recall"),
+        (
+            2.0
+            * F.col("tp")
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1))
+        ).alias("f1"),
+    )
+
+
+def inkb_micro_f1(preds: DataFrame, golds: DataFrame) -> DataFrame:
+    """Micro P/R/F1 with the reference's hit test: exact (doc, start, end)
+    span match AND non-empty label-set intersection (utils.py:176
+    ``len(set(p_label) & set(gold)) > 0`` -> arrays_overlap).
+
+    preds: (conv_id, turn_idx, start, end, labels array<string>)
+    golds: (conv_id, turn_idx, start, end, label  array<string>) — non-NIL.
+    """
+    hits = preds.join(golds, ["conv_id", "turn_idx", "start", "end"]).where(
+        F.arrays_overlap("labels", "label")
+    )
+    n_hit = hits.count()
+    n_pred = preds.count()
+    n_gold = golds.count()
+    p = n_hit / max(n_pred, 1)
+    r = n_hit / max(n_gold, 1)
+    f1 = 2 * p * r / max(p + r, 1e-12)
+    spark = preds.sparkSession
+    return spark.createDataFrame(
+        [(n_pred, n_gold, n_hit, p, r, f1)],
+        "n_pred long, n_gold long, n_hit long, precision double, recall double, f1 double",
+    )
+
+
+def recall_mrr(ranked: DataFrame, ks: tuple[int, ...] = (1, 10, 50, 100)) -> DataFrame:
+    """recall@k / MRR from a ranked candidate table
+    (query_id, entity_id, rank, gold array<string>): rank of the best gold hit
+    per query, averaged — mirrors utils.py:138-166.
+    """
+    best = (
+        ranked.where(F.array_contains("gold", F.col("entity_id")))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("best_rank"))
+    )
+    universe = ranked.select("query_id").distinct().join(best, "query_id", "left")
+    aggs = [
+        F.avg(
+            F.when(F.col("best_rank") <= k, 1.0).otherwise(0.0)
+        ).alias(f"recall_at_{k}")
+        for k in ks
+    ]
+    aggs.append(
+        F.avg(
+            F.when(F.col("best_rank").isNotNull(), 1.0 / F.col("best_rank")).otherwise(0.0)
+        ).alias("mrr")
+    )
+    return universe.agg(*aggs)
+
+
+def top1_accuracy(resolved: DataFrame, golds: DataFrame) -> DataFrame:
+    """corrects / golds over resolved mentions (utils.py:132-135)."""
+    j = resolved.join(golds, ["conv_id", "turn_idx", "start", "end"], "right")
+    return j.agg(
+        (
+            F.sum(
+                F.when(F.array_contains("label", F.col("entity_id")), 1).otherwise(0)
+            )
+            / F.greatest(F.count("*"), F.lit(1))
+        ).alias("top1_accuracy")
+    )

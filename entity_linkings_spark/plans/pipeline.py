@@ -1,0 +1,257 @@
+"""The end-to-end linkage pipeline — the Spark equivalent of the reference's
+``ELPipeline`` (/root/reference/entity_linkings/pipeline.py:23-53):
+
+    reference                          this engine
+    ---------                          -----------
+    spaCy NER (:16-21)                 extract_mentions (pure Catalyst)
+    retriever top-k index probe        blocking_pairs (token + MinHash-LSH)
+      (:46-48)
+    reranker pairwise scoring          score_pairs (one Arrow/pandas UDF)
+      (crossencoder :142-162)
+    argmax top-1 (:48, T4)             match threshold + prior cascade ->
+                                       connected components -> clusters;
+                                       resolve(): windowed top-1 vs the
+                                       dictionary with NIL fallback
+    calculate_inkb_f1 (:38)            operators.evaluate
+
+Match semantics are **resolution-first**, mirroring the reference's argmax
+top-1 (each mention resolved independently; "reference clusters" = mentions
+grouped by resolved entity id — SURVEY.md section 7 hard part (d)):
+  * every distinct surface is resolved against the dictionary: exact/
+    normalized alias hit via the prior cascade (fast path), else blocked +
+    scored argmax over dictionary surface forms with a resolve threshold;
+  * surfaces resolving to the same entity cluster together (cluster id =
+    ``ent:<entity_id>``);
+  * unresolved (NIL) surfaces cluster among themselves by string-similarity
+    edges >= ``match_threshold`` closed by large-star/small-star connected
+    components; untouched NIL surfaces stay singletons
+    (entity_dictionary.py:51-57 NIL fallback).
+
+Pairwise-threshold-only clustering (ignore the dictionary, edges purely from
+the scorer) remains available via ``clusters_by_similarity`` — but on data
+with confusable entities ("Vera Tanaka"/"Sara Tanaka" both typo-mentioned) no
+pairwise threshold separates same-entity typo pairs from cross-entity
+near-misses; resolution-first is what makes F1>=0.99 reachable, exactly as
+the reference's own design implies.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from entity_linkings_spark.operators import blocking as B
+from entity_linkings_spark.operators import clustering as C
+from entity_linkings_spark.operators import prior as P
+from entity_linkings_spark.operators import scoring as S
+from entity_linkings_spark.operators.mentions import extract_mentions
+from entity_linkings_spark.sources.dictionary import (
+    NIL_ID,
+    abbrev_dot_tokens,
+    dictionary_token_set,
+)
+
+
+@dataclass(frozen=True)
+class LinkageConfig:
+    max_block_size: int = 1000
+    num_bands: int = 8
+    rows_per_band: int = 4
+    match_threshold: float = 0.90  # NIL-NIL string-edge threshold
+    resolve_threshold: float = 0.72  # argmax-vs-dictionary acceptance
+    min_token_len: int = 2
+
+
+class LinkagePipeline:
+    """Composable stage plans. Every method returns a DataFrame (lazy); the
+    lifecycle runner materializes stage outputs as snapshots."""
+
+    def __init__(self, dic: DataFrame, alias_counts: DataFrame | None = None,
+                 config: LinkageConfig | None = None):
+        self.cfg = config or LinkageConfig()
+        self.dic = dic
+        # dictionary-derived alias counts always participate; observed
+        # mention-counter counts (S4) are unioned in when provided
+        derived = P.dictionary_alias_counts(dic)
+        self.alias_counts = (
+            derived.unionByName(alias_counts) if alias_counts is not None else derived
+        )
+
+    # ---- stage 1: mentions --------------------------------------------------
+    def mentions(self, transcripts: DataFrame) -> DataFrame:
+        return extract_mentions(
+            transcripts,
+            dictionary_token_set(self.dic),
+            abbrev_dot_tokens(self.dic),
+        )
+
+    # ---- stage 2: distinct surfaces + prior evidence ------------------------
+    def surfaces(self, mentions: DataFrame) -> DataFrame:
+        return P.resolve_by_prior(B.distinct_surfaces(mentions), self.alias_counts)
+
+    # ---- stage 3: blocking --------------------------------------------------
+    def pairs(self, surfaces: DataFrame) -> DataFrame:
+        return B.blocking_pairs(
+            surfaces,
+            max_block_size=self.cfg.max_block_size,
+            num_bands=self.cfg.num_bands,
+            rows_per_band=self.cfg.rows_per_band,
+        )
+
+    # ---- stage 4: scoring ----------------------------------------------------
+    def scored_pairs(self, pairs: DataFrame, surfaces: DataFrame) -> DataFrame:
+        """Mention-mention pair scores with both sides' resolved entities
+        attached; ``is_match`` = same resolved entity when both resolve, else
+        the NIL-NIL string threshold."""
+        ev = surfaces.select("skey", "prior_entity")
+        scored = S.score_pairs(pairs)
+        return (
+            scored.join(ev.withColumnsRenamed({"skey": "skey_a", "prior_entity": "ent_a"}), "skey_a", "left")
+            .join(ev.withColumnsRenamed({"skey": "skey_b", "prior_entity": "ent_b"}), "skey_b", "left")
+            .withColumn(
+                "is_match",
+                F.when(
+                    F.col("ent_a").isNotNull() & F.col("ent_b").isNotNull(),
+                    F.col("ent_a") == F.col("ent_b"),
+                ).otherwise(F.col("combined") >= F.lit(self.cfg.match_threshold)),
+            )
+        )
+
+    # ---- stage 5: clustering (resolution-first) ------------------------------
+    def clusters(
+        self, scored: DataFrame, surfaces: DataFrame, resolved: DataFrame
+    ) -> DataFrame:
+        """(node=skey, cluster_id): resolved surfaces cluster by entity;
+        NIL surfaces cluster by string edges via star-contraction CC."""
+        ent = resolved.where(F.col("entity_id") != NIL_ID).select(
+            F.col("skey").alias("node"),
+            F.concat(F.lit("ent:"), "entity_id").alias("cluster_id"),
+        )
+        nil_keys = resolved.where(F.col("entity_id") == NIL_ID).select("skey")
+        nil_edges = (
+            scored.where(F.col("combined") >= self.cfg.match_threshold)
+            .join(nil_keys.withColumnRenamed("skey", "skey_a"), "skey_a")
+            .join(nil_keys.withColumnRenamed("skey", "skey_b"), "skey_b")
+            .select(F.col("skey_a").alias("u"), F.col("skey_b").alias("v"))
+        )
+        nil_assign = C.connected_components(nil_edges)
+        assign = ent.unionByName(nil_assign)
+        return C.clusters_with_singletons(
+            assign, surfaces.select(F.col("skey").alias("node"))
+        )
+
+    # ---- alternative: pure pairwise-threshold clustering ---------------------
+    def clusters_by_similarity(self, scored: DataFrame, surfaces: DataFrame) -> DataFrame:
+        edges = scored.where("is_match").select(
+            F.col("skey_a").alias("u"), F.col("skey_b").alias("v")
+        )
+        assign = C.connected_components(edges)
+        return C.clusters_with_singletons(
+            assign, surfaces.select(F.col("skey").alias("node"))
+        )
+
+    # ---- stage 6: map clusters back to mention instances --------------------
+    def mention_clusters(self, mentions: DataFrame, clusters: DataFrame) -> DataFrame:
+        inst = B.attach_skey(mentions)
+        return inst.join(
+            clusters.withColumnRenamed("node", "skey"), "skey", "left"
+        ).withColumn("cluster_id", F.coalesce("cluster_id", "skey"))
+
+    # ---- top-1 entity resolution (reference predict semantics) --------------
+    def resolve(self, surfaces: DataFrame) -> DataFrame:
+        """(skey, surface, entity_id, score): prior fast path, else blocked +
+        scored against dictionary surface forms, windowed argmax (T4), NIL
+        fallback below threshold (entity_dictionary.py:51-57)."""
+        dict_surfaces = (
+            P.dictionary_alias_counts(self.dic)
+            .select(
+                F.lower(F.trim("mention")).alias("surface"),
+                F.col("entity_id"),
+            )
+            .distinct()
+            .withColumn("skey", F.md5("surface"))
+        )
+        need = surfaces.where(F.col("prior_entity").isNull()).select("skey", "surface")
+
+        # block mention surfaces against dictionary surfaces (tagged union)
+        tagged = need.select("skey", "surface").withColumn("side", F.lit("m")).unionByName(
+            dict_surfaces.select("skey", "surface").withColumn("side", F.lit("d"))
+        )
+        keys = B.cap_blocks(
+            B.token_block_keys(tagged.select("skey", "surface"))
+            .unionByName(
+                B.lsh_block_keys(
+                    tagged.select("skey", "surface"),
+                    self.cfg.num_bands,
+                    self.cfg.rows_per_band,
+                )
+            )
+            .join(tagged.select("skey", "side").distinct(), "skey"),
+            self.cfg.max_block_size * 2,
+        )
+        m = keys.where(F.col("side") == "m").select(
+            "block_key", F.col("skey").alias("skey_a"), F.col("surface").alias("surface_a")
+        )
+        d = keys.where(F.col("side") == "d").select(
+            "block_key", F.col("skey").alias("skey_b"), F.col("surface").alias("surface_b")
+        )
+        cand = (
+            m.join(d, "block_key")
+            .groupBy("skey_a", "skey_b")
+            .agg(F.first("surface_a").alias("surface_a"), F.first("surface_b").alias("surface_b"))
+        )
+        scored = S.score_pairs(cand).join(
+            dict_surfaces.select(F.col("skey").alias("skey_b"), "entity_id"), "skey_b"
+        )
+        w = Window.partitionBy("skey_a").orderBy(F.desc("combined"), F.asc("entity_id"))
+        best = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("skey_a").alias("skey"),
+                F.col("entity_id").alias("scored_entity"),
+                F.col("combined").alias("scored_score"),
+            )
+        )
+        return surfaces.join(best, "skey", "left").select(
+            "skey",
+            "surface",
+            F.coalesce(
+                "prior_entity",
+                F.when(
+                    F.col("scored_score") >= self.cfg.resolve_threshold,
+                    F.col("scored_entity"),
+                ),
+                F.lit(NIL_ID),
+            ).alias("entity_id"),
+            F.coalesce("prior_score", "scored_score", F.lit(0.0)).alias("score"),
+        )
+
+    # ---- full run ------------------------------------------------------------
+    def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
+        mentions = self.mentions(transcripts)
+        surfaces = self.surfaces(mentions)
+        pairs = self.pairs(surfaces)
+        scored = self.scored_pairs(pairs, surfaces)
+        resolved = self.resolve(surfaces)
+        clusters = self.clusters(scored, surfaces, resolved)
+        mention_clusters = self.mention_clusters(mentions, clusters)
+        resolved_mentions = (
+            mention_clusters.join(resolved.select("skey", "entity_id", "score"), "skey", "left")
+            .select(
+                "conv_id", "turn_idx", "start", "end", "mention",
+                "mention_id", "cluster_id", "entity_id", "score",
+            )
+            .orderBy("conv_id", "turn_idx", "start")  # T6 stable ordering
+        )
+        return {
+            "mentions": mentions,
+            "surfaces": surfaces,
+            "pairs": pairs,
+            "scored": scored,
+            "clusters": clusters,
+            "resolved": resolved,
+            "resolved_mentions": resolved_mentions,
+        }
