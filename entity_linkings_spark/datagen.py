@@ -258,7 +258,12 @@ def write_parquet(scale: str, out_dir: str) -> dict[str, str]:
     if all(os.path.exists(p) for p in paths.values()):
         return paths
     transcripts, gold, dic, alias_counts = generate(scale)
-    transcripts.to_parquet(paths["transcripts"], index=False)
+    # microsecond timestamps: Spark's vectorized parquet reader rejects the
+    # nanosecond INT64 encoding pandas writes by default
+    transcripts.to_parquet(
+        paths["transcripts"], index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
     gold.to_parquet(paths["gold_mentions"], index=False)
     dic.to_parquet(paths["entity_dictionary"], index=False)
     alias_counts.to_parquet(paths["alias_counts"], index=False)

@@ -1,0 +1,71 @@
+"""Blocking: pair canonicality, block-size cap, LSH banding behavior, and
+perfect recall of labeled matches on the tiny dataset."""
+
+import pyspark.sql.functions as F
+
+from entity_linkings_spark.operators import blocking as B
+from entity_linkings_spark.operators.evaluate import gold_surface_pairs
+from entity_linkings_spark.operators.mentions import extract_mentions
+from entity_linkings_spark.sources.dictionary import abbrev_dot_tokens, dictionary_token_set
+
+
+def _surfaces(spark, rows):
+    return (
+        spark.createDataFrame([(s,) for s in rows], ["surface"])
+        .withColumn("skey", F.md5("surface"))
+        .withColumn("n_instances", F.lit(1))
+    )
+
+
+def test_pairs_canonical_and_deduped(spark):
+    sf = _surfaces(spark, ["acme systems", "acme labs", "acme systms"])
+    pairs = B.blocking_pairs(sf, max_block_size=100).collect()
+    seen = set()
+    for p in pairs:
+        assert p["skey_a"] < p["skey_b"]
+        assert (p["skey_a"], p["skey_b"]) not in seen
+        seen.add((p["skey_a"], p["skey_b"]))
+    # all three share the 'acme' token -> all 3 pairs
+    assert len(pairs) == 3
+
+
+def test_block_cap_drops_hot_blocks(spark):
+    sf = _surfaces(spark, [f"common name{i}" for i in range(20)])
+    keys = B.token_block_keys(sf)
+    capped = B.cap_blocks(keys, max_block_size=10)
+    # 'common' block (20 members) must be gone; the unique nameN blocks are
+    # singletons and are dropped by the >=2 rule
+    assert capped.where(F.col("block_key") == "tok:common").count() == 0
+
+
+def test_lsh_bands_pair_similar_strings(spark):
+    sf = _surfaces(spark, ["jonathan smithers", "jonathan smithersx", "zzzz qqqq"])
+    keys = B.lsh_block_keys(sf, num_bands=8, rows_per_band=2)
+    pairs = B.candidate_pairs(B.cap_blocks(keys, 100))
+    got = {
+        tuple(sorted((r["surface_a"], r["surface_b"]))) for r in pairs.collect()
+    }
+    assert ("jonathan smithers", "jonathan smithersx") in got
+    assert all("zzzz qqqq" not in p for p in got)
+
+
+def test_blocking_recall_on_tiny(tiny):
+    m = extract_mentions(
+        tiny["transcripts"],
+        dictionary_token_set(tiny["dictionary"]),
+        abbrev_dot_tokens(tiny["dictionary"]),
+    )
+    sf = B.distinct_surfaces(m)
+    cand = B.blocking_pairs(sf).select("skey_a", "skey_b")
+    lp = gold_surface_pairs(tiny["gold"], tiny["transcripts"])
+    missed = lp.where("is_match").join(cand, ["skey_a", "skey_b"], "left_anti").count()
+    assert missed == 0
+
+
+def test_block_stats_histogram(spark):
+    sf = _surfaces(spark, ["a b", "a c", "a d"])  # 'a' dropped (len<2)... use longer
+    sf = _surfaces(spark, ["aa bb", "aa cc", "aa dd"])
+    keys = B.token_block_keys(sf)
+    hist = {r["block_size"]: r["n_blocks"] for r in B.block_stats(keys).collect()}
+    assert hist[3] == 1  # the 'aa' block
+    assert hist[1] == 3  # bb/cc/dd singletons

@@ -1,0 +1,69 @@
+"""Connected components vs a plain union-find oracle (the golden-test pattern
+of SURVEY.md section 5), including the star-contraction worst case (chain)."""
+
+import random
+
+import pytest
+
+from entity_linkings_spark.operators.clustering import (
+    clusters_with_singletons,
+    connected_components,
+)
+
+
+def _uf(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    touched = {x for e in edges for x in e}
+    comp = {}
+    for n in touched:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in comp.values() for n in ms}
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_random_graphs_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    nodes = [f"n{i:03d}" for i in range(150)]
+    edges = [
+        (a, b)
+        for a, b in ((rng.choice(nodes), rng.choice(nodes)) for _ in range(120))
+        if a != b
+    ]
+    edf = spark.createDataFrame(edges, "u string, v string")
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    assert got == _uf(edges)
+
+
+def test_chain_worst_case(spark):
+    edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(60)]
+    edf = spark.createDataFrame(edges, "u string, v string")
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    assert set(got.values()) == {"c000"}
+    assert len(got) == 61
+
+
+def test_empty_edges(spark):
+    edf = spark.createDataFrame([], "u string, v string")
+    assert connected_components(edf).count() == 0
+
+
+def test_singletons_fill(spark):
+    edges = spark.createDataFrame([("a", "b")], "u string, v string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], ["node"])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in clusters_with_singletons(connected_components(edges), nodes).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "c"}

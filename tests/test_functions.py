@@ -1,0 +1,104 @@
+"""Unit tests for the scalar function layer (SURVEY.md section 2.7) —
+normalizers, tokenizer, n-grams, portable hashes, minhash determinism.
+Mirrors the reference's per-module structural assertions
+(/root/reference/entity_linkings/candidate_retriever/prior/indexer.py
+normalization semantics; bm25/indexer.py:44-48 tokenizer)."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from entity_linkings_spark.functions import (
+    MINHASH_PRIME,
+    char_ngrams,
+    h28,
+    h60,
+    minhash_signature,
+    norm_alnum,
+    norm_despace,
+    norm_exact,
+    norm_title,
+    simhash64,
+    tokenize,
+)
+
+
+def _one(spark, col, s="s"):
+    return spark.createDataFrame([(s_,) for s_ in ([s] if isinstance(s, str) else s)], ["s"]).select(
+        col.alias("v")
+    ).collect()
+
+
+def test_normalizers(spark):
+    df = spark.createDataFrame([("  Akira  Tanaka! ",)], ["s"])
+    row = df.select(
+        norm_exact("s").alias("e"),
+        norm_despace("s").alias("d"),
+        norm_alnum("s").alias("a"),
+        norm_title(F.trim("s")).alias("t"),
+    ).collect()[0]
+    assert row["e"] == "akira  tanaka!"
+    assert row["d"] == "akiratanaka!"
+    assert row["a"] == "akiratanaka"  # reference [\W]+ -> '' semantics
+    assert row["t"] == "Akira__Tanaka!"
+
+
+def test_tokenize_matches_reference_regex(spark):
+    # reference tokenizer: (?u)\b[\w#]+\b on lowercased text (bm25/indexer.py:44-48)
+    df = spark.createDataFrame([("C# and .NET, v2_beta!",)], ["s"])
+    toks = df.select(tokenize("s").alias("t")).collect()[0]["t"]
+    assert toks == ["c#", "and", "net", "v2_beta"]
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",), ("abc",)], ["s"])
+    out = [r["g"] for r in df.select(char_ngrams("s", 3).alias("g")).collect()]
+    assert out[0] == ["abc", "bcd"]
+    assert out[1] == ["ab"]  # shorter than n -> whole string
+    assert out[2] == ["abc"]
+
+
+def test_h60_matches_md5(spark):
+    s = "hello world"
+    expected = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    got = spark.createDataFrame([(s,)], ["s"]).select(h60("s").alias("h")).collect()[0]["h"]
+    assert got == expected
+    got28 = (
+        spark.createDataFrame([(s,)], ["s"]).select(h28("s", "x:").alias("h")).collect()[0]["h"]
+    )
+    assert got28 == int(hashlib.md5(("x:" + s).encode()).hexdigest()[:7], 16)
+
+
+def test_minhash_deterministic_and_bounded(spark):
+    df = spark.createDataFrame([(["ab", "bc", "cd"],), ([],)], "toks array<string>")
+    sigs = [r["m"] for r in df.select(minhash_signature("toks", 8).alias("m")).collect()]
+    assert len(sigs[0]) == 8 and all(0 <= v < MINHASH_PRIME for v in sigs[0])
+    assert sigs[1] == [MINHASH_PRIME] * 8  # empty-set sentinel
+    # identical token sets -> identical signatures (across rows and runs)
+    sigs2 = [r["m"] for r in df.select(minhash_signature("toks", 8).alias("m")).collect()]
+    assert sigs == sigs2
+
+
+def test_minhash_python_parity(spark):
+    # independently recompute sig[i] = min (h1 + i*h2) % P from hashlib
+    toks = ["abc", "xyz", "qq"]
+    h1 = [int(hashlib.md5(("mh1:" + t).encode()).hexdigest()[:7], 16) for t in toks]
+    h2 = [int(hashlib.md5(("mh2:" + t).encode()).hexdigest()[:7], 16) for t in toks]
+    exp = [min((a + i * b) % MINHASH_PRIME for a, b in zip(h1, h2)) for i in range(4)]
+    got = (
+        spark.createDataFrame([(toks,)], "toks array<string>")
+        .select(minhash_signature("toks", 4).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert got == exp
+
+
+def test_simhash_properties(spark):
+    df = spark.createDataFrame(
+        [(["spark", "query", "engine"],), (["spark", "query", "engine"],), ([],)],
+        "toks array<string>",
+    )
+    vals = [r["h"] for r in df.select(simhash64("toks").alias("h")).collect()]
+    assert vals[0] == vals[1] != 0
+    assert vals[2] == 0
+    assert 0 <= vals[0] < 2**60

@@ -1,0 +1,71 @@
+"""End-to-end golden test (SURVEY.md section 5): full pipeline on the tiny
+synthetic table -> pairwise F1 on labeled same-block pairs must be perfect at
+this scale; per-turn text equality invariant; reference parity floor
+(metrics in [0,1], stable ordering)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from entity_linkings_spark.operators.evaluate import (
+    gold_surface_pairs,
+    inkb_micro_f1,
+    pairwise_f1,
+    top1_accuracy,
+)
+from entity_linkings_spark.plans.pipeline import LinkagePipeline
+
+
+@pytest.fixture(scope="module")
+def run(tiny):
+    pipe = LinkagePipeline(tiny["dictionary"])
+    out = pipe.run(tiny["transcripts"])
+    out["resolved_mentions"] = out["resolved_mentions"].cache()
+    out["clusters"] = out["clusters"].cache()
+    return out
+
+
+def test_pairwise_f1_gate(run, tiny):
+    lp = gold_surface_pairs(tiny["gold"], tiny["transcripts"])
+    row = pairwise_f1(run["clusters"], lp).collect()[0]
+    assert row["f1"] >= 0.99  # BASELINE.json acceptance metric
+    assert 0.0 <= row["precision"] <= 1.0 and 0.0 <= row["recall"] <= 1.0
+
+
+def test_per_turn_text_invariant(run, tiny, tiny_paths, spark):
+    """BASELINE input_hint: per-turn text equality under stable
+    (conv_id, turn_idx) ordering — the pipeline never mutates its source."""
+    before = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in tiny["transcripts"].orderBy("conv_id", "turn_idx").collect()
+    ]
+    # force the full pipeline, then re-read the source
+    run["resolved_mentions"].count()
+    after_df = spark.read.parquet(tiny_paths["transcripts"])
+    after = [
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in after_df.orderBy("conv_id", "turn_idx").collect()
+    ]
+    assert before == after
+    # (conv_id, turn_idx) unique -> the ordering is total and stable
+    assert len({(c, t) for c, t, _ in before}) == len(before)
+
+
+def test_top1_accuracy_and_inkb(run, tiny):
+    acc = top1_accuracy(run["resolved_mentions"], tiny["gold"]).collect()[0][0]
+    assert 0.0 <= acc <= 1.0 and acc >= 0.99
+    preds = run["resolved_mentions"].select(
+        "conv_id", "turn_idx", "start", "end", F.array("entity_id").alias("labels")
+    )
+    row = inkb_micro_f1(preds, tiny["gold"]).collect()[0]
+    assert 0.0 <= row["f1"] <= 1.0 and row["f1"] >= 0.99
+
+
+def test_output_ordering_stable(run):
+    rows = run["resolved_mentions"].collect()
+    keys = [(r["conv_id"], r["turn_idx"], r["start"]) for r in rows]
+    assert keys == sorted(keys)  # T6 stable output ordering
+
+
+def test_nil_fallback_for_unknown_surfaces(run):
+    # every resolved mention has an entity id; unknown ones got NIL "-1"
+    assert run["resolved_mentions"].where(F.col("entity_id").isNull()).count() == 0
