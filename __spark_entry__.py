@@ -1,38 +1,101 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: the full record-linkage pipeline
+                     (mention extraction -> blocking -> Arrow-UDF scoring ->
+                     resolution -> star-contraction clustering) over a
+                     transcript table derived deterministically from the
+                     sf0.001 documents corpus.
+``queries()``      — one entry per implemented operator from SURVEY.md
+                     section 2 + the training-data-pipeline operators
+                     (entity_linkings_spark/driver_queries.py registry).
+``oracle_sql()``   — DuckDB-equivalent SQL per query (bit-identical value
+                     parity; see the parity rules in driver_queries.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically reshape the documents corpus into the transcript
+    schema (conv_id, turn_idx, role, text, tool, ts) — conversations keyed by
+    source, turns ordered by doc_id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.timestamp_millis(
+            F.lit(1735689600000) + F.col("doc_id").cast("long") * 60000
+        ).alias("ts"),
+    )
+
+
+def _part_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity dictionary from distinct part names: id = zero-padded min
+    partkey, aliases = upper + despaced variants. NIL row appended by the
+    pipeline source layer."""
+    from pyspark.sql import functions as F
+
+    from entity_linkings_spark.sources.dictionary import with_nil_row
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dic = part.groupBy("p_name").agg(F.min("p_partkey").alias("k")).select(
+        F.format_string("%06d", F.col("k")).alias("id"),
+        F.col("p_name").alias("name"),
+        F.lit(None).cast("string").alias("description"),
+        F.array(F.upper("p_name"), F.regexp_replace("p_name", " ", "")).alias("aliases"),
+    )
+    return with_nil_row(spark, dic)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full linkage run; returns the
+    resolved-mention table (conv_id, turn_idx, start, end, mention,
+    mention_id, cluster_id, entity_id, score)."""
+    from entity_linkings_spark.plans.pipeline import LinkagePipeline
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_T1", "/root/testdata/sf0.001")
+    transcripts = _derived_transcripts(spark, sf_dir)
+    dic = _part_dictionary(spark, sf_dir)
+    out = LinkagePipeline(dic).run(transcripts)
+    return out["resolved_mentions"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from entity_linkings_spark.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs = dict(QUERIES)
+
+    def pipeline_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from entity_linkings_spark.plans.pipeline import LinkagePipeline
+
+        out = LinkagePipeline(_part_dictionary(spark, sf_dir)).run(
+            _derived_transcripts(spark, sf_dir)
+        )
+        return out["resolved_mentions"]
+
+    qs["pipeline_linkage"] = pipeline_linkage  # rows-only (composed pipeline)
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from entity_linkings_spark.driver_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,984 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md section 2 (plus the training-data-pipeline operators) exposed as a
+(spark, sf_dir) -> DataFrame callable with a DuckDB-equivalent oracle SQL.
+
+Parity rules (driver compares row count + schema + order-insensitive value
+hash):
+  * every computed column is aliased identically in both engines;
+  * doubles appear only where both engines compute them through the same
+    scalar expression tree (single divisions of exact integers, or
+    round(x, 6) of identically-derived values) — never through
+    order-sensitive float aggregation;
+  * all hashes are md5-hex-derived (functions/hashing.py scheme), identical
+    in both engines;
+  * derived "dictionaries"/lexicons come from the data itself (part.p_name
+    tokens, document token stats) — no environment-dependent literals.
+
+The EL linkage semantics themselves (typo variants, gold clusters) are
+exercised by the pytest suite over the synthetic transcript tables; the
+queries here verify each *operator* on the driver's TPC-H-ish corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from entity_linkings_spark.functions.hashing import MINHASH_PRIME, h60
+from entity_linkings_spark.functions.strings import (
+    norm_alnum,
+    norm_despace,
+    norm_exact,
+    norm_title,
+)
+
+# ---------------------------------------------------------------------------
+# shared builders
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _part(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/part.parquet")
+
+
+def _tokens_with_offsets(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, token, start): P2 flatten + F4 tokenize with exact char
+    offsets via a cumulative-length window (documents are single-spaced)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toks.withColumn(
+        "start",
+        F.coalesce(F.sum(F.length("token") + F.lit(1)).over(w), F.lit(0)).cast("int"),
+    )
+
+
+_TOKENS_SQL = """
+    SELECT doc_id, pos - 1 AS pos, token,
+           CAST(COALESCE(SUM(length(token) + 1) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS start
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents)
+"""
+
+# lexicon: the 16 distinct part-name tokens plus a fixed set of corpus words —
+# the "entity vocabulary" for the mention-shaped queries (several lexicon
+# tokens co-occur in documents, so islands/top-k/anti-join are non-trivial)
+_EXTRA_LEXICON = (
+    "customer", "table", "query", "scan", "join", "window", "order", "part",
+)
+_EXTRA_SQL = ", ".join(f"('{t}')" for t in _EXTRA_LEXICON)
+_LEXICON_SQL = (
+    "SELECT DISTINCT tok FROM ("
+    "SELECT unnest(string_split(p_name, ' ')) AS tok FROM part "
+    f"UNION ALL SELECT * FROM (VALUES {_EXTRA_SQL}) v(tok))"
+)
+
+
+def _lexicon(spark: SparkSession, sf: str) -> DataFrame:
+    extra = _part(spark, sf).sparkSession.createDataFrame(
+        [(t,) for t in _EXTRA_LEXICON], ["tok"]
+    )
+    return (
+        _part(spark, sf)
+        .select(F.explode(F.split("p_name", " ")).alias("tok"))
+        .unionByName(extra)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---- S1: scan + filter + projection (predicate pushdown demo) -------------
+
+@register(
+    "s1_scan_documents",
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE n_chars >= 200",
+)
+def s1_scan_documents(spark, sf):
+    return (
+        _docs(spark, sf)
+        .where(F.col("n_chars") >= 200)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# ---- P2/F4: flatten to tokens with offsets ---------------------------------
+
+@register(
+    "p2_flatten_tokens",
+    f"SELECT * FROM ({_TOKENS_SQL})",
+)
+def p2_flatten_tokens(spark, sf):
+    return _tokens_with_offsets(_docs(spark, sf))
+
+
+# ---- P3/P4: mention substring + context window ------------------------------
+
+@register(
+    "p3_mention_window",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), lex AS ({_LEXICON_SQL})
+    SELECT t.doc_id, t.start,
+           t.start + length(t.token) AS "end",
+           substr(d.text, t.start + 1, length(t.token)) AS mention,
+           substr(d.text, greatest(t.start - 15, 0) + 1,
+                  t.start - greatest(t.start - 15, 0) + length(t.token) + 15) AS context
+    FROM toks t JOIN lex ON t.token = lex.tok
+    JOIN documents d ON d.doc_id = t.doc_id
+    """,
+)
+def p3_mention_window(spark, sf):
+    docs = _docs(spark, sf)
+    toks = _tokens_with_offsets(docs).join(
+        F.broadcast(_lexicon(spark, sf)), F.col("token") == F.col("tok")
+    )
+    out = toks.join(docs.select("doc_id", "text"), "doc_id")
+    start, tlen = F.col("start"), F.length("token")
+    wlo = F.greatest(start - 15, F.lit(0))
+    return out.select(
+        "doc_id",
+        "start",
+        (start + tlen).alias("end"),
+        F.expr("substring(text, start + 1, length(token))").alias("mention"),
+        F.substring(F.col("text"), wlo + 1, start - wlo + tlen + 15).alias("context"),
+    )
+
+
+# ---- F1-F3: normalization tiers ---------------------------------------------
+
+@register(
+    "f_normalize_tiers",
+    """
+    SELECT p_name,
+           lower(trim(variant)) AS t_exact,
+           regexp_replace(lower(variant), '\\s+', '', 'g') AS t_despace,
+           regexp_replace(lower(variant), '[\\W]+', '', 'g') AS t_alnum,
+           replace(variant, ' ', '_') AS t_title
+    FROM (SELECT p_name,
+                 CASE p_partkey % 3
+                     WHEN 0 THEN upper(p_name)
+                     WHEN 1 THEN p_name || '.'
+                     ELSE ' ' || replace(p_name, ' ', ', ') END AS variant
+          FROM part)
+    """,
+)
+def f_normalize_tiers(spark, sf):
+    part = _part(spark, sf)
+    variant = (
+        F.when(F.col("p_partkey") % 3 == 0, F.upper("p_name"))
+        .when(F.col("p_partkey") % 3 == 1, F.concat("p_name", F.lit(".")))
+        .otherwise(F.concat(F.lit(" "), F.regexp_replace("p_name", " ", ", ")))
+    )
+    return part.select(
+        "p_name",
+        norm_exact(variant).alias("t_exact"),
+        norm_despace(variant).alias("t_despace"),
+        norm_alnum(variant).alias("t_alnum"),
+        norm_title(variant).alias("t_title"),
+    )
+
+
+# ---- J1/U4/F7: dictionary lookup with NIL default + description template ---
+
+@register(
+    "j1_dict_lookup_nil",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}),
+    probes AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    dict AS (SELECT tok AS name, 'ent-' || tok AS id,
+                    CASE WHEN tok < 'm' THEN tok || ' is a part adjective or noun.' END AS description
+             FROM ({_LEXICON_SQL}))
+    SELECT p.token, p.n,
+           COALESCE(d.id, '-1') AS entity_id,
+           COALESCE(d.name, '[NIL]') AS entity_name,
+           COALESCE(d.description, '"' || COALESCE(d.name, '[NIL]') || '" is an entity.') AS description
+    FROM probes p LEFT JOIN dict d ON p.token = d.name
+    """,
+)
+def j1_dict_lookup_nil(spark, sf):
+    toks = _tokens_with_offsets(_docs(spark, sf))
+    probes = toks.groupBy("token").agg(F.count("*").alias("n"))
+    dic = _lexicon(spark, sf).select(
+        F.col("tok").alias("name"),
+        F.concat(F.lit("ent-"), "tok").alias("id"),
+        F.when(
+            F.col("tok") < "m", F.concat("tok", F.lit(" is a part adjective or noun."))
+        ).alias("description"),
+    )
+    j = probes.join(F.broadcast(dic), probes["token"] == dic["name"], "left")
+    return j.select(
+        "token",
+        "n",
+        F.coalesce("id", F.lit("-1")).alias("entity_id"),
+        F.coalesce("name", F.lit("[NIL]")).alias("entity_name"),
+        F.coalesce(
+            "description",
+            F.format_string('"%s" is an entity.', F.coalesce("name", F.lit("[NIL]"))),
+        ).alias("description"),
+    )
+
+
+# ---- T1/T4: windowed top-k / top-1 argmax -----------------------------------
+
+@register(
+    "t4_top1_per_doc",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), lex AS ({_LEXICON_SQL}),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+           WHERE token IN (SELECT tok FROM lex) GROUP BY doc_id, token)
+    SELECT doc_id, token AS top_token, tf FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token ASC) AS rn
+        FROM tf) WHERE rn = 1
+    """,
+)
+def t4_top1_per_doc(spark, sf):
+    toks = _tokens_with_offsets(_docs(spark, sf)).join(
+        F.broadcast(_lexicon(spark, sf)), F.col("token") == F.col("tok")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", F.col("token").alias("top_token"), "tf")
+    )
+
+
+# ---- dedup: exact (hash groupBy) --------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(trim(text))) AS text_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1 HAVING count(*) >= 1
+    """,
+)
+def dedup_exact(spark, sf):
+    return (
+        _docs(spark, sf)
+        .groupBy(F.md5(norm_exact("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+    )
+
+
+# ---- text analysis: token counting ------------------------------------------
+
+@register(
+    "token_count",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS ws_tokens,
+           CAST(sum(length(regexp_extract_all(lower(text), '[\\w#]+'))) AS BIGINT) AS word_tokens,
+           CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_estimate
+    FROM documents GROUP BY source
+    """,
+)
+def token_count(spark, sf):
+    d = _docs(spark, sf)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).alias("ws_tokens"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[\w#]+"), 0))
+        ).alias("word_tokens"),
+        F.sum(F.ceil(F.length("text") / 4.0).cast("long")).alias("bpe_estimate"),
+    )
+
+
+# ---- text analysis: document fingerprint ------------------------------------
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(text))) AS full_hash,
+           CAST(('0x' || substr(md5(lower(trim(text))), 1, 15)) AS BIGINT) AS h60,
+           md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_shingle
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf):
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.md5(norm_exact("text")).alias("full_hash"),
+        h60(norm_exact("text")).alias("h60"),
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))).alias(
+            "prefix_shingle"
+        ),
+    )
+
+
+# ---- text analysis: quality scoring ------------------------------------------
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           length(string_split(text, ' ')) AS n_tokens,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / length(string_split(text, ' ')), 6) AS avg_token_len,
+           round(CAST(length(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+                 / length(string_split(text, ' ')), 6) AS stopword_ratio,
+           CASE WHEN length(string_split(text, ' ')) BETWEEN 10 AND 120
+                 AND length(replace(text, ' ', '')) / length(string_split(text, ' ')) >= 3
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM documents
+    """,
+)
+def text_quality(spark, sf):
+    d = _docs(spark, sf)
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    nospace = F.length(F.regexp_replace("text", " ", ""))
+    stop = F.size(F.filter(words, lambda t: t.isin("the", "a", "of", "and")))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(nospace.cast("double") / n_tok, 6).alias("avg_token_len"),
+        F.round(stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        F.when((n_tok.between(10, 120)) & (nospace / n_tok >= 3), 1)
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch 2: dedup family, similarity search, metrics, cascade, windows
+# ---------------------------------------------------------------------------
+
+from entity_linkings_spark.operators import dedup as D  # noqa: E402
+from entity_linkings_spark.operators import similarity as SIM  # noqa: E402
+from entity_linkings_spark.operators.clustering import connected_components  # noqa: E402
+
+_P = MINHASH_PRIME
+_H1 = "CAST(('0x' || substr(md5('mh1:' || s), 1, 7)) AS BIGINT)"
+_H2 = "CAST(('0x' || substr(md5('mh2:' || s), 1, 7)) AS BIGINT)"
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB word-shingle CTE body over documents -> (doc_id, s)."""
+    return f"""
+    SELECT doc_id, unnest(
+        CASE WHEN len(w) <= {n} THEN [text]
+             ELSE list_transform(generate_series(1, len(w) - {n - 1}),
+                                 i -> array_to_string(w[i:i+{n - 1}], ' '))
+        END) AS s
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    """
+
+
+def _minhash_bands_sql(num_bands: int = 12, rows_per_band: int = 2) -> str:
+    """DuckDB CTEs: shingles -> signatures -> (doc_id, band_idx, band_hash)."""
+    k = num_bands * rows_per_band
+    sig_cols = ",\n           ".join(
+        f"min((h1 + {i} * h2) % {_P}) AS s{i}" for i in range(k)
+    )
+    band_cases = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr="md5(" + " || ',' || ".join(
+                f"s{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ) + ")",
+        )
+        for b in range(num_bands)
+    )
+    return f"""
+    sh AS ({_shingle_sql(5)}),
+    hashes AS (SELECT doc_id, {_H1} AS h1, {_H2} AS h2 FROM sh),
+    sigs AS (SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id),
+    bands AS (SELECT doc_id, band_idx,
+                     CASE band_idx {band_cases} END AS band_hash
+              FROM sigs, (SELECT unnest(generate_series(0, {num_bands - 1})) AS band_idx))
+    """
+
+
+_MINHASH_PAIRS_SQL = f"""
+    WITH {_minhash_bands_sql()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
+def dedup_minhash_lsh(spark, sf):
+    docs = _docs(spark, sf)
+    return D.minhash_band_pairs(docs, "doc_id", D.word_shingles("text", 5))
+
+
+_JACCARD_VERIFY_SQL = f"""
+    WITH {_minhash_bands_sql()},
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    shs AS (SELECT doc_id, list_distinct(list(s)) AS sh
+            FROM ({_shingle_sql(5)}) GROUP BY doc_id)
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / greatest(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)), 1),
+                 6) AS jaccard
+    FROM cand c JOIN shs x ON x.doc_id = c.id_a JOIN shs y ON y.doc_id = c.id_b
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_VERIFY_SQL)
+def dedup_ngram_jaccard(spark, sf):
+    docs = _docs(spark, sf)
+    cand = D.minhash_band_pairs(docs, "doc_id", D.word_shingles("text", 5)).select(
+        "id_a", "id_b"
+    )
+    return D.shingle_jaccard(docs, cand, "doc_id", "text", 5)
+
+
+_SIMHASH_SQL = f"""
+    WITH sh AS ({_shingle_sql(3)}),
+    feats AS (SELECT DISTINCT doc_id, s FROM sh),
+    th AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM feats),
+    bits AS (SELECT doc_id, b,
+                    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+             FROM th, (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY doc_id, b),
+    shash AS (SELECT doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id)
+    SELECT doc_id, simhash, (simhash >> 44) AS bucket FROM shash
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf):
+    return D.simhash_docs(_docs(spark, sf), "doc_id")
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH base AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+def dedup_simhash_pairs(spark, sf):
+    sh = D.simhash_docs(_docs(spark, sf), "doc_id")
+    return D.simhash_near_pairs(sh, "doc_id", 8).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )
+
+
+# ---- CC over verified near-dup edges (recursive-CTE oracle) -----------------
+
+@register(
+    "cc_components",
+    f"""
+    WITH pairs AS ({_JACCARD_VERIFY_SQL}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs WHERE jaccard >= 0.5
+              UNION SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    rec AS (
+        WITH RECURSIVE reach(src, dst) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        ) SELECT * FROM reach)
+    SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+    FROM nodes n LEFT JOIN rec r ON r.src = n.node
+    GROUP BY n.node
+    """,
+)
+def cc_components(spark, sf):
+    docs = _docs(spark, sf)
+    cand = D.minhash_band_pairs(docs, "doc_id", D.word_shingles("text", 5)).select(
+        "id_a", "id_b"
+    )
+    # zero-pad ids: CC orders nodes as strings, the oracle compares numerically
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = (
+        D.shingle_jaccard(docs, cand, "doc_id", "text", 5)
+        .where(F.col("jaccard") >= 0.5)
+        .select(pad("id_a").alias("u"), pad("id_b").alias("v"))
+    )
+    out = connected_components(edges)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+# ---- ANN: brute-force cosine top-k + LSH variant ----------------------------
+
+_ANN_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 25 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 round(list_cosine_similarity(qv::DOUBLE[], cv::DOUBLE[]), 6) AS cos
+          FROM c, q WHERE neighbor_id <> query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos FROM r WHERE rank <= 10
+"""
+
+
+def _embeddings(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+@register("ann_cosine_topk", _ANN_SQL)
+def ann_cosine_topk(spark, sf):
+    emb = _embeddings(spark, sf)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    return SIM.brute_force_topk(emb, q, k=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@register("ann_lsh_topk")  # rows-only: approximate op, oracle is the exact variant
+def ann_lsh_topk(spark, sf):
+    emb = _embeddings(spark, sf)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    return SIM.lsh_topk(emb, q, k=10, num_planes=8)
+
+
+# ---- A3: recall@k / MRR over the ANN ranking --------------------------------
+
+@register(
+    "a3_recall_mrr",
+    f"""
+    WITH ranked AS ({_ANN_SQL}),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    hits AS (SELECT r.query_id, min(r.rank) AS best_rank
+             FROM ranked r
+             JOIN lbl ql ON ql.vec_id = r.query_id
+             JOIN lbl nl ON nl.vec_id = r.neighbor_id
+             WHERE ql.label = nl.label
+             GROUP BY r.query_id),
+    u AS (SELECT DISTINCT query_id FROM ranked)
+    SELECT round(avg(CASE WHEN h.best_rank <= 1 THEN 1.0 ELSE 0.0 END), 6) AS recall_at_1,
+           round(avg(CASE WHEN h.best_rank <= 10 THEN 1.0 ELSE 0.0 END), 6) AS recall_at_10,
+           round(avg(CASE WHEN h.best_rank IS NOT NULL THEN 1.0 / h.best_rank ELSE 0.0 END), 6) AS mrr
+    FROM u LEFT JOIN hits h ON h.query_id = u.query_id
+    """,
+)
+def a3_recall_mrr(spark, sf):
+    emb = _embeddings(spark, sf)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    ranked = SIM.brute_force_topk(emb, q, k=10)
+    lbl = emb.select("vec_id", "label")
+    hits = (
+        ranked.join(lbl.withColumnsRenamed({"vec_id": "query_id", "label": "ql"}), "query_id")
+        .join(lbl.withColumnsRenamed({"vec_id": "neighbor_id", "label": "nl"}), "neighbor_id")
+        .where(F.col("ql") == F.col("nl"))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("best_rank"))
+    )
+    u = ranked.select("query_id").distinct()
+    j = u.join(hits, "query_id", "left")
+    return j.agg(
+        F.round(F.avg(F.when(F.col("best_rank") <= 1, 1.0).otherwise(0.0)), 6).alias("recall_at_1"),
+        F.round(F.avg(F.when(F.col("best_rank") <= 10, 1.0).otherwise(0.0)), 6).alias("recall_at_10"),
+        F.round(
+            F.avg(
+                F.when(F.col("best_rank").isNotNull(), 1.0 / F.col("best_rank")).otherwise(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# batch 3: prior cascade, top-k, anti-join, InKB F1, windows, wiki-map, NER
+# ---------------------------------------------------------------------------
+
+from entity_linkings_spark.operators.prior import resolve_by_prior, topk_prior  # noqa: E402
+
+_VARIANTS_SQL = """
+    SELECT p_partkey,
+           CASE p_partkey % 4
+               WHEN 0 THEN upper(p_name)
+               WHEN 1 THEN p_name || '.'
+               WHEN 2 THEN replace(p_name, ' ', '  ')
+               ELSE replace(p_name, ' ', ', ') END AS surface
+    FROM part
+"""
+
+_ALIAS_COUNTS_SQL = """
+    SELECT p_name AS mention, p_brand AS entity_id, count(*) AS count
+    FROM part GROUP BY 1, 2
+"""
+
+
+def _variants(spark, sf):
+    part = _part(spark, sf)
+    surface = (
+        F.when(F.col("p_partkey") % 4 == 0, F.upper("p_name"))
+        .when(F.col("p_partkey") % 4 == 1, F.concat("p_name", F.lit(".")))
+        .when(F.col("p_partkey") % 4 == 2, F.regexp_replace("p_name", " ", "  "))
+        .otherwise(F.regexp_replace("p_name", " ", ", "))
+    )
+    return part.select("p_partkey", surface.alias("surface"))
+
+
+def _alias_counts(spark, sf):
+    return (
+        _part(spark, sf)
+        .groupBy(F.col("p_name").alias("mention"), F.col("p_brand").alias("entity_id"))
+        .agg(F.count("*").alias("count"))
+    )
+
+
+@register(
+    "j4_prior_cascade",
+    f"""
+    WITH ac AS ({_ALIAS_COUNTS_SQL}), v AS ({_VARIANTS_SQL}),
+    tiers AS (
+        SELECT 'exact' AS tier, lower(trim(mention)) AS key, entity_id, sum(count) AS count
+        FROM ac GROUP BY 2, 3
+        UNION ALL
+        SELECT 'despace', regexp_replace(lower(mention), '\\s+', '', 'g'), entity_id, sum(count)
+        FROM ac GROUP BY 2, 3
+        UNION ALL
+        SELECT 'alnum', regexp_replace(lower(mention), '[\\W]+', '', 'g'), entity_id, sum(count)
+        FROM ac GROUP BY 2, 3),
+    best AS (
+        SELECT tier, key, entity_id, round(count::DOUBLE / total, 6) AS prior FROM (
+            SELECT *, row_number() OVER (PARTITION BY tier, key ORDER BY count DESC, entity_id ASC) rn,
+                   sum(count) OVER (PARTITION BY tier, key) total
+            FROM tiers) WHERE rn = 1)
+    SELECT v.p_partkey, v.surface,
+           COALESCE(e.entity_id, d.entity_id, a.entity_id) AS prior_entity,
+           round(COALESCE(e.prior, d.prior, a.prior), 6) AS prior_score,
+           CASE WHEN e.entity_id IS NOT NULL THEN 'exact'
+                WHEN d.entity_id IS NOT NULL THEN 'despace'
+                WHEN a.entity_id IS NOT NULL THEN 'alnum' END AS prior_tier
+    FROM v
+    LEFT JOIN (SELECT * FROM best WHERE tier='exact') e ON lower(trim(v.surface)) = e.key
+    LEFT JOIN (SELECT * FROM best WHERE tier='despace') d
+           ON regexp_replace(lower(v.surface), '\\s+', '', 'g') = d.key
+    LEFT JOIN (SELECT * FROM best WHERE tier='alnum') a
+           ON regexp_replace(lower(v.surface), '[\\W]+', '', 'g') = a.key
+    """,
+)
+def j4_prior_cascade(spark, sf):
+    out = resolve_by_prior(_variants(spark, sf), _alias_counts(spark, sf))
+    return out.select(
+        "p_partkey",
+        "surface",
+        "prior_entity",
+        F.round("prior_score", 6).alias("prior_score"),
+        "prior_tier",
+    )
+
+
+@register(
+    "a2_prior_topk",
+    f"""
+    WITH ac AS ({_ALIAS_COUNTS_SQL}),
+    tier AS (SELECT lower(trim(mention)) AS key, entity_id, sum(count) AS count
+             FROM ac WHERE length(lower(trim(mention))) > 0 GROUP BY 1, 2),
+    ranked AS (SELECT key, entity_id,
+                      row_number() OVER (PARTITION BY key ORDER BY count DESC, entity_id ASC) AS rank,
+                      count
+               FROM tier)
+    SELECT key, entity_id, CAST(rank AS INT) AS rank,
+           round(count::DOUBLE / sum(count) OVER (PARTITION BY key), 6) AS score
+    FROM ranked WHERE rank <= 2
+    """,
+)
+def a2_prior_topk(spark, sf):
+    out = topk_prior(_alias_counts(spark, sf), 2)
+    return out.select(
+        "key",
+        "entity_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+# ---- J7/U3: anti-join exclusion (only_negative semantics) -------------------
+
+@register(
+    "u3_anti_ignore",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), lex AS ({_LEXICON_SQL}),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+           WHERE token IN (SELECT tok FROM lex) GROUP BY doc_id, token),
+    top1 AS (SELECT doc_id, token FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token ASC) rn FROM tf)
+        WHERE rn = 1)
+    SELECT t.doc_id, t.token, t.tf FROM tf t
+    LEFT JOIN top1 g ON g.doc_id = t.doc_id AND g.token = t.token
+    WHERE g.token IS NULL
+    """,
+)
+def u3_anti_ignore(spark, sf):
+    toks = _tokens_with_offsets(_docs(spark, sf)).join(
+        F.broadcast(_lexicon(spark, sf)), F.col("token") == F.col("tok")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("token"))
+    top1 = tf.withColumn("rn", F.row_number().over(w)).where("rn = 1").select("doc_id", "token")
+    return tf.join(top1, ["doc_id", "token"], "left_anti")
+
+
+# ---- A5: InKB micro F1 -------------------------------------------------------
+
+@register(
+    "a5_inkb_f1",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), lex AS ({_LEXICON_SQL}),
+    golds AS (SELECT doc_id, start, start + length(token) AS e, [token] AS label
+              FROM toks WHERE token IN (SELECT tok FROM lex)),
+    preds AS (SELECT doc_id, start, start + length(token) AS e,
+                     [token, 'alt-' || token] AS labels
+              FROM toks WHERE token IN (SELECT tok FROM lex WHERE tok < 'm')
+                 OR token = 'spark'),
+    hit AS (SELECT count(*) AS n FROM preds p JOIN golds g
+            ON p.doc_id = g.doc_id AND p.start = g.start AND p.e = g.e
+            AND len(list_intersect(p.labels, g.label)) > 0)
+    SELECT (SELECT count(*) FROM preds) AS n_pred,
+           (SELECT count(*) FROM golds) AS n_gold,
+           (SELECT n FROM hit) AS n_hit,
+           round((SELECT n FROM hit)::DOUBLE / greatest((SELECT count(*) FROM preds), 1), 6) AS precision,
+           round((SELECT n FROM hit)::DOUBLE / greatest((SELECT count(*) FROM golds), 1), 6) AS recall,
+           round(2.0 * (SELECT n FROM hit) / greatest((SELECT count(*) FROM preds) + (SELECT count(*) FROM golds), 1), 6) AS f1
+    """,
+)
+def a5_inkb_f1(spark, sf):
+    toks = _tokens_with_offsets(_docs(spark, sf))
+    lex = _lexicon(spark, sf)
+    golds = toks.join(F.broadcast(lex), F.col("token") == F.col("tok")).select(
+        "doc_id", "start", (F.col("start") + F.length("token")).alias("e"),
+        F.array("token").alias("label"),
+    )
+    lex_m = lex.where(F.col("tok") < "m")
+    preds = toks.join(F.broadcast(lex_m), F.col("token") == F.col("tok"), "left").where(
+        F.col("tok").isNotNull() | (F.col("token") == "spark")
+    ).select(
+        "doc_id", "start", (F.col("start") + F.length("token")).alias("e"),
+        F.array("token", F.concat(F.lit("alt-"), "token")).alias("labels"),
+    )
+    n_hit = (
+        preds.join(golds, ["doc_id", "start", "e"])
+        .where(F.arrays_overlap("labels", "label"))
+        .count()
+    )
+    n_pred, n_gold = preds.count(), golds.count()
+    p = round(n_hit / max(n_pred, 1), 6)
+    r = round(n_hit / max(n_gold, 1), 6)
+    f1 = round(2.0 * n_hit / max(n_pred + n_gold, 1), 6)
+    return spark.createDataFrame(
+        [(n_pred, n_gold, n_hit, p, r, f1)],
+        "n_pred long, n_gold long, n_hit long, precision double, recall double, f1 double",
+    )
+
+
+# ---- W1: sessionization over the events stream table ------------------------
+
+@register(
+    "w1_sessionize",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+    l AS (SELECT *, lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS prev FROM e),
+    s AS (SELECT *, CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
+    g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq FROM s)
+    SELECT user_id, session_seq, count(*) AS n_events,
+           min(tms) AS start_ms, max(tms) AS end_ms
+    FROM g GROUP BY user_id, session_seq
+    """,
+)
+def w1_sessionize(spark, sf):
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "user_id",
+        "event_id",
+        # ts is TIMESTAMP_NTZ in the parquet; session TZ is UTC so the cast
+        # matches DuckDB's naive-as-UTC epoch_ms exactly
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("tms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    l = e.withColumn("prev", F.lag("tms").over(w))
+    s = l.withColumn(
+        "is_new",
+        F.when(F.col("prev").isNull() | (F.col("tms") - F.col("prev") > 1800000), 1).otherwise(0),
+    )
+    g = s.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return g.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("tms").alias("start_ms"),
+        F.max("tms").alias("end_ms"),
+    )
+
+
+# ---- J9: wiki_map 4-way left join + redirect chase --------------------------
+
+@register(
+    "j9_wikimap_chase",
+    """
+    WITH wikidata AS (SELECT p_partkey AS key, 'Q' || p_partkey AS qid FROM part WHERE p_partkey % 3 <> 0),
+    redirects AS (SELECT p_partkey AS from_key, (p_partkey * 7 + 17) % 2000 AS to_key
+                  FROM part WHERE p_partkey % 5 = 0)
+    SELECT p.p_partkey, p.p_name, w.qid,
+           t.p_name AS redirect_target,
+           t2.p_name AS redirect_target2,
+           COALESCE(t2.p_name, t.p_name, p.p_name) AS resolved_name
+    FROM part p
+    LEFT JOIN wikidata w ON w.key = p.p_partkey
+    LEFT JOIN redirects r ON r.from_key = p.p_partkey
+    LEFT JOIN part t ON t.p_partkey = r.to_key
+    LEFT JOIN redirects r2 ON r2.from_key = t.p_partkey
+    LEFT JOIN part t2 ON t2.p_partkey = r2.to_key
+    """,
+)
+def j9_wikimap_chase(spark, sf):
+    part = _part(spark, sf)
+    wikidata = part.where(F.col("p_partkey") % 3 != 0).select(
+        F.col("p_partkey").alias("key"), F.concat(F.lit("Q"), "p_partkey").alias("qid")
+    )
+    redirects = part.where(F.col("p_partkey") % 5 == 0).select(
+        F.col("p_partkey").alias("from_key"),
+        ((F.col("p_partkey") * 7 + 17) % 2000).alias("to_key"),
+    )
+    t = part.select(F.col("p_partkey").alias("t_key"), F.col("p_name").alias("redirect_target"))
+    t2 = part.select(F.col("p_partkey").alias("t2_key"), F.col("p_name").alias("redirect_target2"))
+    r2 = redirects.withColumnsRenamed({"from_key": "from_key2", "to_key": "to_key2"})
+    return (
+        part.select("p_partkey", "p_name")
+        .join(F.broadcast(wikidata), F.col("key") == F.col("p_partkey"), "left")
+        .join(F.broadcast(redirects), F.col("from_key") == F.col("p_partkey"), "left")
+        .join(F.broadcast(t), F.col("t_key") == F.col("to_key"), "left")
+        .join(F.broadcast(r2), F.col("from_key2") == F.col("t_key"), "left")
+        .join(F.broadcast(t2), F.col("t2_key") == F.col("to_key2"), "left")
+        .select(
+            "p_partkey", "p_name", "qid", "redirect_target", "redirect_target2",
+            F.coalesce("redirect_target2", "redirect_target", "p_name").alias("resolved_name"),
+        )
+    )
+
+
+# ---- P8/NER: island extraction (runs of lexicon tokens) ---------------------
+
+@register(
+    "p8_extract_islands",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), lex AS ({_LEXICON_SQL}),
+    f AS (SELECT * FROM toks WHERE token IN (SELECT tok FROM lex)),
+    g AS (SELECT *, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM f),
+    isl AS (SELECT doc_id, min(start) AS start,
+                   max(start + length(token)) AS e, count(*) AS n_tokens
+            FROM g GROUP BY doc_id, grp)
+    SELECT i.doc_id, i.start, i.e AS "end", i.n_tokens,
+           substr(d.text, i.start + 1, i.e - i.start) AS mention
+    FROM isl i JOIN documents d ON d.doc_id = i.doc_id
+    """,
+)
+def p8_extract_islands(spark, sf):
+    docs = _docs(spark, sf)
+    toks = _tokens_with_offsets(docs).join(
+        F.broadcast(_lexicon(spark, sf)), F.col("token") == F.col("tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = toks.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    isl = g.groupBy("doc_id", "grp").agg(
+        F.min("start").alias("start"),
+        F.max(F.col("start") + F.length("token")).alias("end"),
+        F.count("*").alias("n_tokens"),
+    )
+    return isl.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "start", "end", "n_tokens",
+        F.expr("substring(text, start + 1, end - start)").alias("mention"),
+    )
+
+
+# ---- text analysis: heuristic language id ------------------------------------
+
+@register(
+    "lang_id",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS en_hits,
+           CAST(len(list_filter(string_split(text, ' '), t -> t IN ('table', 'query', 'join', 'scan'))) AS BIGINT) AS db_hits,
+           CASE WHEN len(list_filter(string_split(text, ' '), t -> t IN ('table', 'query', 'join', 'scan')))
+                     > len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+                THEN 'dbish'
+                WHEN len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) > 0 THEN 'en'
+                ELSE 'und' END AS lang_guess
+    FROM documents
+    """,
+)
+def lang_id(spark, sf):
+    words = F.split("text", " ")
+    en = F.size(F.filter(words, lambda t: t.isin("the", "a"))).cast("long")
+    db = F.size(F.filter(words, lambda t: t.isin("table", "query", "join", "scan"))).cast("long")
+    return _docs(spark, sf).select(
+        "doc_id",
+        en.alias("en_hits"),
+        db.alias("db_hits"),
+        F.when(db > en, "dbish").when(en > 0, "en").otherwise("und").alias("lang_guess"),
+    )
+
+
+# ---- U1: union + dedup --------------------------------------------------------
+
+@register(
+    "u1_union_dedup",
+    f"""
+    SELECT tok, count(*) AS n_sources FROM (
+        SELECT DISTINCT tok, 'part' AS src FROM ({_LEXICON_SQL})
+        UNION
+        SELECT DISTINCT token AS tok, 'docs' AS src
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    ) GROUP BY tok
+    """,
+)
+def u1_union_dedup(spark, sf):
+    a = _lexicon(spark, sf).select("tok", F.lit("part").alias("src"))
+    b = (
+        _docs(spark, sf)
+        .select(F.explode(F.split("text", " ")).alias("tok"), F.lit("docs").alias("src"))
+        .distinct()
+    )
+    return a.unionByName(b).distinct().groupBy("tok").agg(F.count("*").alias("n_sources"))

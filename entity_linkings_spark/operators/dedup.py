@@ -1,0 +1,143 @@
+"""Document deduplication operators for large-scale training-data pipelines:
+exact (hash groupBy), MinHash-LSH over word shingles, SimHash, and exact
+n-gram Jaccard verification.
+
+Scale design:
+  * Exact dedup: one shuffle on the text hash; keeper = min(id) so the choice
+    is deterministic under any partitioning.
+  * MinHash-LSH: signatures are pure Catalyst expressions (no UDF); band keys
+    shuffle once; candidate pairs are verified with exact shingle Jaccard
+    before any destructive action (classic two-phase near-dup).
+  * SimHash: 60-bit fingerprints from word-shingle hashes; candidate pairs
+    only within a 16-bit prefix bucket, then exact Hamming <= k — the bucket
+    join is the LSH trick that keeps the pair space sub-quadratic.
+  * All hashes are the md5-derived portable scheme (functions/hashing.py), so
+    the driver's DuckDB oracle replays them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from entity_linkings_spark.functions.hashing import minhash_signature, simhash64
+from entity_linkings_spark.functions.strings import norm_exact
+
+
+def word_shingles(text_col: Column | str, n: int = 5) -> Column:
+    """Overlapping word n-gram shingles (order-sensitive). Texts shorter than
+    n words yield one shingle = the whole text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(c, " ")
+    return F.when(F.size(words) <= n, F.array(c)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_hash, n_copies, keeper) groups; n_copies > 1 are exact dups."""
+    return df.groupBy(F.md5(norm_exact(text_col)).alias("text_hash")).agg(
+        F.count("*").alias("n_copies"), F.min(id_col).alias(f"keeper_{id_col}")
+    )
+
+
+def minhash_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    shingles: Column,
+    num_bands: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_shared_bands) via MinHash-LSH
+    banding over ``shingles``."""
+    k = num_bands * rows_per_band
+    sig = df.select(F.col(id_col), minhash_signature(shingles, k).alias("sig"))
+    bands = sig.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.select(
+        "band_idx", "band_hash", F.col(id_col).alias("id_a")
+    )
+    b = bands.select(
+        "band_idx", "band_hash", F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def shingle_jaccard(
+    texts: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Exact (set) word-shingle Jaccard for candidate pairs — the verification
+    phase after LSH. Jaccard emitted as round(inter/union, 6)."""
+    sh = texts.select(
+        F.col(id_col).alias("jid"),
+        F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+    )
+    j = (
+        pairs.join(sh.withColumnsRenamed({"jid": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"jid": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def simhash_docs(
+    df: DataFrame, id_col: str = "doc_id", features: Column | None = None
+) -> DataFrame:
+    """(id, simhash, bucket): 60-bit simhash over distinct word-shingle
+    features; bucket = top 16 bits (prefix LSH for the pair join)."""
+    feats = features if features is not None else F.array_distinct(word_shingles("text", 3))
+    return df.select(
+        F.col(id_col),
+        simhash64(feats).alias("simhash"),
+    ).withColumn("bucket", F.shiftright("simhash", 44))
+
+
+def simhash_near_pairs(sh: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
+    """Pairs within a bucket with Hamming distance <= max_hamming."""
+    a = sh.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")
+    )
+    b = sh.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b")
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
