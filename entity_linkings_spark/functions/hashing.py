@@ -50,47 +50,68 @@ def minhash_signature(tokens_col: Column | str, num_hashes: int) -> Column:
     sig[i] = min over tokens. Empty token arrays yield MINHASH_PRIME (sentinel)
     so empty docs never collide with real signatures beyond chance.
 
+    Single-pass formulation: the two base md5 hashes are materialized once per
+    token in an inner transform() and the signature is folded in ONE
+    aggregate() whose accumulator is the K-wide min array. (The naive
+    "array of K array_min expressions" form recomputes the md5s K times —
+    Catalyst does not share subexpressions across array elements in
+    higher-order functions; measured ~20x slower.)
+
     Replaces the dense ANN probe of the reference
     (candidate_retriever/dualencoder/indexer.py:94-132) with set-similarity
     banding; tuning is bands x rows instead of HNSW ef/M.
     """
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    h1 = F.transform(toks, lambda t: h28(t, "mh1:"))
-    h2 = F.transform(toks, lambda t: h28(t, "mh2:"))
-    sigs = [
-        F.coalesce(
-            F.array_min(
-                F.zip_with(
-                    h1,
-                    h2,
-                    lambda a, b: (a + F.lit(i) * b) % F.lit(MINHASH_PRIME),
-                )
+    hashes = F.transform(
+        toks, lambda t: F.struct(h28(t, "mh1:").alias("h1"), h28(t, "mh2:").alias("h2"))
+    )
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, s: F.transform(
+            acc,
+            lambda v, i: F.least(
+                v, (s["h1"] + i.cast("long") * s["h2"]) % F.lit(MINHASH_PRIME)
             ),
-            F.lit(MINHASH_PRIME),
-        )
-        for i in range(num_hashes)
-    ]
-    return F.array(*sigs)
+        ),
+    )
 
 
 def simhash64(tokens_col: Column | str) -> Column:
     """SimHash over token h60 hashes: bit j of the result is 1 iff more token
     hashes have bit j set than unset. Pure Catalyst expression.
 
-    For each bit j we sum (+1/-1) votes across tokens via aggregate(); ties
-    (sum == 0) resolve to 0. Empty token arrays hash to 0.
+    Single pass: one aggregate() folds every token's md5-derived hash into a
+    60-wide vote array (+1/-1 per bit), then one reduction turns positive
+    votes into bits. (60 independent per-bit aggregates would recompute the
+    md5 per bit — same Catalyst-CSE pitfall as minhash_signature.)
+    Ties (vote sum == 0) resolve to 0; empty token arrays hash to 0.
     """
     toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     hashes = F.transform(toks, lambda t: h60(t))
-    out = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
-        out = out + F.when(vote > 0, F.lit(1).cast("long") * (2**j)).otherwise(F.lit(0))
-    return out
+
+    # shiftleft/shiftright need Python-int shift amounts, but the bit index
+    # here is a lambda variable — use 2^j masks instead (powers of two are
+    # exact in double up to 2^62, so the cast round-trips exactly)
+    def mask(j):
+        return F.pow(F.lit(2.0), j.cast("double")).cast("long")
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.transform(
+            acc,
+            lambda v, j: v
+            + F.when(h.bitwiseAND(mask(j)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda v, j: F.when(v > 0, mask(j)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

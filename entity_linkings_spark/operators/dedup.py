@@ -54,7 +54,10 @@ def minhash_band_pairs(
     """Candidate near-dup pairs (id_a < id_b, n_shared_bands) via MinHash-LSH
     banding over ``shingles``."""
     k = num_bands * rows_per_band
-    sig = df.select(F.col(id_col), minhash_signature(shingles, k).alias("sig"))
+    # spread the expression-heavy signature computation: small single-file
+    # inputs arrive as one partition, which would serialize all the hashing
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sig = df.repartition(par).select(F.col(id_col), minhash_signature(shingles, k).alias("sig"))
     bands = sig.select(
         id_col,
         F.posexplode(
@@ -120,7 +123,8 @@ def simhash_docs(
     """(id, simhash, bucket): 60-bit simhash over distinct word-shingle
     features; bucket = top 16 bits (prefix LSH for the pair join)."""
     feats = features if features is not None else F.array_distinct(word_shingles("text", 3))
-    return df.select(
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).select(
         F.col(id_col),
         simhash64(feats).alias("simhash"),
     ).withColumn("bucket", F.shiftright("simhash", 44))

@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MAXLEN = 64
-_CHUNK = 4096
+# 2048-pair chunks keep the per-chunk tensor working set inside shared L3
+# even with 16-32 concurrent workers — measured best per-worker throughput
+# retention under parallelism (the scorer is memory-bandwidth-bound)
+_CHUNK = 2048
 _NGRAM_SHIFT = 2**21  # > max unicode codepoint
 
 SCORE_SCHEMA = T.StructType(
@@ -55,31 +58,38 @@ W_JW, W_LEV, W_COS = 0.35, 0.25, 0.40
 
 
 def _char_matrix(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """(codes[N, MAXLEN] uint32 codepoints 0-padded, lengths[N])."""
+    """(codes[N, MAXLEN] codepoints 0-padded, lengths[N]). Codes shrink to
+    uint16 when the chunk is BMP-only (the overwhelmingly common case) —
+    smaller dtypes matter because the (N, L, L) comparison tensors are the
+    scorer's main memory traffic."""
     vals = s.fillna("").str.slice(0, MAXLEN)
     u = np.asarray(vals.to_numpy(dtype=object), dtype=f"<U{MAXLEN}")
     codes = u.view(np.uint32).reshape(len(u), MAXLEN)
     lengths = (codes > 0).sum(axis=1).astype(np.int32)
+    if codes.max(initial=0) < 65536:
+        codes = codes.astype(np.uint16)
     return codes, lengths
 
 
 def _levenshtein(A, la, B, lb) -> np.ndarray:
-    """Edit distance per row; loops over character positions only."""
+    """Edit distance per row; loops over character positions only.
+    int16 DP (distances <= MAXLEN) halves memory traffic — the scorer is
+    memory-bandwidth-bound at high worker counts."""
     n, L = A.shape
-    j = np.arange(L + 1)
-    dp = np.broadcast_to(j, (n, L + 1)).astype(np.int32).copy()
+    j = np.arange(L + 1, dtype=np.int16)
+    dp = np.broadcast_to(j, (n, L + 1)).astype(np.int16).copy()
     out = dp.copy()  # rows with la == 0
     max_la = int(la.max(initial=0))
     for i in range(1, max_la + 1):
-        cost = (A[:, i - 1, None] != B).astype(np.int32)
-        cand = np.minimum(dp[:, :-1] + cost, dp[:, 1:] + 1)
-        row = np.concatenate([np.full((n, 1), i, np.int32), cand], axis=1)
+        cost = (A[:, i - 1, None] != B).astype(np.int16)
+        cand = np.minimum(dp[:, :-1] + cost, dp[:, 1:] + np.int16(1))
+        row = np.concatenate([np.full((n, 1), i, np.int16), cand], axis=1)
         # insertion pass: dp[j] = min(dp[j-1]+1, row[j]) as a prefix scan
         dp = np.minimum.accumulate(row - j, axis=1) + j
         done = la == i
         if done.any():
             out[done] = dp[done]
-    return out[np.arange(n), lb]
+    return out[np.arange(n), lb].astype(np.int32)
 
 
 def _jaro_winkler(A, la, B, lb) -> np.ndarray:
@@ -202,10 +212,14 @@ def score_batch(
     return pd.DataFrame(out)
 
 
-def make_scorer_udf(idf: dict[str, float] | None = None):
+def make_scorer_udf(idf: dict[str, float] | None = None, combined_only: bool = False):
     """Build the pandas UDF, optionally closing over an IDF table
     {ngram -> weight}. The table is converted to two numpy arrays and shipped
-    once per executor via the UDF closure (broadcast-equivalent)."""
+    once per executor via the UDF closure (broadcast-equivalent).
+
+    ``combined_only=True`` returns a single double instead of the 5-field
+    struct — 1/5 the Arrow result bandwidth for hot paths that only threshold
+    on the blended score."""
     idf_codes = idf_weights = None
     if idf:
         def code(g: str) -> int:
@@ -215,6 +229,14 @@ def make_scorer_udf(idf: dict[str, float] | None = None):
         items = sorted((code(g), w) for g, w in idf.items())
         idf_codes = np.array([c for c, _ in items], np.uint64)
         idf_weights = np.array([w for _, w in items], np.float64)
+
+    if combined_only:
+
+        @F.pandas_udf("double")
+        def pair_score_combined(sa: pd.Series, sb: pd.Series) -> pd.Series:
+            return score_batch(sa, sb, idf_codes, idf_weights)["combined"]
+
+        return pair_score_combined
 
     @F.pandas_udf(SCORE_SCHEMA)
     def pair_score(sa: pd.Series, sb: pd.Series) -> pd.DataFrame:

@@ -231,11 +231,16 @@ class LinkagePipeline:
 
     # ---- full run ------------------------------------------------------------
     def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
-        mentions = self.mentions(transcripts)
-        surfaces = self.surfaces(mentions)
+        """Compose all stages. Shared intermediates are cached: surfaces,
+        scored and resolved each feed multiple downstream branches (and the
+        CC driver loop runs repeated actions) — without materialization Spark
+        would recompute the whole upstream per branch. The lifecycle runner
+        (plans/lifecycle.py) replaces these caches with durable snapshots."""
+        mentions = self.mentions(transcripts).cache()
+        surfaces = self.surfaces(mentions).cache()
         pairs = self.pairs(surfaces)
-        scored = self.scored_pairs(pairs, surfaces)
-        resolved = self.resolve(surfaces)
+        scored = self.scored_pairs(pairs, surfaces).cache()
+        resolved = self.resolve(surfaces).cache()
         clusters = self.clusters(scored, surfaces, resolved)
         mention_clusters = self.mention_clusters(mentions, clusters)
         resolved_mentions = (

@@ -63,7 +63,7 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # --- Arrow: the JVM<->Python boundary for the pair scorer UDF ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # --- shuffle sizing (overridden per-cluster) ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # deterministic timestamps across engines/timezones

@@ -1,0 +1,87 @@
+"""Streaming incremental mode + multimodal plumbing tests."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from entity_linkings_spark.operators import multimodal as M
+from entity_linkings_spark.plans.pipeline import LinkagePipeline
+from entity_linkings_spark.sources.dictionary import dictionary_token_set
+from entity_linkings_spark.streaming.incremental import (
+    incremental_linkage,
+    stream_transcripts,
+    windowed_mention_counts,
+)
+
+
+def test_incremental_linkage_foreachbatch(spark, tiny, tiny_paths, tmp_path):
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # split the tiny transcripts into two "arriving" files
+    t = tiny["transcripts"]
+    t.where(F.col("conv_id") < "conv-000025").write.parquet(src + "/part1")
+    t.where(F.col("conv_id") >= "conv-000025").write.parquet(src + "/part2")
+    # flatten: file source wants files in one dir
+    import glob, shutil
+    for i, f in enumerate(glob.glob(src + "/part*/*.parquet")):
+        shutil.move(f, src + f"/file{i}.parquet")
+    for d in glob.glob(src + "/part*"):
+        shutil.rmtree(d)
+
+    pipe = LinkagePipeline(tiny["dictionary"])
+    stream = stream_transcripts(spark, src, max_files=1)
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = incremental_linkage(stream, pipe, sink, ckpt).start()
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(sink)
+    assert out.count() == 286  # every tiny mention arrived incrementally
+    assert out.select("epoch_id").distinct().count() >= 2  # multiple batches
+    # restart with no new files -> no duplicates (checkpointed progress)
+    q2 = incremental_linkage(stream_transcripts(spark, src, 1), pipe, sink, ckpt).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 286
+
+
+def test_windowed_mention_counts(spark, tiny, tmp_path):
+    toks = dictionary_token_set(tiny["dictionary"])
+    src = str(tmp_path / "in2")
+    tiny["transcripts"].write.parquet(src)
+    stream = stream_transcripts(spark, src)
+    agg = windowed_mention_counts(stream, None, toks[:40])
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wmc")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # append mode only emits closed windows; assert the plan ran and the
+    # state schema is right rather than exact counts
+    df = spark.sql("select * from wmc")
+    assert df.columns == ["window", "token", "n"]
+
+
+def test_multimodal_features_and_frames(spark):
+    assets = M.synthetic_assets(spark, 30)
+    feats = M.extract_features(assets).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["features"]) == M.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["features"])
+    # determinism
+    feats2 = M.extract_features(M.synthetic_assets(spark, 30)).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, feats2))
+    # frame sampling: only videos, duration 4000ms @1000ms -> 4 frames
+    frames = M.sample_frames(assets).groupBy("asset_id").count().collect()
+    assert all(r["count"] == 4 for r in frames)
+    assert len(frames) == 10  # 30 assets, kind cycle -> 10 videos
+
+
+def test_real_decode_is_marked_stub(spark):
+    assets = M.synthetic_assets(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        M.extract_features(assets, real_decode=True).collect()
