@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from entity_linkings_spark.functions.hashing import minhash_signature
+from entity_linkings_spark.functions.hashing import h60, minhash_signature
 from entity_linkings_spark.functions.strings import char_ngrams, norm_exact, tokenize
 
 
@@ -149,6 +149,99 @@ def candidate_pairs(keys: DataFrame) -> DataFrame:
     )
 
 
+def candidate_pairs_salted(
+    keys: DataFrame, hot_threshold: int = 256, n_salt: int = 8
+) -> DataFrame:
+    """Candidate pairs with explicit **triangle salting** for hot blocks
+    (north rule: "salted keys + AQE skew-join handling for hot blocks").
+
+    Blocks with more than ``hot_threshold`` members are split: each member
+    gets a deterministic bucket b = h60(skey) mod n_salt, and the self-join
+    runs on (block_key, i, j) for every bucket pair i <= j — the left side
+    replicates a member with bucket b to keys (b, b..n-1), the right side to
+    (0..b, b). A hot block's pair generation thus spreads over
+    n(n+1)/2 reducers instead of one, with every canonical pair produced
+    exactly once. Cold blocks keep the plain join. Semantics are identical
+    to ``candidate_pairs`` (asserted in tests); only the physical key space
+    changes — salting the join, never the blocking semantics (SURVEY.md
+    section 4 item 1).
+    """
+    w = Window.partitionBy("block_key")
+    sized = keys.withColumn("bsize", F.count("*").over(w))
+    cold = sized.where(F.col("bsize") <= hot_threshold).drop("bsize")
+    hot = sized.where(F.col("bsize") > hot_threshold).drop("bsize")
+
+    cold_pairs = (
+        cold.alias("a")
+        .join(cold.alias("b"), "block_key")
+        .where(F.col("a.skey") < F.col("b.skey"))
+        .select(
+            "block_key",
+            F.col("a.skey").alias("skey_a"),
+            F.col("a.surface").alias("surface_a"),
+            F.col("b.skey").alias("skey_b"),
+            F.col("b.surface").alias("surface_b"),
+        )
+    )
+
+    bucket = (h60("skey") % F.lit(n_salt)).cast("int")
+    hb = hot.withColumn("b", bucket)
+    left = hb.select(
+        "block_key", "skey", "surface", "b",
+        F.explode(F.sequence(F.col("b"), F.lit(n_salt - 1))).alias("j"),
+    ).withColumnRenamed("b", "i")
+    right = hb.select(
+        "block_key", "skey", "surface",
+        F.explode(F.sequence(F.lit(0), F.col("b"))).alias("i"),
+        F.col("b").alias("j"),
+    )
+    # a member with bucket b_x matches a member with bucket b_y >= b_x at
+    # exactly (i, j) = (b_x, b_y): cross-bucket pairs (i != j) already appear
+    # once, so only same-bucket combos need the ordering filter; the output
+    # is canonicalized with least/greatest because the smaller skey can sit
+    # in either bucket
+    a_lt_b = F.col("a.skey") < F.col("b.skey")
+    hot_pairs = (
+        left.alias("a")
+        .join(right.alias("b"), ["block_key", "i", "j"])
+        .where((F.col("i") != F.col("j")) | a_lt_b)
+        .where(F.col("a.skey") != F.col("b.skey"))
+        .select(
+            "block_key",
+            F.least("a.skey", "b.skey").alias("skey_a"),
+            F.when(a_lt_b, F.col("a.surface")).otherwise(F.col("b.surface")).alias("surface_a"),
+            F.greatest("a.skey", "b.skey").alias("skey_b"),
+            F.when(a_lt_b, F.col("b.surface")).otherwise(F.col("a.surface")).alias("surface_b"),
+        )
+    )
+    both = cold_pairs.unionByName(hot_pairs)
+    return both.groupBy("skey_a", "skey_b").agg(
+        F.min("block_key").alias("block_key"),
+        F.first("surface_a").alias("surface_a"),
+        F.first("surface_b").alias("surface_b"),
+    )
+
+
+def ngram_idf(surfaces: DataFrame, n: int = 3) -> dict[str, float]:
+    """Corpus IDF over character n-grams of distinct surfaces:
+    idf(g) = ln(1 + N/df(g)). Collected to the driver — the char-n-gram
+    vocabulary is inherently bounded (<~100k entries at any corpus size), so
+    this is a dimension-table derivative that ships to executors inside the
+    scorer-UDF closure (operators/scoring.py make_scorer_udf)."""
+    import math
+
+    N = surfaces.count()
+    rows = (
+        surfaces.select(
+            F.explode(F.array_distinct(char_ngrams(norm_exact("surface"), n))).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    )
+    return {r["g"]: math.log(1.0 + N / r["df"]) for r in rows}
+
+
 def blocking_pairs(
     surfaces: DataFrame,
     max_block_size: int = 1000,
@@ -156,8 +249,12 @@ def blocking_pairs(
     use_lsh: bool = True,
     num_bands: int = 8,
     rows_per_band: int = 4,
+    hot_threshold: int | None = 256,
+    n_salt: int = 8,
 ) -> DataFrame:
-    """Full blocking stage: union of token and LSH band keys, capped, paired."""
+    """Full blocking stage: union of token and LSH band keys, capped, paired
+    (triangle-salted for blocks hotter than ``hot_threshold``; pass None to
+    disable salting and rely on AQE alone)."""
     parts = []
     if use_tokens:
         parts.append(token_block_keys(surfaces))
@@ -166,4 +263,7 @@ def blocking_pairs(
     keys = parts[0]
     for p in parts[1:]:
         keys = keys.unionByName(p)
-    return candidate_pairs(cap_blocks(keys, max_block_size))
+    capped = cap_blocks(keys, max_block_size)
+    if hot_threshold is None:
+        return candidate_pairs(capped)
+    return candidate_pairs_salted(capped, hot_threshold, n_salt)

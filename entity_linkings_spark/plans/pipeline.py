@@ -62,6 +62,10 @@ class LinkageConfig:
     match_threshold: float = 0.90  # NIL-NIL string-edge threshold
     resolve_threshold: float = 0.72  # argmax-vs-dictionary acceptance
     min_token_len: int = 2
+    hot_block_threshold: int = 256  # triangle-salt blocks hotter than this
+    n_salt: int = 8
+    use_idf: bool = False  # corpus-IDF-weighted ngram cosine (thresholds are
+    # calibrated for uniform weights; re-calibrate when enabling)
 
 
 class LinkagePipeline:
@@ -98,7 +102,12 @@ class LinkagePipeline:
             max_block_size=self.cfg.max_block_size,
             num_bands=self.cfg.num_bands,
             rows_per_band=self.cfg.rows_per_band,
+            hot_threshold=self.cfg.hot_block_threshold,
+            n_salt=self.cfg.n_salt,
         )
+
+    def idf(self, surfaces: DataFrame) -> dict[str, float] | None:
+        return B.ngram_idf(surfaces) if self.cfg.use_idf else None
 
     # ---- stage 4: scoring ----------------------------------------------------
     def scored_pairs(self, pairs: DataFrame, surfaces: DataFrame) -> DataFrame:
@@ -106,7 +115,7 @@ class LinkagePipeline:
         attached; ``is_match`` = same resolved entity when both resolve, else
         the NIL-NIL string threshold."""
         ev = surfaces.select("skey", "prior_entity")
-        scored = S.score_pairs(pairs)
+        scored = S.score_pairs(pairs, self.idf(surfaces))
         return (
             scored.join(ev.withColumnsRenamed({"skey": "skey_a", "prior_entity": "ent_a"}), "skey_a", "left")
             .join(ev.withColumnsRenamed({"skey": "skey_b", "prior_entity": "ent_b"}), "skey_b", "left")

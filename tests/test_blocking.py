@@ -69,3 +69,27 @@ def test_block_stats_histogram(spark):
     hist = {r["block_size"]: r["n_blocks"] for r in B.block_stats(keys).collect()}
     assert hist[3] == 1  # the 'aa' block
     assert hist[1] == 3  # bb/cc/dd singletons
+
+
+def test_salted_pairs_equal_plain(spark):
+    """Triangle salting changes only the physical join keys — the pair set
+    (including block_key attribution) must be identical to the plain join."""
+    rows = [f"hotkey word{i}" for i in range(150)] + [f"cold{j} item{j % 5}" for j in range(40)]
+    sf = _surfaces(spark, rows)
+    keys = B.cap_blocks(B.token_block_keys(sf), 1000)
+    cols = ["skey_a", "skey_b", "block_key", "surface_a", "surface_b"]
+    plain = B.candidate_pairs(keys).select(*cols)
+    salted = B.candidate_pairs_salted(keys, hot_threshold=30, n_salt=4).select(*cols)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.count() == salted.count() > 0
+
+
+def test_ngram_idf_builder(spark):
+    import math
+
+    sf = _surfaces(spark, ["alpha beta", "alpha gamma", "zzz qqq"])
+    idf = B.ngram_idf(sf)
+    # 'alp' appears in 2 of 3 surfaces, 'zzz' in 1 -> rarer gram gets more weight
+    assert idf["zzz"] > idf["alp"] > 0
+    assert idf["zzz"] == math.log(1 + 3 / 1)
