@@ -47,14 +47,21 @@ SCORE_SCHEMA = T.StructType(
     [
         T.StructField("jaro_winkler", T.DoubleType()),
         T.StructField("lev_ratio", T.DoubleType()),
+        T.StructField("osa_ratio", T.DoubleType()),
         T.StructField("ngram_cosine", T.DoubleType()),
         T.StructField("ngram_jaccard", T.DoubleType()),
         T.StructField("combined", T.DoubleType()),
     ]
 )
 
-# combined-score blend; calibrated on the synthetic gold (tests/test_pipeline)
-W_JW, W_LEV, W_COS = 0.35, 0.25, 0.40
+# combined-score blend, grid-calibrated against the synthetic gold
+# (tests/test_pipeline): the edit-distance component is OSA (Damerau with
+# non-overlapping transpositions) because mention typos are dominated by
+# transpositions, which plain Levenshtein double-counts ("omra"/"omar" = 2
+# vs OSA 1) — and 3-gram cosine actively prefers the WRONG candidate on a
+# transposed site (it destroys 3 shingles), so set-Jaccard carries the
+# n-gram evidence instead.
+W_JW, W_OSA, W_COS, W_JAC = 0.35, 0.45, 0.0, 0.20
 
 
 def _char_matrix(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
@@ -85,6 +92,38 @@ def _levenshtein(A, la, B, lb) -> np.ndarray:
         cand = np.minimum(dp[:, :-1] + cost, dp[:, 1:] + np.int16(1))
         row = np.concatenate([np.full((n, 1), i, np.int16), cand], axis=1)
         # insertion pass: dp[j] = min(dp[j-1]+1, row[j]) as a prefix scan
+        dp = np.minimum.accumulate(row - j, axis=1) + j
+        done = la == i
+        if done.any():
+            out[done] = dp[done]
+    return out[np.arange(n), lb].astype(np.int32)
+
+
+def _osa(A, la, B, lb) -> np.ndarray:
+    """Optimal-string-alignment distance (Damerau, non-overlapping
+    transpositions) per row — same prefix-scan vectorization as
+    ``_levenshtein`` with a dp[i-2][j-2]+1 transposition term folded into
+    the pre-scan minimum."""
+    n, L = A.shape
+    j = np.arange(L + 1, dtype=np.int16)
+    dp = np.broadcast_to(j, (n, L + 1)).astype(np.int16).copy()
+    dp2 = None  # dp from two rows back
+    out = dp.copy()
+    max_la = int(la.max(initial=0))
+    for i in range(1, max_la + 1):
+        cost = (A[:, i - 1, None] != B).astype(np.int16)
+        cand = np.minimum(dp[:, :-1] + cost, dp[:, 1:] + np.int16(1))
+        if i >= 2:
+            # transposition a[i-2:i] <-> b[j-2:j]: cand column jj maps to
+            # j = jj+1, so for jj >= 1 the condition is
+            # a[i-1] == b[j-2] (= B[:, jj-1]) and a[i-2] == b[j-1] (= B[:, jj]),
+            # candidate value dp[i-2][j-2] + 1 (= dp2[:, jj-1] + 1)
+            tmask = (A[:, i - 1, None] == B[:, :-1]) & (A[:, i - 2, None] == B[:, 1:])
+            trans = np.full_like(cand, np.int16(MAXLEN + 1))
+            trans[:, 1:] = np.where(tmask, dp2[:, : L - 1] + np.int16(1), np.int16(MAXLEN + 1))
+            cand = np.minimum(cand, trans)
+        row = np.concatenate([np.full((n, 1), i, np.int16), cand], axis=1)
+        dp2 = dp
         dp = np.minimum.accumulate(row - j, axis=1) + j
         done = la == i
         if done.any():
@@ -200,15 +239,16 @@ def score_batch(
         Lm = max(int(la.max(initial=1)), int(lb.max(initial=1)), 1)
         A, B = A[:, :Lm], B[:, :Lm]
         jw = _jaro_winkler(A, la, B, lb)
-        d = _levenshtein(A, la, B, lb)
         ml = np.maximum(np.maximum(la, lb), 1)
-        lev = 1.0 - d / ml
+        lev = 1.0 - _levenshtein(A, la, B, lb) / ml
+        osa = 1.0 - _osa(A, la, B, lb) / ml
         cos, jac = _ngram_scores(A, la, B, lb, idf_codes, idf_weights)
         out["jaro_winkler"][lo:hi] = jw
         out["lev_ratio"][lo:hi] = lev
+        out["osa_ratio"][lo:hi] = osa
         out["ngram_cosine"][lo:hi] = cos
         out["ngram_jaccard"][lo:hi] = jac
-        out["combined"][lo:hi] = W_JW * jw + W_LEV * lev + W_COS * cos
+        out["combined"][lo:hi] = W_JW * jw + W_OSA * osa + W_COS * cos + W_JAC * jac
     return pd.DataFrame(out)
 
 

@@ -60,7 +60,7 @@ class LinkageConfig:
     num_bands: int = 8
     rows_per_band: int = 4
     match_threshold: float = 0.90  # NIL-NIL string-edge threshold
-    resolve_threshold: float = 0.72  # argmax-vs-dictionary acceptance
+    resolve_threshold: float = 0.62  # argmax-vs-dictionary acceptance
     min_token_len: int = 2
     hot_block_threshold: int = 256  # triangle-salt blocks hotter than this
     n_salt: int = 8
