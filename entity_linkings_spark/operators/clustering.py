@@ -86,6 +86,9 @@ def connected_components(
     if checkpoint:
         cur = cur.localCheckpoint()
     prev_fp = _edge_fingerprint(cur)
+    if prev_fp[0] == 0:  # empty graph: skip the contraction loop entirely
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node string, cluster_id string")
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(cur))
         if checkpoint:
