@@ -215,6 +215,8 @@ def _ngram_scores(A, la, B, lb, idf_codes, idf_weights):
     nb = np.sqrt((wb**2).sum(axis=1))
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = np.where((na > 0) & (nb > 0), dot / (na * nb), 0.0)
+    # float round-trip can land a hair above 1 (sqrt(3)*sqrt(3) < 3)
+    cos = np.clip(cos, 0.0, 1.0)
     inter = has.sum(axis=1).astype(np.float64)
     ca, cb = va.sum(axis=1), vb.sum(axis=1)
     union = ca + cb - inter
@@ -235,8 +237,10 @@ def score_batch(
         A, la = _char_matrix(sa.iloc[lo:hi])
         B, lb = _char_matrix(sb.iloc[lo:hi])
         # slice to the chunk's effective max length: tensor costs are
-        # quadratic in L, and mention surfaces are much shorter than MAXLEN
-        Lm = max(int(la.max(initial=1)), int(lb.max(initial=1)), 1)
+        # quadratic in L, and mention surfaces are much shorter than MAXLEN.
+        # Floor of 3 keeps the n-gram code matrix (width L-2) non-empty even
+        # for a chunk of sub-3-char strings.
+        Lm = max(int(la.max(initial=1)), int(lb.max(initial=1)), 3)
         A, B = A[:, :Lm], B[:, :Lm]
         jw = _jaro_winkler(A, la, B, lb)
         ml = np.maximum(np.maximum(la, lb), 1)

@@ -1,0 +1,62 @@
+"""Property-based tests (hypothesis): scorer metric invariants and hashing
+determinism — the structural-assertion style of the reference's tests
+(SURVEY.md section 5) strengthened with generated inputs."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_linkings_spark.functions.hashing import MINHASH_PRIME
+from entity_linkings_spark.operators.scoring import score_batch
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=40
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=20))
+def test_scores_bounded_and_symmetric(pairs):
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    ab = score_batch(a, b)
+    ba = score_batch(b, a)
+    for col in ab.columns:
+        assert ((ab[col] >= 0) & (ab[col] <= 1)).all(), col
+        assert np.allclose(ab[col], ba[col], atol=1e-12), f"{col} not symmetric"
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT.filter(lambda s: s.strip() != ""))
+def test_identity_scores_one(s):
+    r = score_batch(pd.Series([s]), pd.Series([s])).iloc[0]
+    assert r["lev_ratio"] == 1.0 and r["osa_ratio"] == 1.0
+    assert r["jaro_winkler"] == 1.0
+    assert abs(r["combined"] - 1.0) < 1e-12
+
+
+@settings(max_examples=40, deadline=None)
+@given(TEXT, TEXT)
+def test_osa_never_exceeds_levenshtein(a, b):
+    r = score_batch(pd.Series([a]), pd.Series([b])).iloc[0]
+    # OSA distance <= Levenshtein distance  =>  osa_ratio >= lev_ratio
+    assert r["osa_ratio"] >= r["lev_ratio"] - 1e-12
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=8))
+def test_minhash_python_model(tokens):
+    """The Catalyst minhash (tested elsewhere) shares this exact model:
+    assert the pure-python mirror is permutation-invariant and bounded."""
+    def sig(toks):
+        h1 = [int(hashlib.md5(("mh1:" + t).encode()).hexdigest()[:7], 16) for t in toks]
+        h2 = [int(hashlib.md5(("mh2:" + t).encode()).hexdigest()[:7], 16) for t in toks]
+        return [min((x + i * y) % MINHASH_PRIME for x, y in zip(h1, h2)) for i in range(4)]
+
+    s1 = sig(tokens)
+    s2 = sig(list(reversed(tokens)))
+    assert s1 == s2
+    assert all(0 <= v < MINHASH_PRIME for v in s1)
