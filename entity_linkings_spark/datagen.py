@@ -271,9 +271,9 @@ def write_parquet(scale: str, out_dir: str) -> dict[str, str]:
 
 
 def dataset_dir(scale: str, root: str | None = None) -> str:
-    root = root or os.environ.get(
-        "EL_SPARK_DATA_DIR", os.path.join(os.path.dirname(__file__), "..", ".data")
-    )
+    # cwd-anchored (not __file__): under spark-submit --py-files the package
+    # lives inside a zip where a sibling .data/ path cannot exist
+    root = root or os.environ.get("EL_SPARK_DATA_DIR", os.path.join(os.getcwd(), ".data"))
     return os.path.abspath(os.path.join(root, f"synth_{scale}"))
 
 

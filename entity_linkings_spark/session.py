@@ -49,14 +49,23 @@ def get_spark(
     override an existing session's master).
     """
     cores = default_parallelism()
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cores, 8)))
     )
 
+    # Under spark-submit, spark.master arrives via the submit conf — never
+    # override it; default the sandbox master only when nothing set one.
+    from pyspark import SparkConf
+
+    submitted_master = SparkConf().get("spark.master", None)
+    if master is None and submitted_master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # --- adaptive execution: runtime re-plan for skewed blocking joins ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
