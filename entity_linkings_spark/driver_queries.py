@@ -982,3 +982,34 @@ def u1_union_dedup(spark, sf):
         .distinct()
     )
     return a.unionByName(b).distinct().groupBy("tok").agg(F.count("*").alias("n_sources"))
+
+
+# ---- embedding-cosine near-duplicate detection --------------------------------
+
+@register(
+    "dedup_embedding_neardup",
+    """
+    WITH v AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def dedup_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs (training-data dedup over an
+    array<float> column). Exact O(n^2) form here for the oracle; the scale
+    path is the same predicate over sign-LSH buckets
+    (operators/similarity.py lsh_topk machinery)."""
+    from entity_linkings_spark.operators.similarity import cosine
+
+    emb = _embeddings(spark, sf)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    c = cosine(F.col("ea"), F.col("eb"))
+    return (
+        pairs.withColumn("cos_raw", c)
+        .where(F.col("cos_raw") >= 0.4)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
+    )
