@@ -59,8 +59,13 @@ def pairs_df(salt, count):
     # run prevents shuffle/stage reuse from skipping the scoring work)
     base = spark.range(0, count + salt, 1, 256)
     i = F.col("id") * 31 + F.lit(salt)
-    sa = F.format_string("m%07d x%07d", (i*7919)%9999991, (i*104729)%9999991)
-    sb = F.format_string("m%07d x%07d", ((i+(F.col("id")%3))*7919)%9999991, (i*104729+1)%9999991)
+    # concat+cast is ~2x cheaper than format_string — keeps the measured job
+    # dominated by the scoring stage, not by input synthesis
+    def s(x, y):
+        return F.concat(F.lit("m"), (x % 9999991).cast("string"),
+                        F.lit(" x"), (y % 9999991).cast("string"))
+    sa = s(i * 7919, i * 104729)
+    sb = s((i + (F.col("id") % 3)) * 7919, i * 104729 + 1)
     return base.select(sa.alias("surface_a"), sb.alias("surface_b"))
 
 udf = make_scorer_udf(combined_only=True)
