@@ -798,18 +798,33 @@ def a5_inkb_f1(spark, sf):
         "doc_id", "start", (F.col("start") + F.length("token")).alias("e"),
         F.array("token", F.concat(F.lit("alt-"), "token")).alias("labels"),
     )
-    n_hit = (
-        preds.join(golds, ["doc_id", "start", "e"])
-        .where(F.arrays_overlap("labels", "label"))
-        .count()
+    # single lazy aggregate (no driver-side .count() actions): full-outer join
+    # on the span key tags rows pred/gold/both, one pass produces all counts
+    key = ["doc_id", "start", "e"]
+    j = preds.withColumn("is_pred", F.lit(1)).join(
+        golds.withColumn("is_gold", F.lit(1)), key, "full"
     )
-    n_pred, n_gold = preds.count(), golds.count()
-    p = round(n_hit / max(n_pred, 1), 6)
-    r = round(n_hit / max(n_gold, 1), 6)
-    f1 = round(2.0 * n_hit / max(n_pred + n_gold, 1), 6)
-    return spark.createDataFrame(
-        [(n_pred, n_gold, n_hit, p, r, f1)],
-        "n_pred long, n_gold long, n_hit long, precision double, recall double, f1 double",
+    agg = j.agg(
+        F.sum(F.coalesce("is_pred", F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce("is_gold", F.lit(0))).alias("n_gold"),
+        F.sum(
+            F.when(
+                F.col("is_pred").isNotNull()
+                & F.col("is_gold").isNotNull()
+                & F.arrays_overlap("labels", "label"),
+                1,
+            ).otherwise(0)
+        ).alias("n_hit"),
+    )
+    return agg.select(
+        "n_pred",
+        "n_gold",
+        "n_hit",
+        F.round(F.col("n_hit") / F.greatest("n_pred", F.lit(1)), 6).alias("precision"),
+        F.round(F.col("n_hit") / F.greatest("n_gold", F.lit(1)), 6).alias("recall"),
+        F.round(
+            2.0 * F.col("n_hit") / F.greatest(F.col("n_pred") + F.col("n_gold"), F.lit(1)), 6
+        ).alias("f1"),
     )
 
 

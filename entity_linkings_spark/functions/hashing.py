@@ -47,8 +47,11 @@ def minhash_signature(tokens_col: Column | str, num_hashes: int) -> Column:
     string tokens, as a pure Catalyst expression — no UDF, no shuffle.
 
     h_i(t) = (h1(t) + i * h2(t)) mod MINHASH_PRIME   (double hashing),
-    sig[i] = min over tokens. Empty token arrays yield MINHASH_PRIME (sentinel)
-    so empty docs never collide with real signatures beyond chance.
+    sig[i] = min over tokens. Empty token arrays yield NULL (not a sentinel
+    signature): a shared sentinel would make every empty doc collide with
+    every other in every LSH band — a quadratic hot block on empty-heavy
+    corpora. Callers must propagate the NULL into NULL band keys, which
+    equi-joins drop naturally.
 
     Single-pass formulation: the two base md5 hashes are materialized once per
     token in an inner transform() and the signature is folded in ONE
@@ -66,7 +69,7 @@ def minhash_signature(tokens_col: Column | str, num_hashes: int) -> Column:
         toks, lambda t: F.struct(h28(t, "mh1:").alias("h1"), h28(t, "mh2:").alias("h2"))
     )
     init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
-    return F.aggregate(
+    sig = F.aggregate(
         hashes,
         init,
         lambda acc, s: F.transform(
@@ -76,6 +79,7 @@ def minhash_signature(tokens_col: Column | str, num_hashes: int) -> Column:
             ),
         ),
     )
+    return F.when(F.size(toks) > 0, sig)
 
 
 def simhash64(tokens_col: Column | str) -> Column:

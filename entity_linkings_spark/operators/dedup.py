@@ -58,24 +58,27 @@ def minhash_band_pairs(
     # inputs arrive as one partition, which would serialize all the hashing
     par = df.sparkSession.sparkContext.defaultParallelism
     sig = df.repartition(par).select(F.col(id_col), minhash_signature(shingles, k).alias("sig"))
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(num_bands)
+        ]
+    )
+    # NULL signature (empty shingle set) -> NULL band array -> posexplode
+    # emits nothing: empty docs never enter any band bucket
     bands = sig.select(
         id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.when(F.col("sig").isNotNull(), band_arr)).alias(
+            "band_idx", "band_hash"
+        ),
     )
     a = bands.select(
         "band_idx", "band_hash", F.col(id_col).alias("id_a")

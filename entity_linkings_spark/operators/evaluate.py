@@ -129,19 +129,34 @@ def inkb_micro_f1(preds: DataFrame, golds: DataFrame) -> DataFrame:
     preds: (conv_id, turn_idx, start, end, labels array<string>)
     golds: (conv_id, turn_idx, start, end, label  array<string>) — non-NIL.
     """
-    hits = preds.join(golds, ["conv_id", "turn_idx", "start", "end"]).where(
-        F.arrays_overlap("labels", "label")
+    # one lazy plan, no driver-side actions: a full-outer join on the span key
+    # tags every row as pred-only / gold-only / both, so counts + hit count
+    # come out of a single aggregate (instead of three separate passes)
+    key = ["conv_id", "turn_idx", "start", "end"]
+    p_side = preds.select(*key, "labels").withColumn("is_pred", F.lit(1))
+    g_side = golds.select(*key, "label").withColumn("is_gold", F.lit(1))
+    j = p_side.join(g_side, key, "full")
+    agg = j.agg(
+        F.sum(F.coalesce("is_pred", F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce("is_gold", F.lit(0))).alias("n_gold"),
+        F.sum(
+            F.when(
+                F.col("is_pred").isNotNull()
+                & F.col("is_gold").isNotNull()
+                & F.arrays_overlap("labels", "label"),
+                1,
+            ).otherwise(0)
+        ).alias("n_hit"),
     )
-    n_hit = hits.count()
-    n_pred = preds.count()
-    n_gold = golds.count()
-    p = n_hit / max(n_pred, 1)
-    r = n_hit / max(n_gold, 1)
-    f1 = 2 * p * r / max(p + r, 1e-12)
-    spark = preds.sparkSession
-    return spark.createDataFrame(
-        [(n_pred, n_gold, n_hit, p, r, f1)],
-        "n_pred long, n_gold long, n_hit long, precision double, recall double, f1 double",
+    p = F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1))
+    r = F.col("n_hit") / F.greatest(F.col("n_gold"), F.lit(1))
+    return agg.select(
+        "n_pred",
+        "n_gold",
+        "n_hit",
+        p.alias("precision"),
+        r.alias("recall"),
+        (2.0 * F.col("n_hit") / F.greatest(F.col("n_pred") + F.col("n_gold"), F.lit(1))).alias("f1"),
     )
 
 

@@ -176,11 +176,13 @@ def _jaro_winkler(A, la, B, lb) -> np.ndarray:
 def _ngram_codes(A: np.ndarray, la: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """uint64 3-gram codes per row (deduped-ready), invalid slots = UINT64MAX.
     Strings shorter than 3 chars contribute their whole padded form as one
-    code (mirrors functions.strings.char_ngrams)."""
+    code (mirrors functions.strings.char_ngrams); empty strings contribute
+    ZERO grams (the all-zero padding code is not a gram — two blanks must not
+    read as a perfect n-gram match)."""
     a = A.astype(np.uint64)
     g = a[:, :-2] * (_NGRAM_SHIFT**2) + a[:, 1:-1] * _NGRAM_SHIFT + a[:, 2:]
     n, Lg = g.shape
-    valid = np.arange(Lg) < np.maximum(la - 2, 1)[:, None]
+    valid = np.arange(Lg) < np.where(la == 0, 0, np.maximum(la - 2, 1))[:, None]
     g = np.where(valid, g, np.uint64(np.iinfo(np.uint64).max))
     g.sort(axis=1)
     # compact: invalid sentinels sorted to the right, slice to widest row
@@ -192,10 +194,20 @@ def _ngram_codes(A: np.ndarray, la: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     return g, dedup_valid
 
 
-def _ngram_scores(A, la, B, lb, idf_codes, idf_weights):
+def _ngram_scores(A, la, B, lb, idf_codes, idf_weights, need_cos: bool = True):
     ga, va = _ngram_codes(A, la)
     gb, vb = _ngram_codes(B, lb)
     eq = (ga[:, :, None] == gb[:, None, :]) & va[:, :, None] & vb[:, None, :]
+    has = eq.any(axis=2)
+    inter = has.sum(axis=1).astype(np.float64)
+    ca, cb = va.sum(axis=1), vb.sum(axis=1)
+    union = ca + cb - inter
+    jac = np.where(union > 0, inter / union, 0.0)
+    if not need_cos:
+        # cosine weight is 0 and no IDF table: skip the argmax gather +
+        # weighting passes entirely (the combined blend is unchanged because
+        # x + 0.0*cos == x for any finite cos)
+        return np.zeros(len(la)), jac
 
     def w(g, v):
         if idf_codes is None or len(idf_codes) == 0:
@@ -209,7 +221,6 @@ def _ngram_scores(A, la, B, lb, idf_codes, idf_weights):
     # deduped grams: each row-gram matches at most one on the other side, so
     # gather via argmax instead of materializing a float (N, L, L) tensor
     jj = eq.argmax(axis=2)
-    has = eq.any(axis=2)
     dot = (wa * np.take_along_axis(wb, jj, axis=1) * has).sum(axis=1)
     na = np.sqrt((wa**2).sum(axis=1))
     nb = np.sqrt((wb**2).sum(axis=1))
@@ -217,10 +228,6 @@ def _ngram_scores(A, la, B, lb, idf_codes, idf_weights):
         cos = np.where((na > 0) & (nb > 0), dot / (na * nb), 0.0)
     # float round-trip can land a hair above 1 (sqrt(3)*sqrt(3) < 3)
     cos = np.clip(cos, 0.0, 1.0)
-    inter = has.sum(axis=1).astype(np.float64)
-    ca, cb = va.sum(axis=1), vb.sum(axis=1)
-    union = ca + cb - inter
-    jac = np.where(union > 0, inter / union, 0.0)
     return cos, jac
 
 
@@ -229,8 +236,14 @@ def score_batch(
     sb: pd.Series,
     idf_codes: np.ndarray | None = None,
     idf_weights: np.ndarray | None = None,
+    need_cos: bool = True,
 ) -> pd.DataFrame:
-    """Score one Arrow batch of surface pairs; returns the SCORE_SCHEMA frame."""
+    """Score one Arrow batch of surface pairs; returns the SCORE_SCHEMA frame.
+
+    ``need_cos=False`` (valid only when W_COS == 0 and no IDF) skips the
+    cosine gather — ngram_cosine comes back 0.0 and ``combined`` is unchanged.
+    Used by the combined-only hot path; the full-schema UDF always computes it.
+    """
     out = {k.name: np.empty(len(sa)) for k in SCORE_SCHEMA.fields}
     for lo in range(0, len(sa), _CHUNK):
         hi = min(lo + _CHUNK, len(sa))
@@ -246,7 +259,7 @@ def score_batch(
         ml = np.maximum(np.maximum(la, lb), 1)
         lev = 1.0 - _levenshtein(A, la, B, lb) / ml
         osa = 1.0 - _osa(A, la, B, lb) / ml
-        cos, jac = _ngram_scores(A, la, B, lb, idf_codes, idf_weights)
+        cos, jac = _ngram_scores(A, la, B, lb, idf_codes, idf_weights, need_cos)
         out["jaro_winkler"][lo:hi] = jw
         out["lev_ratio"][lo:hi] = lev
         out["osa_ratio"][lo:hi] = osa
@@ -275,10 +288,13 @@ def make_scorer_udf(idf: dict[str, float] | None = None, combined_only: bool = F
         idf_weights = np.array([w for _, w in items], np.float64)
 
     if combined_only:
+        # cosine contributes to `combined` only via W_COS (or IDF weighting):
+        # with neither, the gather is dead compute for a combined-only caller
+        need_cos = (idf_codes is not None) or (W_COS != 0.0)
 
         @F.pandas_udf("double")
         def pair_score_combined(sa: pd.Series, sb: pd.Series) -> pd.Series:
-            return score_batch(sa, sb, idf_codes, idf_weights)["combined"]
+            return score_batch(sa, sb, idf_codes, idf_weights, need_cos)["combined"]
 
         return pair_score_combined
 
@@ -294,3 +310,11 @@ def score_pairs(pairs: DataFrame, idf: dict[str, float] | None = None) -> DataFr
     udf = make_scorer_udf(idf)
     scored = pairs.withColumn("score", udf(F.col("surface_a"), F.col("surface_b")))
     return scored.select("*", "score.*").drop("score")
+
+
+def score_pairs_combined(pairs: DataFrame, idf: dict[str, float] | None = None) -> DataFrame:
+    """Attach only the blended ``combined`` column — 1/5 the Arrow result
+    bandwidth and (with W_COS == 0, no IDF) no cosine gather. The hot path for
+    consumers that threshold/argmax on the blend (pipeline ``resolve()``)."""
+    udf = make_scorer_udf(idf, combined_only=True)
+    return pairs.withColumn("combined", udf(F.col("surface_a"), F.col("surface_b")))

@@ -71,17 +71,15 @@ class SnapshotStore:
     def _snap_dir(self, stage: str, snapshot_id: str) -> str:
         return os.path.join(self._stage_dir(stage), f"snap-{snapshot_id}")
 
-    def _manifest(self, stage: str) -> str:
-        return os.path.join(self._stage_dir(stage), "_latest.json")
+    def _manifest(self, stage: str, snapshot_id: str) -> str:
+        # one manifest PER snapshot: any previously committed snapshot stays
+        # resumable (alternating inputs/configs, or concurrent runs against
+        # one store, don't evict each other's commits)
+        return os.path.join(self._stage_dir(stage), f"manifest-{snapshot_id}.json")
 
     # -- protocol --------------------------------------------------------------
     def committed(self, stage: str, snapshot_id: str) -> bool:
-        mf = self._manifest(stage)
-        if not os.path.exists(mf):
-            return False
-        with open(mf) as f:
-            m = json.load(f)
-        return m.get("snapshot_id") == snapshot_id and os.path.exists(
+        return os.path.exists(self._manifest(stage, snapshot_id)) and os.path.exists(
             self._snap_dir(stage, snapshot_id)
         )
 
@@ -95,10 +93,28 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
-        mf_tmp = self._manifest(stage) + ".tmp"
+        mf = self._manifest(stage, snapshot_id)
+        mf_tmp = mf + ".tmp"
         with open(mf_tmp, "w") as f:
             json.dump({"snapshot_id": snapshot_id, "stage": stage}, f)
-        os.replace(mf_tmp, self._manifest(stage))  # atomic commit point
+        os.replace(mf_tmp, mf)  # atomic commit point
+
+    def gc(self) -> list[str]:
+        """Prune snap dirs with no committed manifest (crashed writes, or
+        manifests removed by an operator). Returns the pruned paths."""
+        pruned = []
+        for stage in os.listdir(self.root):
+            sdir = self._stage_dir(stage)
+            if not os.path.isdir(sdir):
+                continue
+            for d in os.listdir(sdir):
+                if not (d.startswith("snap-") and os.path.isdir(os.path.join(sdir, d))):
+                    continue
+                sid = d.removeprefix("snap-").removesuffix(".tmp")
+                if d.endswith(".tmp") or not os.path.exists(self._manifest(stage, sid)):
+                    shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
+                    pruned.append(os.path.join(sdir, d))
+        return pruned
 
 
 class StageRunner:

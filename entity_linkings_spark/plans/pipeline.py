@@ -211,7 +211,7 @@ class LinkagePipeline:
             .groupBy("skey_a", "skey_b")
             .agg(F.first("surface_a").alias("surface_a"), F.first("surface_b").alias("surface_b"))
         )
-        scored = S.score_pairs(cand).join(
+        scored = S.score_pairs_combined(cand).join(
             dict_surfaces.select(F.col("skey").alias("skey_b"), "entity_id"), "skey_b"
         )
         w = Window.partitionBy("skey_a").orderBy(F.desc("combined"), F.asc("entity_id"))

@@ -7,8 +7,11 @@ Design:
   * Mention extraction + resolution run per micro-batch via ``foreachBatch``:
     the extractor's gaps-and-islands windows are batch-only constructs, and
     a micro-batch is exactly a bounded batch — the standard pattern for
-    reusing batch operators in streams. Each micro-batch appends its resolved
-    mentions to the sink directory (idempotent per epoch id).
+    reusing batch operators in streams. Each micro-batch *dynamically
+    overwrites its own epoch_id partition* of the sink — the standard
+    foreachBatch idempotence pattern: a replayed epoch (failure after write,
+    before checkpoint commit) rewrites the same partition instead of
+    appending duplicates.
   * Pure-streaming path: ``windowed_mention_counts`` — watermarked event-time
     windows over the mention stream (counts per entity per hour), late data
     bounded by the watermark. This is the aggregation that survives at
@@ -57,7 +60,14 @@ def incremental_linkage(
             )
             .withColumn("epoch_id", F.lit(epoch_id))
         )
-        out.write.mode("append").parquet(sink_path)
+        # idempotent per epoch: dynamic partition overwrite replaces exactly
+        # the partitions present in this batch (= this epoch_id) on replay
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id")
+            .parquet(sink_path)
+        )
         mentions.unpersist()
 
     return (

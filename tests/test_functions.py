@@ -73,7 +73,8 @@ def test_minhash_deterministic_and_bounded(spark):
     df = spark.createDataFrame([(["ab", "bc", "cd"],), ([],)], "toks array<string>")
     sigs = [r["m"] for r in df.select(minhash_signature("toks", 8).alias("m")).collect()]
     assert len(sigs[0]) == 8 and all(0 <= v < MINHASH_PRIME for v in sigs[0])
-    assert sigs[1] == [MINHASH_PRIME] * 8  # empty-set sentinel
+    assert sigs[1] is None  # empty set -> NULL, never a shared sentinel
+    # (a sentinel signature would put every empty doc in the same LSH bucket)
     # identical token sets -> identical signatures (across rows and runs)
     sigs2 = [r["m"] for r in df.select(minhash_signature("toks", 8).alias("m")).collect()]
     assert sigs == sigs2

@@ -75,3 +75,31 @@ def test_partial_snapshot_not_visible(spark, tmp_path):
     os.makedirs(os.path.dirname(snap), exist_ok=True)
     df.write.parquet(snap)
     assert not store.committed("st", "deadbeef")
+
+
+def test_alternating_fingerprints_both_resumable(spark, tmp_path):
+    """Per-snapshot manifests: committing fp2 must not evict fp1's commit
+    (alternating inputs/configs resume instead of recomputing), and gc()
+    prunes only snapshots without a manifest."""
+    store = SnapshotStore(spark, str(tmp_path / "s"))
+    runner = StageRunner(store)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10)
+
+    runner.run("st", "fp1", build)
+    runner.run("st", "fp2", build)
+    assert calls["n"] == 2
+    # both fingerprints resume now
+    assert runner.run("st", "fp1", build).resumed
+    assert runner.run("st", "fp2", build).resumed
+    assert calls["n"] == 2
+    # an orphan snap dir (no manifest) is pruned; committed ones survive
+    import os
+    orphan = store._snap_dir("st", "0rphan")
+    os.makedirs(orphan)
+    pruned = store.gc()
+    assert pruned == [orphan]
+    assert runner.run("st", "fp1", build).resumed and calls["n"] == 2

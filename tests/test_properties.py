@@ -6,7 +6,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from entity_linkings_spark.functions.hashing import MINHASH_PRIME
@@ -19,6 +19,8 @@ TEXT = st.text(
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=20))
+@example(pairs=[("", "")])  # discovered failure (blank-vs-blank n-grams)
+@example(pairs=[("00010", "00010")])  # discovered failure (repeated chars)
 def test_scores_bounded_and_symmetric(pairs):
     a = pd.Series([p[0] for p in pairs])
     b = pd.Series([p[1] for p in pairs])
