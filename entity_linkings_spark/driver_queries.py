@@ -481,7 +481,7 @@ _SIMHASH_SQL = f"""
     shash AS (SELECT doc_id,
                      CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
               FROM bits GROUP BY doc_id)
-    SELECT doc_id, simhash, (simhash >> 44) AS bucket FROM shash
+    SELECT doc_id, simhash FROM shash
 """
 
 
@@ -490,17 +490,32 @@ def dedup_simhash(spark, sf):
     return D.simhash_docs(_docs(spark, sf), "doc_id")
 
 
+def _simhash_bands_values_sql(max_hamming: int = 8) -> str:
+    return ", ".join(
+        f"({i}, {lo}, {width})" for i, lo, width in D.simhash_bands(max_hamming)
+    )
+
+
 @register(
     "dedup_simhash_pairs",
     f"""
-    WITH base AS ({_SIMHASH_SQL})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM base a JOIN base b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    WITH base AS ({_SIMHASH_SQL}),
+    bands(band_idx, lo, width) AS (SELECT * FROM (VALUES {_simhash_bands_values_sql(8)})),
+    keyed AS (SELECT doc_id, simhash, band_idx,
+                     (simhash >> lo) & ((1::BIGINT << width) - 1) AS band_val
+              FROM base, bands)
+    SELECT id_a, id_b, CAST(min(hamming) AS INT) AS hamming FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM keyed a JOIN keyed b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id)
+    WHERE hamming <= 8 GROUP BY 1, 2
     """,
 )
 def dedup_simhash_pairs(spark, sf):
+    """Multi-band (k+1 bands, any-band-equal) SimHash near pairs — complete
+    for Hamming <= 8, exact-verified (operators/dedup.py simhash_near_pairs)."""
     sh = D.simhash_docs(_docs(spark, sf), "doc_id")
     return D.simhash_near_pairs(sh, "doc_id", 8).withColumn(
         "hamming", F.col("hamming").cast("int")

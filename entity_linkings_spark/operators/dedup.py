@@ -8,9 +8,13 @@ Scale design:
   * MinHash-LSH: signatures are pure Catalyst expressions (no UDF); band keys
     shuffle once; candidate pairs are verified with exact shingle Jaccard
     before any destructive action (classic two-phase near-dup).
-  * SimHash: 60-bit fingerprints from word-shingle hashes; candidate pairs
-    only within a 16-bit prefix bucket, then exact Hamming <= k — the bucket
-    join is the LSH trick that keeps the pair space sub-quadratic.
+  * SimHash: 60-bit fingerprints from word-shingle hashes; near-pair
+    candidates come from MULTI-BAND bucketing — the 60 bits are split into
+    max_hamming+1 contiguous bands and two docs are candidates iff ANY band
+    matches exactly. Pigeonhole: <= k differing bits cannot touch all k+1
+    bands, so the scheme is provably COMPLETE for Hamming <= k (no missed
+    pairs), unlike single-prefix bucketing which loses any pair differing in
+    the prefix. Candidates are verified with exact bit_count(xor).
   * All hashes are the md5-derived portable scheme (functions/hashing.py), so
     the driver's DuckDB oracle replays them bit-for-bit.
 """
@@ -123,28 +127,66 @@ def shingle_jaccard(
 def simhash_docs(
     df: DataFrame, id_col: str = "doc_id", features: Column | None = None
 ) -> DataFrame:
-    """(id, simhash, bucket): 60-bit simhash over distinct word-shingle
-    features; bucket = top 16 bits (prefix LSH for the pair join)."""
+    """(id, simhash): 60-bit simhash over distinct word-shingle features."""
     feats = features if features is not None else F.array_distinct(word_shingles("text", 3))
     par = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(par).select(
         F.col(id_col),
         simhash64(feats).alias("simhash"),
-    ).withColumn("bucket", F.shiftright("simhash", 44))
+    )
+
+
+def simhash_bands(max_hamming: int, total_bits: int = 60) -> list[tuple[int, int, int]]:
+    """(band_idx, lo_bit, width) splitting ``total_bits`` into
+    ``max_hamming + 1`` contiguous bands as evenly as possible (widths differ
+    by at most one). Any value pair with Hamming distance <= max_hamming has
+    at least one identical band (pigeonhole over k+1 bands)."""
+    nb = max_hamming + 1
+    base, extra = divmod(total_bits, nb)
+    bands, lo = [], 0
+    for i in range(nb):
+        width = base + (1 if i < extra else 0)
+        bands.append((i, lo, width))
+        lo += width
+    return bands
 
 
 def simhash_near_pairs(sh: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
-    """Pairs within a bucket with Hamming distance <= max_hamming."""
-    a = sh.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")
+    """All pairs with Hamming distance <= max_hamming — COMPLETE (multi-band
+    any-band-equal candidates, pigeonhole-exhaustive) then exact-verified.
+
+    Join shape: explode each doc to k+1 (band_idx, band_val) keys, equi-join
+    per key, verify bit_count(xor) <= k, dedup pairs found via several bands.
+    Scale: with k+1 bands over 60 bits each band carries 60/(k+1) bits, so a
+    band bucket holds ~n/2^(60/(k+1)) docs — for large k on a huge corpus
+    choose a smaller k (tighter dup definition) or run banding on a
+    corpus partition key first; completeness is per-k exact either way, the
+    knob trades pair-join fan-in, never recall.
+    """
+    bands = simhash_bands(max_hamming)
+    band_arr = F.array(
+        *[
+            F.shiftright("simhash", lo).bitwiseAND(F.lit((1 << width) - 1)).cast("long")
+            for _, lo, width in bands
+        ]
     )
-    b = sh.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b")
+    keyed = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(band_arr).alias("band_idx", "band_val"),
+    )
+    a = keyed.select(
+        "band_idx", "band_val", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")
+    )
+    b = keyed.select(
+        "band_idx", "band_val", F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b")
     )
     return (
-        a.join(b, "bucket")
+        a.join(b, ["band_idx", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .where(F.col("hamming") <= max_hamming)
+        .groupBy("id_a", "id_b")  # a pair can collide in several bands
+        .agg(F.first("hamming").alias("hamming"))
         .select("id_a", "id_b", "hamming")
     )
