@@ -588,11 +588,91 @@ def ann_cosine_topk(spark, sf):
     )
 
 
-@register("ann_lsh_topk")  # rows-only: approximate op, oracle is the exact variant
+def _planes_values_sql(num_planes: int, dim: int = 64) -> str:
+    """DuckDB VALUES rows (p, comps DOUBLE[]) with the exact literal plane
+    components the Spark side folds into codegen (similarity.plane_component:
+    md5-derived, engine-portable)."""
+    rows = []
+    for p in range(num_planes):
+        comps = ", ".join(repr(SIM.plane_component(p, j)) for j in range(dim))
+        rows.append(f"({p}, [{comps}]::DOUBLE[])")
+    return ", ".join(rows)
+
+
+def _lsh_topk_sql(
+    num_planes: int, num_tables: int, probe_bits: int, k: int = 10
+) -> str:
+    """Full SQL replica of the multi-table multi-probe sign-LSH top-k (same
+    plane stream, same table offsets, same probe masks, same re-rank) — the
+    approximate operator itself is oracle-checked, not just its exact
+    baseline."""
+    masks_sql = ", ".join(f"({m})" for m in SIM.probe_masks(num_planes, probe_bits))
+    off = 1 << num_planes
+    return f"""
+    WITH pl(p, comps) AS (SELECT * FROM (VALUES {_planes_values_sql(num_planes * num_tables)})),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bt AS (
+        SELECT v.vec_id, (pl.p // {num_planes}) AS t,
+               CAST(sum(CASE WHEN list_dot_product(v.e, pl.comps) > 0
+                             THEN (1::BIGINT << (pl.p % {num_planes})) ELSE 0 END)
+                    + (pl.p // {num_planes}) * {off} AS BIGINT) AS bucket
+        FROM v, pl GROUP BY v.vec_id, (pl.p // {num_planes})),
+    masks(m) AS (SELECT * FROM (VALUES {masks_sql})),
+    cb AS (SELECT b.vec_id AS neighbor_id, v.e AS cv, b.bucket
+           FROM bt b JOIN v ON v.vec_id = b.vec_id),
+    probes AS (SELECT b.vec_id AS query_id, v.e AS qv,
+                      xor(b.bucket, m.m::BIGINT) AS bucket
+               FROM bt b JOIN v ON v.vec_id = b.vec_id, masks m
+               WHERE b.vec_id % 25 = 0),
+    cand AS (SELECT p.query_id, c.neighbor_id,
+                    min(round(list_cosine_similarity(p.qv, c.cv), 6)) AS cos
+             FROM cb c JOIN probes p ON p.bucket = c.bucket
+             WHERE c.neighbor_id <> p.query_id
+             GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM cand)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM r WHERE rank <= {k}
+"""
+
+
+# registered config: 2 tables x 4 planes, 2-bit probes — measured recall 0.97
+# at sf0.01 against the exact top-k (this corpus's neighbors sit at cos
+# 0.4-0.55, i.e. LSH-hostile; higher-similarity corpora need fewer probes)
+_LSH_CFG = dict(num_planes=4, num_tables=2, probe_bits=2)
+_LSH_TOPK_SQL = _lsh_topk_sql(**_LSH_CFG)
+
+
+@register("ann_lsh_topk", _LSH_TOPK_SQL)
 def ann_lsh_topk(spark, sf):
     emb = _embeddings(spark, sf)
     q = emb.where(F.col("vec_id") % 25 == 0)
-    return SIM.lsh_topk(emb, q, k=10, num_planes=8)
+    return SIM.lsh_topk(emb, q, k=10, **_LSH_CFG).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@register(
+    "ann_lsh_recall",
+    f"""
+    WITH exact AS ({_ANN_SQL}), approx AS ({_LSH_TOPK_SQL}),
+    j AS (SELECT e.query_id, CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+          FROM exact e LEFT JOIN approx a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+    p AS (SELECT query_id, sum(hit)::DOUBLE / count(*) AS q_recall FROM j GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, round(avg(q_recall), 6) AS recall FROM p
+    """,
+)
+def ann_lsh_recall(spark, sf):
+    """Measured recall of the multi-probe LSH top-k against the exact
+    brute-force top-k (VERDICT round-1 item 4: the approximate operator's
+    recall is a checked value, not an assumption)."""
+    emb = _embeddings(spark, sf)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    approx = SIM.lsh_topk(emb, q, k=10, **_LSH_CFG)
+    exact = SIM.brute_force_topk(emb, q, k=10)
+    return SIM.topk_recall(approx, exact)
 
 
 # ---- A3: recall@k / MRR over the ANN ranking --------------------------------
@@ -1028,18 +1108,9 @@ def u1_union_dedup(spark, sf):
 )
 def dedup_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup pairs (training-data dedup over an
-    array<float> column). Exact O(n^2) form here for the oracle; the scale
-    path is the same predicate over sign-LSH buckets
-    (operators/similarity.py lsh_topk machinery)."""
-    from entity_linkings_spark.operators.similarity import cosine
-
-    emb = _embeddings(spark, sf)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    c = cosine(F.col("ea"), F.col("eb"))
-    return (
-        pairs.withColumn("cos_raw", c)
-        .where(F.col("cos_raw") >= 0.4)
-        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos"))
-    )
+    array<float> column). The registered operator is the grid-bucketed EXACT
+    form (operators/similarity.py neardup_pairs_grid): complete candidates
+    from a quantized-projection equi-join — no cross join in the plan — with
+    exact cosine verification. The oracle stays the O(n^2) SQL (correct
+    baseline form); results are identical by construction."""
+    return SIM.neardup_pairs_grid(_embeddings(spark, sf), tau=0.4)

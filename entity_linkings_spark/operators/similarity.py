@@ -5,9 +5,23 @@
     aggregate(zip_with(...)) in double precision with strictly sequential
     index-order accumulation (reproducible, and oracle-parity with DuckDB).
   * lsh_topk — the scale path: random-hyperplane (sign-LSH) bucketing with
-    deterministic md5-derived hyperplanes; candidates only within matching
-    buckets (with multi-probe via bit flips), re-ranked exactly. At 100 TB the
-    brute-force cross product is infeasible; sign-LSH keeps the join keyed.
+    deterministic md5-derived hyperplanes, MULTI-PROBE on the query side
+    (home bucket + every 1-bit flip), exact cosine re-rank inside buckets.
+    No forced broadcast: the planner/AQE picks the join strategy, so a large
+    query side cannot OOM the executors.
+  * neardup_pairs_grid — exact near-duplicate pairs (cos >= tau) WITHOUT a
+    cross join: candidates come from a quantized-projection grid with
+    +/-1-cell probing, which is provably complete — cos(a,b) >= tau implies
+    ||a_hat - b_hat|| <= sqrt(2 - 2*tau) =: r, and each grid coordinate is a
+    1-Lipschitz function of a_hat, so with cell width w >= r the two cells
+    differ by at most 1 per grid dim. Pruning power grows as tau -> 1 (real
+    near-dup regime); at low tau the grid degenerates gracefully into a
+    coarse salted equi-join (exact all-pairs at low tau is inherently
+    O(n^2) compute — see pairwise_cosine_gemm for the high-throughput form).
+  * pairwise_cosine_gemm — exact all-pairs cosine as blocked GEMM
+    (mapInPandas + numpy matmul over block pairs): the per-pair cost drops
+    from a Catalyst per-element aggregate to BLAS, the right tool when an
+    exact low-threshold sweep over a huge corpus is genuinely required.
 
 Replaces the reference's FAISS dense index
 (/root/reference/entity_linkings/candidate_retriever/dualencoder/indexer.py:94-132);
@@ -16,10 +30,11 @@ flat search maps to brute_force_topk, HNSW to lsh_topk.
 
 from __future__ import annotations
 
+import hashlib
+from collections.abc import Iterator
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-from entity_linkings_spark.functions.hashing import h28
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -70,25 +85,46 @@ def brute_force_topk(
     )
 
 
+def plane_component(p: int, j: int) -> float:
+    """Deterministic hyperplane component: md5(f"pl:{p}:{j}") first 7 hex
+    digits mod 1000, mapped to [-0.5, 0.5). Identical to the engine's h28
+    scheme (functions/hashing.py), reproducible in any engine/SQL dialect."""
+    h = int(hashlib.md5(f"pl:{p}:{j}".encode()).hexdigest()[:7], 16)
+    return (h % 1000) / 1000.0 - 0.5
+
+
 def signlsh_bucket(vec_col: Column, num_planes: int = 12, dim: int = 64) -> Column:
-    """Deterministic sign-LSH bucket id: plane p's component j is derived from
-    md5(f"pl:{p}:{j}") mapped to [-0.5, 0.5); bucket bit p = sign(dot(v, plane)).
-    Pure Catalyst; identical across engines and runs."""
+    """Sign-LSH bucket id: bucket bit p = sign(dot(v, plane_p)). The planes
+    are md5-derived CONSTANT arrays (plane_component), so Catalyst folds them
+    into codegen literals — no per-row hashing — and the DuckDB oracle embeds
+    the same literals."""
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
+        plane = F.array(*[F.lit(plane_component(p, j)) for j in range(dim)])
         comp = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(j) for j in range(dim)]),
-                lambda x, j: x.cast("double")
-                * ((h28(F.concat(F.lit(f"pl:{p}:"), j.cast("string"))) % 1000)
-                   .cast("double") / 1000.0 - 0.5),
-            ),
+            F.zip_with(vec_col, plane, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(comp > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
     return bucket
+
+
+def probe_masks(num_planes: int, probe_bits: int) -> list[int]:
+    """XOR masks for multi-probe: the home bucket (mask 0) plus every bucket
+    within Hamming distance ``probe_bits`` (1-bit flips, then 2-bit flips...)."""
+    masks = [0]
+    if probe_bits >= 1:
+        masks += [1 << p for p in range(num_planes)]
+    if probe_bits >= 2:
+        masks += [
+            (1 << p) | (1 << q)
+            for p in range(num_planes)
+            for q in range(p + 1, num_planes)
+        ]
+    if probe_bits >= 3:
+        raise ValueError("probe_bits > 2 not implemented")
+    return masks
 
 
 def lsh_topk(
@@ -99,28 +135,211 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
+    probe_bits: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the sign-LSH bucket (single-probe);
-    exact cosine re-rank inside buckets. Recall is tunable via num_planes
-    (fewer planes = bigger buckets = higher recall, more compute)."""
+    """Approximate top-k: a corpus vector is a candidate iff, in ANY of the
+    ``num_tables`` independent sign-LSH tables, its home bucket is within
+    ``probe_bits`` bit flips of the query's home bucket (multi-probe).
+    Candidates are deduped across tables/probes and exact-cosine re-ranked.
+
+    Recall knobs (measured by ann_lsh_recall / topk_recall): fewer planes or
+    more probes/tables = higher recall = more candidates. Table t uses planes
+    index t*num_planes..(t+1)*num_planes-1 of the shared md5-derived plane
+    stream, so any (tables, planes) config is reproducible in SQL."""
+    def buckets_for(t: int) -> Column:
+        b = F.lit(0).cast("long")
+        for p in range(num_planes):
+            plane = F.array(
+                *[F.lit(plane_component(t * num_planes + p, j)) for j in range(dim)]
+            )
+            comp = F.aggregate(
+                F.zip_with(F.col(vec_col), plane, lambda x, c: x.cast("double") * c),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            b = b + F.when(comp > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0))
+        # key space partitioned per table: high bits carry the table id
+        return b + F.lit(t * (1 << num_planes)).cast("long")
+
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        signlsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+        F.explode(F.array(*[buckets_for(t) for t in range(num_tables)])).alias("bucket"),
+    )
+    masks = probe_masks(num_planes, probe_bits)
+    qprobes = F.flatten(
+        F.array(
+            *[
+                F.array(*[buckets_for(t).bitwiseXOR(F.lit(m)) for m in masks])
+                for t in range(num_tables)
+            ]
+        )
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        signlsh_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+        F.explode(qprobes).alias("bucket"),
     )
-    scored = (
-        cb.join(F.broadcast(qb), "bucket")
+    # no forced broadcast: a large query side must be allowed to shuffle
+    cand = (
+        cb.join(qb, "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        # a pair can collide in several tables/probes: dedup before ranking
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos").alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """One-row (n_queries, recall): mean fraction of the exact top-k found by
+    the approximate top-k, per query over the exact result's query set."""
+    hit = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    j = exact.select("query_id", "neighbor_id").join(
+        hit, ["query_id", "neighbor_id"], "left"
+    )
+    per_q = j.groupBy("query_id").agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")).alias("q_recall")
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("q_recall"), 6).alias("recall"),
+    )
+
+
+def neardup_pairs_grid(
+    emb: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid_dims: int = 2,
+) -> DataFrame:
+    """(id_a, id_b, cos) for every pair with cosine >= tau — EXACT (complete
+    candidates, exact verify), with an equi-join plan instead of a cross join.
+
+    Cell width w = sqrt(2 - 2*tau) * (1 + 1e-9): for any qualifying pair the
+    normalized components differ by at most w per dim, so probing the 3^m
+    neighboring cells of one side covers every qualifying pair (see module
+    docstring for the Lipschitz argument). Verification recomputes the exact
+    sequential-order cosine, so false candidates never escape."""
+    w = (2.0 - 2.0 * tau) ** 0.5 * (1.0 + 1e-9)
+    nrm = F.greatest(_norm(F.col(vec_col)), F.lit(1e-300))
+    cells = [
+        F.floor(F.element_at(F.col(vec_col), d + 1).cast("double") / nrm / F.lit(w)).cast("int")
+        for d in range(grid_dims)
+    ]
+    base = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), *[
+            c.alias(f"c{d}") for d, c in enumerate(cells)
+        ]
+    )
+    home = base.select(
+        F.col("vid").alias("id_r"),
+        F.col("vec").alias("vec_r"),
+        F.concat_ws(":", *[F.col(f"c{d}").cast("string") for d in range(grid_dims)]).alias("cell"),
+    )
+    offsets = [()]
+    for _ in range(grid_dims):
+        offsets = [o + (d,) for o in offsets for d in (-1, 0, 1)]
+    probe_cells = F.array(
+        *[
+            F.concat_ws(
+                ":", *[(F.col(f"c{d}") + F.lit(off[d])).cast("string") for d in range(grid_dims)]
+            )
+            for off in offsets
+        ]
+    )
+    probes = base.select(
+        F.col("vid").alias("id_l"),
+        F.col("vec").alias("vec_l"),
+        F.explode(probe_cells).alias("cell"),
+    )
+    cand = (
+        probes.join(home, "cell")
+        .where(F.col("id_l") < F.col("id_r"))
+        .withColumn("cos_raw", cosine(F.col("vec_l"), F.col("vec_r")))
+        .where(F.col("cos_raw") >= tau)
+    )
+    # a pair can be seen through several probe offsets of the SAME left id
+    # only if the home cell coincides with more than one probe value — it
+    # cannot (probe values are distinct cells) — but both orders (l probes r's
+    # home and r probes l's home) would double it, hence the id_l < id_r
+    # filter above keeps exactly one direction; dedup is still applied for
+    # belt and braces with identical cos on both paths.
+    return cand.select(
+        F.col("id_l").alias("id_a"),
+        F.col("id_r").alias("id_b"),
+        F.round("cos_raw", 6).alias("cos"),
+    ).distinct()
+
+
+def pairwise_cosine_gemm(
+    emb: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine >= tau as BLOCKED GEMM: assign each vector a
+    block id, build the (block_i, block_j) i<=j pair grid, and compute each
+    block pair's full cosine matrix with one numpy float64 matmul inside
+    mapInPandas. Exact (no candidate pruning), and the per-pair cost is BLAS
+    instead of a per-element Catalyst aggregate — the high-throughput form of
+    the inherently O(n^2) exact low-threshold sweep.
+
+    Note: GEMM accumulation order differs from the sequential-order
+    ``cosine()``, so results can differ in the last ulp; values are rounded
+    to 6 decimals (same contract as every other cosine emitted here)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = emb.count()
+    num_blocks = max(1, math.ceil(n / block))
+    blk = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).cast("int").alias("b"),
+    )
+    blocks = blk.groupBy("b").agg(
+        F.collect_list("vid").alias("ids"), F.collect_list("vec").alias("vecs")
+    )
+    left = blocks.select(F.col("b").alias("bi"), F.col("ids").alias("ids_i"), F.col("vecs").alias("vecs_i"))
+    right = blocks.select(F.col("b").alias("bj"), F.col("ids").alias("ids_j"), F.col("vecs").alias("vecs_j"))
+    grid = left.join(right, F.col("bi") <= F.col("bj"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ai = np.asarray([np.asarray(v) for v in row["vecs_i"]], dtype=np.float64)
+                aj = np.asarray([np.asarray(v) for v in row["vecs_j"]], dtype=np.float64)
+                ids_i = np.asarray(row["ids_i"])
+                ids_j = np.asarray(row["ids_j"])
+                ai /= np.maximum(np.linalg.norm(ai, axis=1, keepdims=True), 1e-300)
+                aj /= np.maximum(np.linalg.norm(aj, axis=1, keepdims=True), 1e-300)
+                cos = ai @ aj.T
+                ii, jj = np.nonzero(cos >= tau)
+                if row["bi"] == row["bj"]:
+                    # same block appears once in the grid: keep each unordered
+                    # index pair once (upper triangle), drop self-pairs
+                    keep = ii < jj
+                    ii, jj = ii[keep], jj[keep]
+                # ids are hash-bucketed, so canonicalize by value, not block
+                lo = np.minimum(ids_i[ii], ids_j[jj])
+                hi = np.maximum(ids_i[ii], ids_j[jj])
+                keep = lo < hi
+                yield pd.DataFrame(
+                    {"id_a": lo[keep], "id_b": hi[keep], "cos": np.round(cos[ii, jj][keep], 6)}
+                )
+
+    return grid.select("bi", "bj", "ids_i", "ids_j", "vecs_i", "vecs_j").mapInPandas(
+        compute, "id_a long, id_b long, cos double"
     )
