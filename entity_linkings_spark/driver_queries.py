@@ -923,6 +923,141 @@ def a5_inkb_f1(spark, sf):
     )
 
 
+# ---- scorer: the engine's one pandas UDF, driver-gated against DuckDB -------
+
+# OSA (optimal string alignment / restricted Damerau) as a recursive-CTE DP:
+# DuckDB's damerau_levenshtein is the FULL DL (adjacent transposition with
+# intervening edits, e.g. 'ca'->'abc' = 2), while the scorer implements OSA
+# ('ca'->'abc' = 3), so the oracle replays the exact DP. Row i of the DP is a
+# list; the insertion dependency inside a row is resolved with the same
+# prefix-scan identity the numpy scorer uses: dp[j] = j + min over k<=j of
+# (pre[k] - k). Fuzz-verified against a reference OSA on 3000 random pairs.
+def _osa_dp_sql(src: str) -> str:
+    """Recursive CTE block computing (pair_id, osa_dist) from a CTE/subquery
+    ``src`` with columns (pair_id, a, b). Must be placed in a WITH RECURSIVE."""
+    return f"""
+    osa_base AS (SELECT pair_id, string_split(a, '') AS ac, string_split(b, '') AS bc,
+                        length(a) AS la, length(b) AS lb FROM {src}),
+    osa_dp AS (
+        SELECT pair_id, ac, bc, la, lb, 0 AS i,
+               list_transform(generate_series(0, lb), x -> CAST(x AS BIGINT)) AS cur,
+               CAST(NULL AS BIGINT[]) AS prev
+        FROM osa_base
+        UNION ALL
+        SELECT pair_id, ac, bc, la, lb, i + 1,
+               list_prepend(CAST(i + 1 AS BIGINT),
+                 list_transform(generate_series(1, lb), j ->
+                   j + least(CAST(i + 1 AS BIGINT), list_min(pmsrc[1:j])))) AS cur,
+               cur AS prev
+        FROM (
+          SELECT *, list_transform(pre_l, (x, k) -> x - k) AS pmsrc
+          FROM (
+            SELECT *, list_transform(generate_series(1, lb), j ->
+                 least(cur[j+1] + 1,
+                       cur[j] + CASE WHEN ac[i+1] = bc[j] THEN 0 ELSE 1 END,
+                       CASE WHEN i >= 1 AND j >= 2 AND ac[i+1] = bc[j-1] AND ac[i] = bc[j]
+                            THEN prev[j-1] + 1 ELSE 999999 END)) AS pre_l
+            FROM osa_dp WHERE i < la))
+    ),
+    osa_out AS (SELECT pair_id, cur[lb+1] AS osa_dist FROM osa_dp WHERE i = la)
+"""
+
+
+# deterministic typo pairs over part names: transposition / deletion /
+# duplication / identity by partkey class — the same classes the synthetic
+# linkage corpus uses, exercising every scorer feature including the OSA-vs-
+# Levenshtein gap (transpositions) (reference reranker provenance:
+# crossencoder/crossencoder.py:142-162 pairwise scoring contract)
+_SCORE_SRC_SQL = """
+    SELECT p_partkey AS pair_id, a,
+           CASE p_partkey % 4
+               WHEN 0 THEN substr(a, 1, pos-1) || substr(a, pos+1, 1)
+                           || substr(a, pos, 1) || substr(a, pos+2)
+               WHEN 1 THEN substr(a, 1, pos-1) || substr(a, pos+1)
+               WHEN 2 THEN substr(a, 1, pos) || substr(a, pos, 1) || substr(a, pos+1)
+               ELSE a END AS b
+    FROM (SELECT p_partkey, lower(trim(p_name)) AS a,
+                 1 + p_partkey % greatest(length(lower(trim(p_name))) - 1, 1) AS pos
+          FROM part)
+"""
+
+_GRAMS = (
+    "CASE WHEN length({s}) = 0 THEN [] "
+    "WHEN length({s}) < 3 THEN [{s}] "
+    "ELSE list_distinct(list_transform(generate_series(1, length({s}) - 2), "
+    "i -> substr({s}, i, 3))) END"
+)
+
+_SCORE_PAIRS_SQL = f"""
+    WITH RECURSIVE
+    sp AS ({_SCORE_SRC_SQL}),
+    {_osa_dp_sql("sp")},
+    ng AS (SELECT pair_id,
+                  len(list_intersect({_GRAMS.format(s="a")}, {_GRAMS.format(s="b")})) AS inter,
+                  len({_GRAMS.format(s="a")}) AS ca,
+                  len({_GRAMS.format(s="b")}) AS cb
+           FROM sp),
+    feat AS (
+        SELECT sp.pair_id, sp.a AS surface_a, sp.b AS surface_b,
+               jaro_winkler_similarity(sp.a, sp.b) AS jw,
+               1.0 - levenshtein(sp.a, sp.b) / greatest(length(sp.a), length(sp.b), 1) AS lev_r,
+               1.0 - o.osa_dist / greatest(length(sp.a), length(sp.b), 1) AS osa_r,
+               CASE WHEN ng.ca > 0 AND ng.cb > 0
+                    THEN least(greatest(ng.inter / (sqrt(ng.ca::DOUBLE) * sqrt(ng.cb::DOUBLE)), 0.0), 1.0)
+                    ELSE 0.0 END AS cos,
+               CASE WHEN ng.ca + ng.cb - ng.inter > 0
+                    THEN ng.inter::DOUBLE / (ng.ca + ng.cb - ng.inter)
+                    ELSE 0.0 END AS jac
+        FROM sp JOIN osa_out o ON o.pair_id = sp.pair_id
+        JOIN ng ON ng.pair_id = sp.pair_id)
+    SELECT pair_id, surface_a, surface_b,
+           round(jw, 6) AS jaro_winkler,
+           round(lev_r, 6) AS lev_ratio,
+           round(osa_r, 6) AS osa_ratio,
+           round(cos, 6) AS ngram_cosine,
+           round(jac, 6) AS ngram_jaccard,
+           round(0.35 * jw + 0.45 * osa_r + 0.0 * cos + 0.2 * jac, 6) AS combined
+    FROM feat
+"""
+
+
+@register("score_pairs", _SCORE_PAIRS_SQL)
+def score_pairs_query(spark, sf):
+    """The pair scorer (the engine's single pandas UDF — the stand-in for the
+    reference's reranker family) gated by a driver-level DuckDB oracle:
+    builtin jaro_winkler/levenshtein, recursive-CTE OSA, list-math n-grams."""
+    from entity_linkings_spark.operators.scoring import score_pairs as _sp
+
+    part = _part(spark, sf)
+    src = part.selectExpr(
+        "p_partkey",
+        "lower(trim(p_name)) AS a",
+        "1 + p_partkey % greatest(length(lower(trim(p_name))) - 1, 1) AS pos",
+    ).selectExpr(
+        "p_partkey AS pair_id",
+        "a AS surface_a",
+        """CASE p_partkey % 4
+               WHEN 0 THEN concat(substring(a, 1, pos-1), substring(a, pos+1, 1),
+                                  substring(a, pos, 1), substring(a, pos+2))
+               WHEN 1 THEN concat(substring(a, 1, pos-1), substring(a, pos+1))
+               WHEN 2 THEN concat(substring(a, 1, pos), substring(a, pos, 1),
+                                  substring(a, pos+1))
+               ELSE a END AS surface_b""",
+    )
+    scored = _sp(src)
+    return scored.select(
+        "pair_id",
+        "surface_a",
+        "surface_b",
+        F.round("jaro_winkler", 6).alias("jaro_winkler"),
+        F.round("lev_ratio", 6).alias("lev_ratio"),
+        F.round("osa_ratio", 6).alias("osa_ratio"),
+        F.round("ngram_cosine", 6).alias("ngram_cosine"),
+        F.round("ngram_jaccard", 6).alias("ngram_jaccard"),
+        F.round("combined", 6).alias("combined"),
+    )
+
+
 # ---- W1: sessionization over the events stream table ------------------------
 
 @register(

@@ -38,7 +38,7 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 
 def main():
-    sf = "/root/testdata/sf0.01"
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     from entity_linkings_spark import get_spark
     from entity_linkings_spark.driver_queries import ORACLES, QUERIES
 
