@@ -830,6 +830,52 @@ def a2_prior_topk(spark, sf):
     )
 
 
+# ---- J5: ranked lexical (TF-IDF) top-k retrieval ----------------------------
+
+_TFIDF_TOPK_SQL = f"""
+    WITH ents AS (SELECT p_partkey AS entity_id, p_name AS text FROM part),
+    post AS (SELECT entity_id, tok, count(*) AS tf FROM (
+        SELECT entity_id, unnest(regexp_extract_all(lower(text), '[\\w#]+')) AS tok
+        FROM ents) GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+    w AS (SELECT tok, CAST((SELECT count(*) + 1 FROM ents) AS DOUBLE) / (df + 1) AS w
+          FROM dfq),
+    qs AS (SELECT p_partkey AS query_id, surface AS text FROM ({_VARIANTS_SQL})
+           WHERE p_partkey % 5 = 0),
+    qt AS (SELECT query_id,
+                  unnest(list_distinct(regexp_extract_all(lower(text), '[\\w#]+'))) AS tok
+           FROM qs),
+    sc AS (SELECT query_id, entity_id, round(sum(tf * w.w), 6) AS score
+           FROM qt JOIN post USING (tok) JOIN w USING (tok) GROUP BY 1, 2),
+    all_pairs AS (SELECT q.query_id, e.entity_id, COALESCE(s.score, 0.0) AS score
+                  FROM qs q CROSS JOIN ents e
+                  LEFT JOIN sc s ON s.query_id = q.query_id AND s.entity_id = e.entity_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, entity_id ASC) AS rank
+          FROM all_pairs)
+    SELECT query_id, entity_id, CAST(rank AS INT) AS rank, score FROM r WHERE rank <= 5
+"""
+
+
+@register("j5_tfidf_topk", _TFIDF_TOPK_SQL)
+def j5_tfidf_topk(spark, sf):
+    """Reference search_knn semantics (bm25/indexer.py:85-114): ranked top-k
+    entities per query with cardinality = min(k, |dict|); the oracle ranks
+    the full query x dictionary grid, the operator produces the identical
+    result from a token join + bounded deterministic zero-fill."""
+    from entity_linkings_spark.operators.retrieval import tfidf_topk
+
+    ents = _part(spark, sf).select(
+        F.col("p_partkey").alias("entity_id"), F.col("p_name").alias("text")
+    )
+    qs = (
+        _variants(spark, sf)
+        .where(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_partkey").alias("query_id"), F.col("surface").alias("text"))
+    )
+    return tfidf_topk(ents, qs, k=5)
+
+
 # ---- J7/U3: anti-join exclusion (only_negative semantics) -------------------
 
 @register(

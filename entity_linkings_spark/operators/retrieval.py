@@ -1,0 +1,103 @@
+"""Ranked lexical retrieval (J5) — the reference's BM25 top-k contract
+(/root/reference/entity_linkings/candidate_retriever/bm25/indexer.py:85-114
+``search_knn``: scored top-k entity candidates per query; cardinality
+= min(k, |dictionary|) per bm25_test.py:51-64) re-expressed as a token join
++ TF-IDF-style scored window top-k.
+
+Scale design:
+  * The inverted index IS the token join: entity postings (entity_id, token,
+    tf) shuffle once by token; query terms probe by the same key. No index
+    artifact to build/ship — Catalyst's shuffle hash join is the index.
+  * Rarity weight w(t) = (N+1)/(df(t)+1) — monotone in ln-IDF but ln-free,
+    so both engines compute the identical double from two exact integers
+    (cross-engine determinism; ln's last-ulp varies by libm).
+  * Scores are rounded to 6 decimals BEFORE ranking in both engines, so the
+    rank is a function of the rounded value + the entity-id tie-break, immune
+    to sum-order ulp noise.
+  * Zero-score fill: the reference pads results to k with arbitrary entities
+    (T5 random fill — declared nondeterministic there); here the fill is the
+    DETERMINISTIC completion the full ranking would produce: the lowest
+    entity ids not already candidates (score 0 sorts after any hit, ties by
+    id). Computed from a 2k-entity pool + anti-join — bounded fan-out, never
+    a query x dictionary cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from entity_linkings_spark.functions.strings import tokenize
+
+
+def entity_postings(entities: DataFrame) -> DataFrame:
+    """(entity_id, tok, tf): the inverted-index postings of the dictionary."""
+    return (
+        entities.select("entity_id", F.explode(tokenize("text")).alias("tok"))
+        .groupBy("entity_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf_topk(
+    entities: DataFrame, queries: DataFrame, k: int = 5, fill: bool = True
+) -> DataFrame:
+    """(query_id, entity_id, rank, score): top-k entities per query by
+    sum(tf(t, e) * w(t)) over the query's distinct tokens, w(t) =
+    (N+1)/(df(t)+1); ties and zero-score fill ordered by entity_id.
+
+    With ``fill=True`` every query returns exactly min(k, |entities|) rows
+    (the reference's cardinality contract, bm25_test.py:51-64)."""
+    n_ents = entities.count()
+    post = entity_postings(entities)
+    dfreq = post.groupBy("tok").agg(F.count("*").alias("df"))
+    w = dfreq.select(
+        "tok", (F.lit(float(n_ents + 1)) / (F.col("df") + 1)).alias("w")
+    )
+    qtoks = queries.select(
+        "query_id", F.explode(F.array_distinct(tokenize("text"))).alias("tok")
+    )
+    scored = (
+        qtoks.join(post, "tok")
+        .join(F.broadcast(w), "tok")
+        .groupBy("query_id", "entity_id")
+        .agg(F.round(F.sum(F.col("tf") * F.col("w")), 6).alias("score"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("entity_id"))
+    cand = (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "entity_id", "score")
+    )
+    if not fill:
+        return cand.withColumn(
+            "rank", F.row_number().over(rank_w).cast("int")
+        ).select("query_id", "entity_id", "rank", "score")
+
+    # deterministic completion to min(k, N): the 2k lowest entity ids always
+    # contain >= k non-candidates (a query holds at most k candidates)
+    pool = entities.select("entity_id").orderBy("entity_id").limit(2 * k)
+    short = (
+        cand.groupBy("query_id")
+        .agg(F.count("*").alias("n_cand"))
+        .join(queries.select("query_id"), "query_id", "right")
+        .select("query_id", F.coalesce("n_cand", F.lit(0)).alias("n_cand"))
+        .where(F.col("n_cand") < min(k, n_ents))
+    )
+    fills = (
+        short.join(F.broadcast(pool), F.lit(True))
+        .join(cand.select("query_id", "entity_id"), ["query_id", "entity_id"], "left_anti")
+        .withColumn(
+            "fill_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("entity_id"))
+            ),
+        )
+        .where(F.col("fill_rn") <= min(k, n_ents) - F.col("n_cand"))
+        .select("query_id", "entity_id", F.lit(0.0).alias("score"))
+    )
+    out = cand.unionByName(fills)
+    return (
+        out.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        .select("query_id", "entity_id", "rank", "score")
+    )

@@ -1,0 +1,56 @@
+"""Ranked lexical retrieval (J5): mirrors the reference's bm25_test.py
+cardinality contract — len(results) == min(k, |dictionary|) — plus ranking
+determinism and zero-fill ordering."""
+
+import pyspark.sql.functions as F
+
+from entity_linkings_spark.operators.retrieval import tfidf_topk
+
+
+def _ents(spark, names):
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "entity_id int, text string"
+    )
+
+
+def _qs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "query_id int, text string"
+    )
+
+
+def test_cardinality_min_k_dict(spark):
+    # |dict| = 8 >= k: every query gets exactly k rows (bm25_test.py:51-57)
+    ents = _ents(spark, [f"acme widget {i}" for i in range(8)])
+    qs = _qs(spark, ["acme widget", "zzz nothing shared", "widget"])
+    out = tfidf_topk(ents, qs, k=5).groupBy("query_id").count().collect()
+    assert {r["count"] for r in out} == {5} and len(out) == 3
+
+
+def test_cardinality_small_dict(spark):
+    # |dict| = 3 < k: every query gets |dict| rows (bm25_test.py:58-64)
+    ents = _ents(spark, ["alpha beta", "beta gamma", "delta"])
+    qs = _qs(spark, ["beta", "nothing"])
+    out = tfidf_topk(ents, qs, k=5)
+    counts = {r["query_id"]: r["count"] for r in out.groupBy("query_id").count().collect()}
+    assert counts == {0: 3, 1: 3}
+
+
+def test_ranking_prefers_rare_and_matching_tokens(spark):
+    ents = _ents(spark, ["red apple", "red banana", "green apple pie", "red red red"])
+    qs = _qs(spark, ["apple"])
+    rows = tfidf_topk(ents, qs, k=2).orderBy("rank").collect()
+    # 'apple' hits entities 0 and 2 with the same tf=1 * same weight -> id tie-break
+    assert [r["entity_id"] for r in rows] == [0, 2]
+    assert rows[0]["score"] == rows[1]["score"] > 0
+
+
+def test_zero_fill_is_lowest_missing_ids(spark):
+    ents = _ents(spark, ["unique match", "aaa", "bbb", "ccc", "ddd", "eee"])
+    qs = _qs(spark, ["unique"])
+    rows = tfidf_topk(ents, qs, k=4).orderBy("rank").collect()
+    assert rows[0]["entity_id"] == 0 and rows[0]["score"] > 0
+    # fill = lowest ids not already present, score 0, ordered by id
+    assert [r["entity_id"] for r in rows[1:]] == [1, 2, 3]
+    assert all(r["score"] == 0.0 for r in rows[1:])
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4]
