@@ -26,24 +26,65 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically reshape the documents corpus into the transcript
     schema (conv_id, turn_idx, role, text, tool, ts) — conversations keyed by
-    source, turns ordered by doc_id."""
+    source, turns ordered by doc_id.
+
+    Each turn additionally carries one deterministic entity-mention clause
+    derived from the part table (doc_id picks the part, doc_id % 4 picks the
+    surface form: Title-Case, UPPER, Title-Case with an adjacent-char
+    transposition typo, or lowercase), so the full linkage pipeline — mention
+    extraction, alias/prior hits, scored typo resolution, clustering — is
+    exercised end-to-end on the driver corpus, and the DuckDB oracle can
+    replay the exact same derivation."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n_parts = part.count()
+    # Title-Case built by hand (not initcap) so DuckDB replays it verbatim
+    tcname = F.array_join(
+        F.transform(
+            F.split(F.lower("p_name"), " "),
+            lambda t: F.concat(
+                F.upper(t.substr(F.lit(1), F.lit(1))), t.substr(F.lit(2), F.length(t))
+            ),
+        ),
+        " ",
+    )
+    pick = part.select(
+        (F.row_number().over(Window.orderBy("p_partkey")) - 1).cast("long").alias("pidx"),
+        "p_name",
+        tcname.alias("tcname"),
+    )
+    typo = F.concat(
+        F.substring("tcname", 1, 1),
+        F.substring("tcname", 3, 1),
+        F.substring("tcname", 2, 1),
+        F.expr("substring(tcname, 4)"),
+    )
+    variant = (
+        F.when(F.col("doc_id") % 4 == 0, F.col("tcname"))
+        .when(F.col("doc_id") % 4 == 1, F.upper("p_name"))
+        .when(F.col("doc_id") % 4 == 2, typo)
+        .otherwise(F.lower("p_name"))
+    )
     w = Window.partitionBy("source").orderBy("doc_id")
-    return docs.select(
-        F.col("source").alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        F.element_at(
-            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("role"),
-        F.col("text"),
-        F.lit("").alias("tool"),
-        F.timestamp_millis(
-            F.lit(1735689600000) + F.col("doc_id").cast("long") * 60000
-        ).alias("ts"),
+    return (
+        docs.withColumn("pidx", F.col("doc_id") % n_parts)
+        .join(F.broadcast(pick), "pidx")
+        .select(
+            F.col("source").alias("conv_id"),
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("role"),
+            F.concat_ws(" ", F.col("text"), variant, F.lit("arrived.")).alias("text"),
+            F.lit("").alias("tool"),
+            F.timestamp_millis(
+                F.lit(1735689600000) + F.col("doc_id").cast("long") * 60000
+            ).alias("ts"),
+        )
     )
 
 
@@ -84,18 +125,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs = dict(QUERIES)
 
     def pipeline_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
         from entity_linkings_spark.plans.pipeline import LinkagePipeline
 
         out = LinkagePipeline(_part_dictionary(spark, sf_dir)).run(
             _derived_transcripts(spark, sf_dir)
         )
-        return out["resolved_mentions"]
+        # doubles are rounded in both engines before the driver hashes values
+        return out["resolved_mentions"].withColumn("score", F.round("score", 6))
 
-    qs["pipeline_linkage"] = pipeline_linkage  # rows-only (composed pipeline)
+    qs["pipeline_linkage"] = pipeline_linkage
     return qs
 
 
 def oracle_sql() -> dict[str, str]:
     from entity_linkings_spark.driver_queries import ORACLES
+    from entity_linkings_spark.oracle_pipeline import pipeline_linkage_sql
 
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    # the flagship's oracle: a stage-for-stage DuckDB replica of the whole
+    # pipeline (entity_linkings_spark/oracle_pipeline.py)
+    out["pipeline_linkage"] = pipeline_linkage_sql()
+    return out

@@ -971,42 +971,9 @@ def a5_inkb_f1(spark, sf):
 
 # ---- scorer: the engine's one pandas UDF, driver-gated against DuckDB -------
 
-# OSA (optimal string alignment / restricted Damerau) as a recursive-CTE DP:
-# DuckDB's damerau_levenshtein is the FULL DL (adjacent transposition with
-# intervening edits, e.g. 'ca'->'abc' = 2), while the scorer implements OSA
-# ('ca'->'abc' = 3), so the oracle replays the exact DP. Row i of the DP is a
-# list; the insertion dependency inside a row is resolved with the same
-# prefix-scan identity the numpy scorer uses: dp[j] = j + min over k<=j of
-# (pre[k] - k). Fuzz-verified against a reference OSA on 3000 random pairs.
-def _osa_dp_sql(src: str) -> str:
-    """Recursive CTE block computing (pair_id, osa_dist) from a CTE/subquery
-    ``src`` with columns (pair_id, a, b). Must be placed in a WITH RECURSIVE."""
-    return f"""
-    osa_base AS (SELECT pair_id, string_split(a, '') AS ac, string_split(b, '') AS bc,
-                        length(a) AS la, length(b) AS lb FROM {src}),
-    osa_dp AS (
-        SELECT pair_id, ac, bc, la, lb, 0 AS i,
-               list_transform(generate_series(0, lb), x -> CAST(x AS BIGINT)) AS cur,
-               CAST(NULL AS BIGINT[]) AS prev
-        FROM osa_base
-        UNION ALL
-        SELECT pair_id, ac, bc, la, lb, i + 1,
-               list_prepend(CAST(i + 1 AS BIGINT),
-                 list_transform(generate_series(1, lb), j ->
-                   j + least(CAST(i + 1 AS BIGINT), list_min(pmsrc[1:j])))) AS cur,
-               cur AS prev
-        FROM (
-          SELECT *, list_transform(pre_l, (x, k) -> x - k) AS pmsrc
-          FROM (
-            SELECT *, list_transform(generate_series(1, lb), j ->
-                 least(cur[j+1] + 1,
-                       cur[j] + CASE WHEN ac[i+1] = bc[j] THEN 0 ELSE 1 END,
-                       CASE WHEN i >= 1 AND j >= 2 AND ac[i+1] = bc[j-1] AND ac[i] = bc[j]
-                            THEN prev[j-1] + 1 ELSE 999999 END)) AS pre_l
-            FROM osa_dp WHERE i < la))
-    ),
-    osa_out AS (SELECT pair_id, cur[lb+1] AS osa_dist FROM osa_dp WHERE i = la)
-"""
+# OSA-as-SQL lives in functions/oracle_sql.py (shared with the full-pipeline
+# oracle); see there for the DP formulation and fuzz verification notes.
+from entity_linkings_spark.functions.oracle_sql import osa_dp_sql as _osa_dp_sql  # noqa: E402
 
 
 # deterministic typo pairs over part names: transposition / deletion /

@@ -258,6 +258,28 @@ def ngram_idf(
     return {r["g"]: math.log(1.0 + N / r["df"]) for r in rows}
 
 
+def surface_block_keys(
+    surfaces: DataFrame,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    use_tokens: bool = True,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """UNCAPPED union of token + LSH band keys for a surface table — the
+    shared key derivation. Compute once per surface set and reuse across
+    consumers (pair blocking AND dictionary resolution block on the same
+    keys; deriving them twice doubles the minhash cost of the pipeline)."""
+    parts = []
+    if use_tokens:
+        parts.append(token_block_keys(surfaces))
+    if use_lsh:
+        parts.append(lsh_block_keys(surfaces, num_bands, rows_per_band))
+    keys = parts[0]
+    for p in parts[1:]:
+        keys = keys.unionByName(p)
+    return keys
+
+
 def blocking_pairs(
     surfaces: DataFrame,
     max_block_size: int = 1000,
@@ -267,18 +289,14 @@ def blocking_pairs(
     rows_per_band: int = 4,
     hot_threshold: int | None = 256,
     n_salt: int = 8,
+    keys: DataFrame | None = None,
 ) -> DataFrame:
     """Full blocking stage: union of token and LSH band keys, capped, paired
     (triangle-salted for blocks hotter than ``hot_threshold``; pass None to
-    disable salting and rely on AQE alone)."""
-    parts = []
-    if use_tokens:
-        parts.append(token_block_keys(surfaces))
-    if use_lsh:
-        parts.append(lsh_block_keys(surfaces, num_bands, rows_per_band))
-    keys = parts[0]
-    for p in parts[1:]:
-        keys = keys.unionByName(p)
+    disable salting and rely on AQE alone). Pass precomputed ``keys``
+    (surface_block_keys output) to skip re-deriving them."""
+    if keys is None:
+        keys = surface_block_keys(surfaces, num_bands, rows_per_band, use_tokens, use_lsh)
     capped = cap_blocks(keys, max_block_size)
     if hot_threshold is None:
         return candidate_pairs(capped)

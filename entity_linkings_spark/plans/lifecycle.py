@@ -188,9 +188,10 @@ def run_linkage(
 
     mentions = runner.run("mentions", fp, lambda: pipe.mentions(transcripts))
     surfaces = runner.run("surfaces", fp, lambda: pipe.surfaces(mentions.df))
-    pairs = runner.run("pairs", fp, lambda: pipe.pairs(surfaces.df))
+    keys = runner.run("blocking_keys", fp, lambda: pipe.surface_keys(surfaces.df))
+    pairs = runner.run("pairs", fp, lambda: pipe.pairs(surfaces.df, keys.df))
     scored = runner.run("scored", fp, lambda: pipe.scored_pairs(pairs.df, surfaces.df))
-    resolved = runner.run("resolved", fp, lambda: pipe.resolve(surfaces.df))
+    resolved = runner.run("resolved", fp, lambda: pipe.resolve(surfaces.df, keys.df))
     clusters = runner.run(
         "clusters", fp, lambda: pipe.clusters(scored.df, surfaces.df, resolved.df)
     )

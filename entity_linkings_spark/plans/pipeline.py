@@ -96,7 +96,16 @@ class LinkagePipeline:
         return P.resolve_by_prior(B.distinct_surfaces(mentions), self.alias_counts)
 
     # ---- stage 3: blocking --------------------------------------------------
-    def pairs(self, surfaces: DataFrame) -> DataFrame:
+    def surface_keys(self, surfaces: DataFrame) -> DataFrame:
+        """Shared blocking-key derivation (token + LSH bands, uncapped).
+        Computed once and fed to BOTH pairs() and resolve() — the two
+        consumers block on identical keys, so deriving them twice would
+        double the minhash cost of the pipeline."""
+        return B.surface_block_keys(
+            surfaces, self.cfg.num_bands, self.cfg.rows_per_band
+        )
+
+    def pairs(self, surfaces: DataFrame, keys: DataFrame | None = None) -> DataFrame:
         return B.blocking_pairs(
             surfaces,
             max_block_size=self.cfg.max_block_size,
@@ -104,6 +113,7 @@ class LinkagePipeline:
             rows_per_band=self.cfg.rows_per_band,
             hot_threshold=self.cfg.hot_block_threshold,
             n_salt=self.cfg.n_salt,
+            keys=keys,
         )
 
     def idf(self, surfaces: DataFrame) -> dict[str, float] | None:
@@ -169,10 +179,16 @@ class LinkagePipeline:
         ).withColumn("cluster_id", F.coalesce("cluster_id", "skey"))
 
     # ---- top-1 entity resolution (reference predict semantics) --------------
-    def resolve(self, surfaces: DataFrame) -> DataFrame:
+    def resolve(self, surfaces: DataFrame, keys: DataFrame | None = None) -> DataFrame:
         """(skey, surface, entity_id, score): prior fast path, else blocked +
         scored against dictionary surface forms, windowed argmax (T4), NIL
-        fallback below threshold (entity_dictionary.py:51-57)."""
+        fallback below threshold (entity_dictionary.py:51-57).
+
+        ``keys``: precomputed surface_keys() for the mention surfaces — the
+        mention side reuses them (filtered to unresolved surfaces) instead of
+        re-deriving token+LSH keys; only the small dictionary side is keyed
+        fresh. Key derivation is per-row and deterministic, so the blocking
+        semantics are identical either way (asserted in tests)."""
         dict_surfaces = (
             P.dictionary_alias_counts(self.dic)
             .select(
@@ -184,22 +200,18 @@ class LinkagePipeline:
         )
         need = surfaces.where(F.col("prior_entity").isNull()).select("skey", "surface")
 
-        # block mention surfaces against dictionary surfaces (tagged union)
-        tagged = need.select("skey", "surface").withColumn("side", F.lit("m")).unionByName(
-            dict_surfaces.select("skey", "surface").withColumn("side", F.lit("d"))
+        # block mention surfaces against dictionary surfaces: reused mention
+        # keys (semi-joined to the unresolved subset) + fresh dictionary keys
+        mention_keys = keys if keys is not None else self.surface_keys(surfaces)
+        mk = mention_keys.join(need.select("skey"), "skey").withColumn(
+            "side", F.lit("m")
         )
-        keys = B.cap_blocks(
-            B.token_block_keys(tagged.select("skey", "surface"))
-            .unionByName(
-                B.lsh_block_keys(
-                    tagged.select("skey", "surface"),
-                    self.cfg.num_bands,
-                    self.cfg.rows_per_band,
-                )
-            )
-            .join(tagged.select("skey", "side").distinct(), "skey"),
-            self.cfg.max_block_size * 2,
-        )
+        dk = B.surface_block_keys(
+            dict_surfaces.select("skey", "surface"),
+            self.cfg.num_bands,
+            self.cfg.rows_per_band,
+        ).withColumn("side", F.lit("d"))
+        keys = B.cap_blocks(mk.unionByName(dk), self.cfg.max_block_size * 2)
         m = keys.where(F.col("side") == "m").select(
             "block_key", F.col("skey").alias("skey_a"), F.col("surface").alias("surface_a")
         )
@@ -247,9 +259,10 @@ class LinkagePipeline:
         (plans/lifecycle.py) replaces these caches with durable snapshots."""
         mentions = self.mentions(transcripts).cache()
         surfaces = self.surfaces(mentions).cache()
-        pairs = self.pairs(surfaces)
+        keys = self.surface_keys(surfaces).cache()  # shared by pairs + resolve
+        pairs = self.pairs(surfaces, keys)
         scored = self.scored_pairs(pairs, surfaces).cache()
-        resolved = self.resolve(surfaces).cache()
+        resolved = self.resolve(surfaces, keys).cache()
         clusters = self.clusters(scored, surfaces, resolved)
         mention_clusters = self.mention_clusters(mentions, clusters)
         resolved_mentions = (

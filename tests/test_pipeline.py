@@ -69,3 +69,18 @@ def test_output_ordering_stable(run):
 def test_nil_fallback_for_unknown_surfaces(run):
     # every resolved mention has an entity id; unknown ones got NIL "-1"
     assert run["resolved_mentions"].where(F.col("entity_id").isNull()).count() == 0
+
+
+def test_resolve_with_reused_keys_identical(spark, tiny):
+    """resolve(surfaces, keys) with precomputed stage-3 keys must equal
+    resolve(surfaces) recomputing them (key derivation is per-row and
+    deterministic, so blocking semantics cannot depend on reuse)."""
+    from entity_linkings_spark.plans.pipeline import LinkagePipeline
+
+    pipe = LinkagePipeline(tiny["dictionary"])
+    mentions = pipe.mentions(tiny["transcripts"])
+    surfaces = pipe.surfaces(mentions).cache()
+    keys = pipe.surface_keys(surfaces)
+    a = sorted(map(tuple, pipe.resolve(surfaces).collect()))
+    b = sorted(map(tuple, pipe.resolve(surfaces, keys).collect()))
+    assert a == b

@@ -39,8 +39,10 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 
 def main():
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    import __spark_entry__ as entry
     from entity_linkings_spark import get_spark
-    from entity_linkings_spark.driver_queries import ORACLES, QUERIES
+
+    QUERIES, ORACLES = entry.queries(), entry.oracle_sql()
 
     spark = get_spark(master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
