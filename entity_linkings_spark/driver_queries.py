@@ -442,7 +442,9 @@ _MINHASH_PAIRS_SQL = f"""
 @register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark, sf):
     docs = _docs(spark, sf)
-    return D.minhash_band_pairs(docs, "doc_id", D.word_shingles("text", 5))
+    # bands materialized once: the pair self-join reads them on both sides
+    bands = D.minhash_bands(docs, "doc_id", D.word_shingles("text", 5)).localCheckpoint()
+    return D.band_pairs(bands, "doc_id")
 
 
 _JACCARD_VERIFY_SQL = f"""
@@ -465,9 +467,8 @@ _JACCARD_VERIFY_SQL = f"""
 @register("dedup_ngram_jaccard", _JACCARD_VERIFY_SQL)
 def dedup_ngram_jaccard(spark, sf):
     docs = _docs(spark, sf)
-    cand = D.minhash_band_pairs(docs, "doc_id", D.word_shingles("text", 5)).select(
-        "id_a", "id_b"
-    )
+    bands = D.minhash_bands(docs, "doc_id", D.word_shingles("text", 5)).localCheckpoint()
+    cand = D.band_pairs(bands, "doc_id").select("id_a", "id_b")
     return D.shingle_jaccard(docs, cand, "doc_id", "text", 5)
 
 
@@ -515,8 +516,10 @@ def _simhash_bands_values_sql(max_hamming: int = 8) -> str:
 )
 def dedup_simhash_pairs(spark, sf):
     """Multi-band (k+1 bands, any-band-equal) SimHash near pairs — complete
-    for Hamming <= 8, exact-verified (operators/dedup.py simhash_near_pairs)."""
-    sh = D.simhash_docs(_docs(spark, sf), "doc_id")
+    for Hamming <= 8, exact-verified (operators/dedup.py simhash_near_pairs).
+    Signatures are materialized once (localCheckpoint) because the banded
+    self-join consumes them on both sides."""
+    sh = D.simhash_docs(_docs(spark, sf), "doc_id").localCheckpoint()
     return D.simhash_near_pairs(sh, "doc_id", 8).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
@@ -544,9 +547,8 @@ def dedup_simhash_pairs(spark, sf):
 )
 def cc_components(spark, sf):
     docs = _docs(spark, sf)
-    cand = D.minhash_band_pairs(docs, "doc_id", D.word_shingles("text", 5)).select(
-        "id_a", "id_b"
-    )
+    bands = D.minhash_bands(docs, "doc_id", D.word_shingles("text", 5)).localCheckpoint()
+    cand = D.band_pairs(bands, "doc_id").select("id_a", "id_b")
     # zero-pad ids: CC orders nodes as strings, the oracle compares numerically
     pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
     edges = (
@@ -1189,6 +1191,73 @@ def p8_extract_islands(spark, sf):
         "doc_id", "start", "end", "n_tokens",
         F.expr("substring(text, start + 1, end - start)").alias("mention"),
     )
+
+
+# ---- S10/S11: converter scans, round-tripped through their own formatters ---
+
+@register("s10_sqldump_roundtrip", "SELECT p_partkey, p_name, p_brand FROM part")
+def s10_sqldump_roundtrip(spark, sf):
+    """S10 SQL-dump scan (reference appendix converter): format the part
+    table into MySQL INSERT statements (quoted, escaped, 97 tuples/stmt),
+    parse them back with the dump scanner, compare against the source table
+    directly — a full round-trip gate on the parser's quote/escape/NULL
+    handling."""
+    from entity_linkings_spark.sources.dumps import format_sql_dump, parse_sql_dump
+
+    part = _part(spark, sf).select("p_partkey", "p_name", "p_brand")
+    dump = format_sql_dump(part, "part", rows_per_stmt=97)
+    parsed = parse_sql_dump(dump, "part")
+    return parsed.select(
+        F.element_at("fields", 1).cast("long").alias("p_partkey"),
+        F.element_at("fields", 2).alias("p_name"),
+        F.element_at("fields", 3).alias("p_brand"),
+    )
+
+
+@register(
+    "s11_conll_roundtrip",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), lex AS ({_LEXICON_SQL}),
+    d AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS doc_idx
+          FROM documents)
+    SELECT d.source, CAST(d.doc_idx AS INT) AS doc_idx, CAST(0 AS INT) AS sent_idx,
+           CAST(t.pos AS INT) AS tok_idx, t.token,
+           CASE WHEN t.token IN (SELECT tok FROM lex) THEN 'B-ENT' ELSE 'O' END AS tag
+    FROM toks t JOIN d ON d.doc_id = t.doc_id
+    """,
+)
+def s11_conll_roundtrip(spark, sf):
+    """S11 CoNLL scan: render each source's documents as one CoNLL file
+    (-DOCSTART- per doc, token+BIO-ish tag per line), parse it back with the
+    whole-file Catalyst scanner, compare against a direct tokenization."""
+    from entity_linkings_spark.sources.dumps import parse_conll
+
+    docs = _docs(spark, sf)
+    lex = sorted(r["tok"] for r in _lexicon(spark, sf).collect())
+    block = F.concat(
+        F.lit("-DOCSTART- O\n"),
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.concat(
+                    t, F.lit(" "), F.when(t.isin(lex), "B-ENT").otherwise("O")
+                ),
+            ),
+            "\n",
+        ),
+        F.lit("\n\n"),
+    )
+    files = (
+        docs.select("source", F.struct("doc_id", block.alias("b")).alias("sb"))
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("sb")), lambda s: s["b"]), ""
+            ).alias("value")
+        )
+    )
+    return parse_conll(files)
 
 
 # ---- text analysis: heuristic language id ------------------------------------
