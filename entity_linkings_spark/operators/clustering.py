@@ -74,14 +74,52 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
     return row["n"], row["h"]
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find finish for a SMALL edge set — the standard
+    hybrid: distributed contraction shrinks the graph, a local solve closes
+    it without paying per-round Spark job overhead (each star round is 2+
+    jobs; a 200-node tail would otherwise cost seconds of pure scheduling).
+    Same contract as the distributed path: cluster_id = min node id."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    rows = edges.collect()
+    for r in rows:
+        ru, rv = find(r["u"]), find(r["v"])
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp: dict[str, list[str]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    out = [(n, min(min(ms), root)) for root, ms in comp.items() for n in ms]
+    # min(ms) is the min member; the root is itself a member chain head —
+    # with min-root union the root IS the component minimum, but keep the
+    # explicit min for clarity
+    return edges.sparkSession.createDataFrame(out, "node string, cluster_id string")
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, checkpoint: bool = True
+    edges: DataFrame,
+    max_iterations: int = 20,
+    checkpoint: bool = True,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``edges`` (u,v string columns);
     cluster_id = min node id of the component (FIXTURES.md section 6).
 
-    Driver loop with per-round checkpointed frontiers; raises if not converged
-    in ``max_iterations`` (graphs here converge in a handful)."""
+    Hybrid execution: edge sets at or below ``local_threshold`` (checked from
+    the same fingerprint aggregate the convergence test needs anyway) are
+    closed with a driver-side union-find; larger graphs run the
+    large-star/small-star contraction loop with per-round checkpointed
+    frontiers until the edge fingerprint stabilizes — and drop to the local
+    finish as soon as contraction shrinks them under the threshold. Raises if
+    not converged in ``max_iterations``."""
     cur = _canon(edges)
     if checkpoint:
         cur = cur.localCheckpoint()
@@ -89,6 +127,8 @@ def connected_components(
     if prev_fp[0] == 0:  # empty graph: skip the contraction loop entirely
         spark = edges.sparkSession
         return spark.createDataFrame([], "node string, cluster_id string")
+    if prev_fp[0] <= local_threshold:
+        return _local_components(cur)
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(cur))
         if checkpoint:
@@ -98,6 +138,8 @@ def connected_components(
         if fp == prev_fp:
             break
         prev_fp = fp
+        if fp[0] <= local_threshold:
+            return _local_components(cur)
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iterations} rounds")
 

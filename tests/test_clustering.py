@@ -33,7 +33,8 @@ def _uf(edges):
 
 
 @pytest.mark.parametrize("seed", [1, 2])
-def test_random_graphs_match_union_find(spark, seed):
+@pytest.mark.parametrize("local_threshold", [0, 100_000])  # star loop AND local finish
+def test_random_graphs_match_union_find(spark, seed, local_threshold):
     rng = random.Random(seed)
     nodes = [f"n{i:03d}" for i in range(150)]
     edges = [
@@ -42,16 +43,42 @@ def test_random_graphs_match_union_find(spark, seed):
         if a != b
     ]
     edf = spark.createDataFrame(edges, "u string, v string")
-    got = {r["node"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edf, local_threshold=local_threshold).collect()
+    }
     assert got == _uf(edges)
 
 
-def test_chain_worst_case(spark):
+@pytest.mark.parametrize("local_threshold", [0, 100_000])
+def test_chain_worst_case(spark, local_threshold):
     edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(60)]
     edf = spark.createDataFrame(edges, "u string, v string")
-    got = {r["node"]: r["cluster_id"] for r in connected_components(edf).collect()}
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edf, local_threshold=local_threshold).collect()
+    }
     assert set(got.values()) == {"c000"}
     assert len(got) == 61
+
+
+def test_hybrid_handoff_mid_contraction(spark):
+    """A graph large enough to start the star loop but which contracts below
+    the threshold after one round must hand off to the local finish with the
+    same result as a pure distributed run."""
+    rng = random.Random(9)
+    nodes = [f"h{i:04d}" for i in range(300)]
+    edges = list({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.choice(nodes), rng.choice(nodes)) for _ in range(400))
+        if a != b
+    })
+    edf = spark.createDataFrame(edges, "u string, v string")
+    hybrid = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(edf, local_threshold=len(edges) - 1).collect()
+    }
+    assert hybrid == _uf(edges)
 
 
 def test_empty_edges(spark):
