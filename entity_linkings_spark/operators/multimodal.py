@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed through Arrow-batched ``mapInPandas`` plumbing.
 
-The decode step is STUBBED (no image/audio libraries in this container): by
-default a deterministic fake derives features from the payload bytes, so the
-Spark-side contract — schema, partitioning, UDF signature, batch shape — is
-real and tested end-to-end. Passing ``real_decode=True`` raises
-NotImplementedError at the exact point a production build would call the
-codec (PIL/torchaudio/ffmpeg), marking the swap-in site.
+Decode policy (this container ships no media libraries, so stdlib-decodable
+formats are decoded FOR REAL and everything else fails loudly or falls back
+to a marked deterministic fake):
+  * image/PPM (P6): real decode + real block-mean resize, pure numpy;
+  * audio/WAV (RIFF/PCM): real decode via the stdlib ``wave`` module;
+  * anything else: ``real_decode=True`` raises NotImplementedError at the
+    exact point a production build would call PIL/torchaudio/ffmpeg;
+    the default derives deterministic fake features from the payload bytes
+    so the Spark-side contract — schema, partitioning, UDF signature, batch
+    shape — is exercised end-to-end regardless.
 
 Scale notes: payloads stay opaque to the JVM (binary columns move through
 Tungsten untyped); feature extraction is embarrassingly parallel per batch;
@@ -17,6 +21,8 @@ materializes driver-side.
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -50,6 +56,7 @@ FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.StringType(), False),
         T.StructField("kind", T.StringType(), False),
+        T.StructField("decoder", T.StringType(), False),  # ppm | wav | fake
         T.StructField("features", T.ArrayType(T.FloatType()), True),
         T.StructField("n_bytes", T.IntegerType(), True),
     ]
@@ -64,57 +71,177 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
 
-def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake assets (payload = md5-stream bytes)."""
-    rows = []
-    kinds = ["image", "audio", "video"]
-    for i in range(n):
-        kind = kinds[i % 3]
-        payload = b"".join(
-            hashlib.md5(f"{i}:{j}".encode()).digest() for j in range(8)
-        )
-        meta = {
-            "width": 64 if kind == "image" else None,
-            "height": 48 if kind == "image" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "duration_ms": 4000 if kind in ("audio", "video") else None,
-        }
-        rows.append((f"asset-{i:04d}", kind, payload, meta))
-    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+# ---------------------------------------------------------------------------
+# real codecs (stdlib/numpy only)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Raises ValueError on anything
+    that is not a P6 stream (the loud-failure contract)."""
+    payload = bytes(payload)
+    # explicit header regex: exactly ONE whitespace terminates maxval (a
+    # whitespace-split would eat raster bytes that happen to start with 0x20)
+    import re
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
+        raise ValueError("not a P6 PPM payload")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = payload[m.end() : m.end() + w * h * 3]
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples -> RIFF/WAVE bytes (stdlib wave writer)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE bytes -> (sample_rate, int16 mono samples)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+        x = np.frombuffer(raw, dtype="<i2")
+        if wf.getnchannels() > 1:
+            x = x.reshape(-1, wf.getnchannels()).mean(axis=1).astype(np.int16)
+    return sr, x
+
+
+def block_mean_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic block-mean downsample of (h, w, 3) uint8 (area filter
+    on integer-divisible grids; nearest-index grouping otherwise)."""
+    h, w = arr.shape[:2]
+    yi = (np.arange(h) * out_h // h).clip(0, out_h - 1)
+    xi = (np.arange(w) * out_w // w).clip(0, out_w - 1)
+    out = np.zeros((out_h, out_w, 3), np.float64)
+    cnt = np.zeros((out_h, out_w, 1), np.float64)
+    np.add.at(out, (yi[:, None], xi[None, :]), arr.astype(np.float64))
+    np.add.at(cnt, (yi[:, None], xi[None, :]), 1.0)
+    return (out / np.maximum(cnt, 1)).round().astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# feature extraction
+# ---------------------------------------------------------------------------
+
+def _image_features(arr: np.ndarray) -> np.ndarray:
+    f = np.empty(FEATURE_DIM, np.float32)
+    x = arr.astype(np.float32) / 255.0
+    f[0] = arr.shape[1] / 1024.0
+    f[1] = arr.shape[0] / 1024.0
+    f[2:5] = x.mean(axis=(0, 1))
+    f[5:8] = x.std(axis=(0, 1))
+    gray = x.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+    f[8:16] = hist / max(gray.size, 1)
+    return f
+
+
+def _audio_features(sr: int, samples: np.ndarray) -> np.ndarray:
+    f = np.empty(FEATURE_DIM, np.float32)
+    x = samples.astype(np.float32) / 32768.0
+    n = max(len(x), 1)
+    f[0] = sr / 48000.0
+    f[1] = (n / max(sr, 1)) / 10.0  # duration / 10s
+    f[2] = float(np.sqrt((x**2).mean())) if len(x) else 0.0
+    f[3] = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if len(x) > 1 else 0.0
+    # 12-block RMS envelope
+    blocks = np.array_split(x, 12) if len(x) >= 12 else [x] * 12
+    f[4:16] = [float(np.sqrt((b**2).mean())) if len(b) else 0.0 for b in blocks]
+    return f
 
 
 def _fake_features(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for a decoded-content embedding."""
+    """Deterministic stand-in for formats this container cannot decode."""
     h = hashlib.sha256(payload or b"").digest()
     raw = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
     return raw / 65535.0
 
 
+def _decode_one(kind: str, payload: bytes, real_decode: bool):
+    """(decoder_name, features) for one payload."""
+    if payload is not None:
+        if payload.startswith(b"P6"):
+            return "ppm", _image_features(decode_ppm(payload))
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return "wav", _audio_features(*decode_wav(payload))
+    if real_decode:
+        raise NotImplementedError(
+            f"no codec for kind={kind!r} payload in this container — swap in "
+            "PIL/torchaudio/ffmpeg here for jpeg/png/mp4 assets"
+        )
+    return "fake", _fake_features(payload or b"")
+
+
 def extract_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
-    """mapInPandas feature extraction: one Arrow batch in, one out."""
+    """mapInPandas feature extraction: one Arrow batch in, one out. PPM/WAV
+    payloads are decoded for real (sniffed by magic bytes); others use the
+    deterministic fake unless ``real_decode=True`` (then: loud failure)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if real_decode:
-                raise NotImplementedError(
-                    "real decode requires image/audio codecs not present in "
-                    "this container — swap _fake_features for the codec here"
-                )
-            feats = [
-                _fake_features(p).tolist() if p is not None else None
-                for p in pdf["payload"]
-            ]
+            decs, feats = [], []
+            for kind, p in zip(pdf["kind"], pdf["payload"]):
+                d, f = _decode_one(kind, p, real_decode)
+                decs.append(d)
+                feats.append(f.tolist())
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
+                    "decoder": decs,
                     "features": feats,
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
                 }
             )
 
     return df.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Real image resize (block-mean) for PPM payloads; non-PPM rows are
+    dropped (they would need the codec swap-in)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [], "payload": []}
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                if p is None or not bytes(p).startswith(b"P6"):
+                    continue
+                arr = block_mean_resize(decode_ppm(bytes(p)), out_w, out_h)
+                out["asset_id"].append(aid)
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+                out["payload"].append(encode_ppm(arr))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -140,3 +267,39 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic assets (REAL formats where decodable)
+# ---------------------------------------------------------------------------
+
+def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake assets: images are REAL P6 PPMs, audio is REAL
+    RIFF/PCM WAV (so the real decoders are exercised end-to-end); video
+    payloads are md5-stream bytes (no container codec here by design)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        if kind == "image":
+            w, h = 64, 48
+            base = np.frombuffer(
+                b"".join(hashlib.md5(f"img:{i}:{j}".encode()).digest() for j in range(w * h * 3 // 16 + 1)),
+                dtype=np.uint8,
+            )[: w * h * 3].reshape(h, w, 3)
+            payload = encode_ppm(base)
+            meta = {"width": w, "height": h, "sample_rate": None, "duration_ms": None}
+        elif kind == "audio":
+            sr, dur_ms = 16000, 250
+            t = np.arange(sr * dur_ms // 1000, dtype=np.float64)
+            freq = 200.0 + (i % 10) * 50.0
+            samples = (np.sin(2 * np.pi * freq * t / sr) * 12000).astype(np.int16)
+            payload = encode_wav(samples, sr)
+            meta = {"width": None, "height": None, "sample_rate": sr, "duration_ms": dur_ms}
+        else:
+            payload = b"".join(
+                hashlib.md5(f"{i}:{j}".encode()).digest() for j in range(8)
+            )
+            meta = {"width": None, "height": None, "sample_rate": None, "duration_ms": 4000}
+        rows.append((f"asset-{i:04d}", kind, payload, meta))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -36,14 +36,10 @@ def stream_transcripts(spark: SparkSession, path: str, max_files: int = 10) -> D
     )
 
 
-def incremental_linkage(
-    stream: DataFrame,
-    pipeline,
-    sink_path: str,
-    checkpoint_path: str,
-):
-    """foreachBatch micro-batch linkage: extract -> surfaces -> resolve ->
-    append. Returns the StreamingQuery (caller awaits/processes)."""
+def batch_processor(pipeline, sink_path: str):
+    """The foreachBatch function: extract -> surfaces -> resolve -> write the
+    epoch's partition. Exposed standalone so tests can replay an epoch and
+    assert idempotence."""
 
     def process(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
@@ -70,8 +66,19 @@ def incremental_linkage(
         )
         mentions.unpersist()
 
+    return process
+
+
+def incremental_linkage(
+    stream: DataFrame,
+    pipeline,
+    sink_path: str,
+    checkpoint_path: str,
+):
+    """foreachBatch micro-batch linkage. Returns the StreamingQuery builder
+    (caller starts/awaits)."""
     return (
-        stream.writeStream.foreachBatch(process)
+        stream.writeStream.foreachBatch(batch_processor(pipeline, sink_path))
         .option("checkpointLocation", checkpoint_path)
         .trigger(availableNow=True)
     )
