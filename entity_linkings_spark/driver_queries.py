@@ -1193,6 +1193,150 @@ def p8_extract_islands(spark, sf):
     )
 
 
+# ---- J10: in-batch negative candidate construction ---------------------------
+
+@register(
+    "j10_inbatch_negatives",
+    """
+    WITH rows_ AS (SELECT p_partkey % 97 AS batch_id, p_partkey AS row_id,
+                          p_brand AS gold_id,
+                          ['N' || (p_partkey * 3 % 40), 'N' || ((p_partkey * 7 + 1) % 40)] AS negs
+                   FROM part),
+    cand AS (SELECT batch_id,
+                    list_sort(list_distinct(flatten(list(list_prepend(gold_id, negs[1:2]))))) AS candidate_ids
+             FROM rows_ GROUP BY batch_id)
+    SELECT r.batch_id, r.row_id, r.gold_id,
+           array_to_string(c.candidate_ids, ',') AS candidates_csv,
+           CAST(list_position(c.candidate_ids, r.gold_id) - 1 AS INT) AS label
+    FROM rows_ r JOIN cand c ON c.batch_id = r.batch_id
+    """,
+)
+def j10_inbatch_negatives(spark, sf):
+    """Reference collator semantics (candidate_retriever/collator.py:26-59):
+    per batch, candidate set = dedup(golds ∪ first-k hard negatives), labels
+    re-indexed batch-locally (sorted here for determinism — documented
+    divergence from Python set order)."""
+    from entity_linkings_spark.operators.batching import in_batch_candidates
+
+    pk = F.col("p_partkey")
+    rows = _part(spark, sf).select(
+        (pk % 97).alias("batch_id"),
+        pk.alias("row_id"),
+        F.col("p_brand").alias("gold_id"),
+        F.array(
+            F.concat(F.lit("N"), (pk * 3 % 40).cast("string")),
+            F.concat(F.lit("N"), ((pk * 7 + 1) % 40).cast("string")),
+        ).alias("hard_negatives"),
+    )
+    out = in_batch_candidates(rows, k=2)
+    # arrays are emitted as CSV so the driver's value hash stays scalar-typed
+    return out.select(
+        "batch_id", "row_id", "gold_id",
+        F.array_join("candidate_ids", ",").alias("candidates_csv"), "label",
+    )
+
+
+# ---- F9: multi-choice LLM-response parsing ------------------------------------
+
+_F9_SRC_SQL = """
+    SELECT p_partkey AS resp_id,
+           [p_name, p_name || ' x', 'z ' || p_name] AS cands,
+           CASE p_partkey % 7
+               WHEN 0 THEN 'The answer is 2.'
+               WHEN 1 THEN 'None of the entity match'
+               WHEN 2 THEN 'Either 1 or 3'
+               WHEN 3 THEN 'I think it is ' || p_name
+               WHEN 4 THEN '42'
+               WHEN 5 THEN '1'
+               ELSE 'maybe z ' || p_name END AS resp
+    FROM part
+"""
+
+
+@register(
+    "f9_parse_choice",
+    f"""
+    WITH src AS ({_F9_SRC_SQL}),
+    flat AS (SELECT resp_id, resp, cands, unnest(cands) AS c,
+                    generate_subscripts(cands, 1) AS i1 FROM src),
+    cont AS (SELECT f.resp_id, min(f.i1 - 1) AS ci, count(*) AS cn
+             FROM flat f
+             WHERE contains(lower(f.resp), lower(f.c))
+               AND NOT EXISTS (SELECT 1 FROM flat g
+                               WHERE g.resp_id = f.resp_id AND g.i1 <> f.i1
+                                 AND contains(g.c, f.c))
+             GROUP BY f.resp_id),
+    nums AS (SELECT resp_id,
+                    list_filter(list_transform(regexp_extract_all(resp, '\\b(\\d+)\\b', 1),
+                                               s -> CAST(s AS INT) - 1),
+                                i -> i >= 0 AND i < 3) AS idxs
+             FROM src)
+    SELECT s.resp_id,
+           CAST(CASE WHEN contains(s.resp, 'None of the entity match') THEN -1
+                     WHEN len(n.idxs) = 1 THEN n.idxs[1]
+                     WHEN len(n.idxs) = 2 AND len(s.cands) > 2 THEN n.idxs[1]
+                     WHEN c.cn = 1 THEN c.ci
+                     ELSE -1 END AS INT) AS choice
+    FROM src s
+    LEFT JOIN nums n ON n.resp_id = s.resp_id
+    LEFT JOIN cont c ON c.resp_id = s.resp_id
+    """,
+)
+def f9_parse_choice(spark, sf):
+    """Reference multi-choice parser (chatel/utils.py:12-49) over
+    deterministic templated responses: integer extraction with range filter,
+    refusal phrase, two-found-first-wins, unique-containment fallback."""
+    from entity_linkings_spark.operators.batching import parse_multi_choice
+
+    pk = F.col("p_partkey")
+    src = _part(spark, sf).select(
+        pk.alias("resp_id"),
+        F.array(
+            F.col("p_name"),
+            F.concat("p_name", F.lit(" x")),
+            F.concat(F.lit("z "), "p_name"),
+        ).alias("cands"),
+        F.when(pk % 7 == 0, F.lit("The answer is 2."))
+        .when(pk % 7 == 1, F.lit("None of the entity match"))
+        .when(pk % 7 == 2, F.lit("Either 1 or 3"))
+        .when(pk % 7 == 3, F.concat(F.lit("I think it is "), "p_name"))
+        .when(pk % 7 == 4, F.lit("42"))
+        .when(pk % 7 == 5, F.lit("1"))
+        .otherwise(F.concat(F.lit("maybe z "), "p_name"))
+        .alias("resp"),
+    )
+    return src.select("resp_id", parse_multi_choice("resp", "cands").alias("choice"))
+
+
+# ---- A7: cost estimate over prompt token counts -------------------------------
+
+@register(
+    "a7_cost_estimate",
+    """
+    SELECT source,
+           count(*) AS n_prompts,
+           CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS prompt_tokens,
+           round(0.0005 * sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) / 1000.0
+                 + 0.0015 * (4.0 * count(*)) / 1000.0, 6) AS est_cost_usd
+    FROM documents GROUP BY source
+    """,
+)
+def a7_cost_estimate(spark, sf):
+    """Reference cost estimator (chatel/gpt.py:77-98): per-prompt token
+    counts x a model price table. tiktoken is model-weight territory, so the
+    token count is the engine's BPE estimate (ceil(chars/4), the token_count
+    query convention); output estimated at 4 tokens/prompt."""
+    d = _docs(spark, sf)
+    ptoks = F.sum(F.ceil(F.length("text") / 4.0).cast("long"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_prompts"),
+        ptoks.alias("prompt_tokens"),
+        F.round(
+            0.0005 * ptoks / 1000.0 + 0.0015 * (4.0 * F.count("*")) / 1000.0, 6
+        ).alias("est_cost_usd"),
+    )
+
+
 # ---- S10/S11: converter scans, round-tripped through their own formatters ---
 
 @register("s10_sqldump_roundtrip", "SELECT p_partkey, p_name, p_brand FROM part")

@@ -25,6 +25,9 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     def cell(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "<null>"
+        import numpy as _np
+        if isinstance(v, _np.ndarray):
+            return "[" + ",".join(cell(x) for x in v) + "]"
         if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
             return "<null>"
         if isinstance(v, float):
