@@ -1,0 +1,53 @@
+"""Physical-plan regression gates: pushdown, broadcast choices, no cartesian
+products, WindowGroupLimit top-k pushdown — the properties PLANS.md documents
+must stay true as the code evolves."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+QUERIES = entry.queries()
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    p = _plan(spark, "s1_scan_documents")
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,200)]" in p
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "doc_id", "lang", "source", "n_chars",
+    }
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["t4_top1_per_doc", "a2_prior_topk", "ann_cosine_topk", "j5_tfidf_topk"],
+)
+def test_topk_uses_window_group_limit(spark, name):
+    # row_number <= k must push below the sort (never full per-partition sorts)
+    assert "WindowGroupLimit" in _plan(spark, name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_embedding_neardup", "dedup_simhash_pairs", "dedup_minhash_lsh",
+        "j5_tfidf_topk", "t4_top1_per_doc", "pipeline_linkage",
+    ],
+)
+def test_no_cartesian_products(spark, name):
+    # the only sanctioned BNLJ is the tiny fill pool / the deliberate exact
+    # ANN baseline; unrestricted CartesianProduct is never acceptable
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_dimension_joins_broadcast(spark):
+    # lexicon/dictionary joins must not shuffle the fact side
+    p = _plan(spark, "j1_dict_lookup_nil")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
