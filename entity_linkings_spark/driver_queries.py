@@ -380,6 +380,73 @@ def text_quality(spark, sf):
     )
 
 
+# ---- text analysis: Gopher-style quality rules --------------------------------
+
+@register(
+    "quality_gopher",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id,
+           len(ws) AS n_words,
+           round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / greatest(len(ws), 1), 6) AS mean_word_len,
+           round(CAST(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+                 / greatest(len(ws), 1), 6) AS symbol_ratio,
+           round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                 / greatest(len(ws), 1), 6) AS alpha_ratio,
+           CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                s -> list_contains(ws, s))) AS INT) AS stop_hits,
+           CASE WHEN len(ws) BETWEEN 50 AND 100000
+                 AND list_sum(list_transform(ws, x -> length(x))) / greatest(len(ws), 1) BETWEEN 3 AND 10
+                 AND CAST(len(list_filter(ws, x -> contains(x, '#') OR contains(x, '...'))) AS DOUBLE)
+                     / greatest(len(ws), 1) < 0.1
+                 AND CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                     / greatest(len(ws), 1) > 0.8
+                 AND len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(ws, s))) >= 2
+                THEN 1 ELSE 0 END AS gopher_pass
+    FROM w
+    """,
+)
+def quality_gopher(spark, sf):
+    """Gopher-rule quality filtering (Rae et al. 2021, the published
+    training-data heuristics): word-count bounds, mean word length, symbol
+    ratio, alphabetic-word ratio, stopword requirement — the word-level
+    subset that applies to single-line docs, as one Catalyst projection."""
+    ws = F.split("text", " ")
+    n = F.greatest(F.size(ws), F.lit(1))
+    wordlen_sum = F.aggregate(
+        F.transform(ws, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    symbols = F.size(F.filter(ws, lambda x: x.contains("#") | x.contains("...")))
+    alpha = F.size(F.filter(ws, lambda x: x.rlike("[a-z]")))
+    stops = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in
+                      ("the", "be", "to", "of", "and", "that", "have", "with")]),
+            lambda s: F.array_contains(ws, s),
+        )
+    )
+    mean_wl = wordlen_sum / n
+    sym_r = symbols.cast("double") / n
+    alpha_r = alpha.cast("double") / n
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.round(wordlen_sum.cast("double") / n, 6).alias("mean_word_len"),
+        F.round(sym_r, 6).alias("symbol_ratio"),
+        F.round(alpha_r, 6).alias("alpha_ratio"),
+        stops.cast("int").alias("stop_hits"),
+        F.when(
+            F.size(ws).between(50, 100000)
+            & mean_wl.between(3, 10)
+            & (sym_r < 0.1)
+            & (alpha_r > 0.8)
+            & (stops >= 2),
+            1,
+        ).otherwise(0).alias("gopher_pass"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # batch 2: dedup family, similarity search, metrics, cascade, windows
 # ---------------------------------------------------------------------------
@@ -673,6 +740,72 @@ def ann_lsh_recall(spark, sf):
     emb = _embeddings(spark, sf)
     q = emb.where(F.col("vec_id") % 25 == 0)
     approx = SIM.lsh_topk(emb, q, k=10, **_LSH_CFG)
+    exact = SIM.brute_force_topk(emb, q, k=10)
+    return SIM.topk_recall(approx, exact)
+
+
+def _ivf_topk_sql(stride: int = 20, nprobe: int = 3, k: int = 10) -> str:
+    """SQL replica of IVF-flat with the sampled codebook (same assignment,
+    same probes, same re-rank)."""
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % {stride} = 0),
+    lists AS (SELECT neighbor_id, cv, cent_id AS list_id FROM (
+        SELECT c.vec_id AS neighbor_id, c.e AS cv, ct.cent_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round(list_cosine_similarity(c.e, ct.ce), 6) DESC,
+                            ct.cent_id ASC) AS crank
+        FROM v c, cents ct) WHERE crank = 1),
+    probes AS (SELECT query_id, qv, cent_id AS list_id FROM (
+        SELECT q.vec_id AS query_id, q.e AS qv, ct.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, ct.ce), 6) DESC,
+                            ct.cent_id ASC) AS crank
+        FROM v q, cents ct WHERE q.vec_id % 25 = 0) WHERE crank <= {nprobe}),
+    cand AS (SELECT p.query_id, l.neighbor_id,
+                    min(round(list_cosine_similarity(p.qv, l.cv), 6)) AS cos
+             FROM lists l JOIN probes p ON p.list_id = l.list_id
+             WHERE l.neighbor_id <> p.query_id GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM cand)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM r WHERE rank <= {k}
+"""
+
+
+# registered config: 50 centroids (stride 10), nprobe 8 -> ~16% of the corpus
+# scanned per query, measured recall 0.70 at sf0.01. This corpus's neighbors
+# sit barely above random cosine (0.4-0.55), the worst case for a coarse
+# quantizer; clustered real-world embeddings partition far more cleanly.
+_IVF_CFG = dict(centroid_stride=10, nprobe=8, k=10)
+_IVF_TOPK_SQL = _ivf_topk_sql(10, 8, 10)
+
+
+@register("ann_ivf_topk", _IVF_TOPK_SQL)
+def ann_ivf_topk(spark, sf):
+    """IVF-flat ANN (sampled codebook, nprobe nearest inverted lists) —
+    operators/similarity.py ivf_topk; the oracle replays the same algorithm."""
+    emb = _embeddings(spark, sf)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    return SIM.ivf_topk(emb, q, **_IVF_CFG)
+
+
+@register(
+    "ann_ivf_recall",
+    f"""
+    WITH exact AS ({_ANN_SQL}), approx AS ({_IVF_TOPK_SQL}),
+    j AS (SELECT e.query_id, CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+          FROM exact e LEFT JOIN approx a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+    p AS (SELECT query_id, sum(hit)::DOUBLE / count(*) AS q_recall FROM j GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, round(avg(q_recall), 6) AS recall FROM p
+    """,
+)
+def ann_ivf_recall(spark, sf):
+    emb = _embeddings(spark, sf)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    approx = SIM.ivf_topk(emb, q, **_IVF_CFG)
     exact = SIM.brute_force_topk(emb, q, k=10)
     return SIM.topk_recall(approx, exact)
 
