@@ -31,6 +31,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAIRS = int(os.environ.get("EL_BENCH_PAIRS", str(8_000_000)))
 
 HEADLINE = [
+    # round-1 set (comparable across rounds)
     "pipeline_linkage",
     "p8_extract_islands",
     "dedup_minhash_lsh",
@@ -39,6 +40,13 @@ HEADLINE = [
     "ann_cosine_topk",
     "w1_sessionize",
     "j4_prior_cascade",
+    # round-2 additions (new operator families)
+    "score_pairs",
+    "j5_tfidf_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_neardup",
+    "dedup_pipeline",
 ]
 
 _SCALE_SNIPPET = r"""

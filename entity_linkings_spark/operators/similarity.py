@@ -168,27 +168,52 @@ def lsh_topk(
         F.explode(F.array(*[buckets_for(t) for t in range(num_tables)])).alias("bucket"),
     )
     masks = probe_masks(num_planes, probe_bits)
+    # compute each table's home bucket ONCE per query row, then put a shuffle
+    # barrier before the probe expansion: without it CollapseProject inlines
+    # the full num_planes-aggregate bucket expression into every probe array
+    # element (the Catalyst no-CSE-in-HOF trap — (1+num_planes choose <=2) x
+    # num_tables recomputations; measured 23.9s -> ~3s at sf0.1)
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    qhome = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        *[buckets_for(t).alias(f"b{t}") for t in range(num_tables)],
+    ).repartition(par)
     qprobes = F.flatten(
         F.array(
             *[
-                F.array(*[buckets_for(t).bitwiseXOR(F.lit(m)) for m in masks])
+                F.array(*[F.col(f"b{t}").bitwiseXOR(F.lit(m)) for m in masks])
                 for t in range(num_tables)
             ]
         )
     )
-    qb = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+    qb = qhome.select(
+        "query_id",
+        "qv",
         F.explode(qprobes).alias("bucket"),
     )
-    # no forced broadcast: a large query side must be allowed to shuffle
-    cand = (
-        cb.join(qb, "bucket")
+    # no forced broadcast: a large query side must be allowed to shuffle.
+    # Dedup candidate IDS first (a pair can collide in several tables and
+    # probes), THEN join the vectors back and score once — scoring before
+    # dedup would both re-run the cosine on duplicates and shuffle the
+    # embedding arrays through the groupBy
+    cand_ids = (
+        cb.select("bucket", "neighbor_id")
+        .join(qb.select("bucket", "query_id"), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cand = (
+        cand_ids.join(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            "neighbor_id",
+        )
+        .join(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            "query_id",
+        )
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
-        # a pair can collide in several tables/probes: dedup before ranking
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.first("cos").alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
