@@ -244,20 +244,49 @@ def ivf_topk(
     (/root/reference/entity_linkings/candidate_retriever/dualencoder/
     indexer.py:94-132) with the codebook-as-dimension-table pattern; recall
     is tunable via nprobe/centroid_stride and measured by topk_recall."""
-    cents = corpus.where(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    import numpy as np
+    import pandas as pd
+
+    # the codebook is a dimension table: collect once, ship in the closure,
+    # and score every vector against ALL centroids with one numpy matmul per
+    # Arrow batch — a per-pair Catalyst cosine costs ~30us while the GEMM is
+    # amortized BLAS (assignment 13.5s -> ~2s at sf0.1). Rounding to 6
+    # decimals BEFORE the top-n keeps rank parity with the SQL oracle (same
+    # convention as every other ranked cosine here).
+    crows = sorted(
+        corpus.where(F.col(id_col) % centroid_stride == 0)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
     )
+    cent_ids = np.array([r[0] for r in crows])
+    cmat = np.array([r[1] for r in crows], dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
 
     def assign(df: DataFrame, idc: str, vc: str, n: int, out: str) -> DataFrame:
-        scored = df.join(F.broadcast(cents), F.lit(True)).withColumn(
-            "cdist", F.round(cosine(F.col(vc), F.col("cent_vec")), 6)
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(out, T.LongType())]
         )
-        w = Window.partitionBy(idc).orderBy(F.desc("cdist"), F.asc("cent_id"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") <= n)
-            .select(df["*"], F.col("cent_id").alias(out))
-        )
+
+        def run(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.array([np.asarray(x) for x in pdf[vc]], dtype=np.float64)
+                v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+                cd = np.round(v @ cmat.T, 6)
+                # top-n by (cdist desc, cent_id asc): cent_ids are sorted, so
+                # a stable argsort on -cdist breaks ties by centroid id
+                order = np.argsort(-cd, axis=1, kind="stable")[:, :n]
+                reps = pd.DataFrame(
+                    {c: np.repeat(pdf[c].to_numpy(), n) for c in pdf.columns}
+                )
+                reps[out] = cent_ids[order].reshape(-1)
+                yield reps
+
+        return df.mapInPandas(run, out_schema)
 
     lists = assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),

@@ -68,3 +68,16 @@ def test_lsh_no_forced_broadcast_on_query_side():
     import inspect
     src = inspect.getsource(SIM.lsh_topk)
     assert "F.broadcast" not in src  # planner/AQE must choose the strategy
+
+
+def test_ivf_topk_structure_and_recall(emb):
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    r = SIM.ivf_topk(emb, q, k=10, centroid_stride=10, nprobe=8)
+    rows = r.collect()
+    per_q = {}
+    for x in rows:
+        per_q.setdefault(x["query_id"], []).append(x["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    exact = SIM.brute_force_topk(emb, q, k=10)
+    rec = SIM.topk_recall(r, exact).collect()[0]
+    assert rec["recall"] >= 0.5  # sampled-codebook floor on this corpus
