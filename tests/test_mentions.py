@@ -54,3 +54,24 @@ def test_empty_dictionary_yields_no_mentions(spark):
         [("c1", 0, "user", "Akira Tanaka", "", dt.datetime(2025, 1, 1))], TRANSCRIPT_SCHEMA
     )
     assert extract_mentions(df, [], []).count() == 0
+
+
+def test_extraction_hostile_inputs(spark):
+    """Unicode tokens, 1000-char words, empty/whitespace-only turns: the
+    extractor must neither crash nor emit malformed spans."""
+    from entity_linkings_spark.operators.mentions import extract_mentions
+
+    rows = [
+        ("c1", 0, "日本語 テキスト Acme Systems のテスト"),
+        ("c1", 1, "x" * 1000 + " Acme " + "y" * 1000),
+        ("c1", 2, ""),
+        ("c1", 3, "    "),
+        ("c1", 4, "(((Acme))) !!! ... ---"),
+    ]
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = extract_mentions(tr, ["acme", "systems"]).collect()
+    assert len(out) >= 2  # the Acme mentions surface
+    for r in out:
+        assert 0 <= r["start"] < r["end"]
+        assert len(r["mention"]) == r["end"] - r["start"]
+        assert "acme" in r["mention"].lower()

@@ -62,3 +62,26 @@ def test_minhash_python_model(tokens):
     s2 = sig(list(reversed(tokens)))
     assert s1 == s2
     assert all(0 <= v < MINHASH_PRIME for v in s1)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_grid_neardup_complete_on_random_vectors(seed):
+    """Property: the quantized-projection grid finds EXACTLY the brute-force
+    pair set for cos >= tau on random unit vectors (the Lipschitz cover
+    argument, checked end-to-end in numpy against the same cell/probe rule)."""
+    rng = np.random.default_rng(seed)
+    n, d = 40, 8
+    v = rng.normal(size=(n, d))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    tau = 0.6
+    w = (2.0 - 2.0 * tau) ** 0.5 * (1.0 + 1e-9)
+    cos = v @ v.T
+    exact = {(i, j) for i in range(n) for j in range(i + 1, n) if cos[i, j] >= tau}
+    cells = np.floor(v[:, :2] / w).astype(int)
+    found = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (np.abs(cells[i] - cells[j]) <= 1).all() and cos[i, j] >= tau:
+                found.add((i, j))
+    assert found == exact  # every qualifying pair lands in adjacent cells
