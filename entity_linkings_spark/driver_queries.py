@@ -173,6 +173,121 @@ def p3_mention_window(spark, sf):
     )
 
 
+# ---- P4-P7/F6: context window, token truncation, span marking, marker parse --
+
+_P3_SPANS_SQL = f"""
+    WITH toks AS ({_TOKENS_SQL}), lex AS ({_LEXICON_SQL})
+    SELECT t.doc_id, t.start, t.start + length(t.token) AS e, t.token AS mention,
+           t.pos, d.text
+    FROM toks t JOIN lex ON t.token = lex.tok
+    JOIN documents d ON d.doc_id = t.doc_id
+"""
+
+
+@register(
+    "p4p7_context_ops",
+    f"""
+    WITH spans AS ({_P3_SPANS_SQL}),
+    base AS (
+        SELECT doc_id, start, e AS "end", mention,
+               -- P4: ~64-char window centered on the span, offsets re-based
+               substr(text, greatest(start - 32, 0) + 1,
+                      least(e + 32, length(text)) - greatest(start - 32, 0)) AS context,
+               start - greatest(start - 32, 0) AS new_start,
+               e - greatest(start - 32, 0) AS new_end,
+               -- P5: 8-token slice keeping the mention token centered
+               array_to_string(
+                   (string_split(text, ' '))[
+                       least(greatest(pos - CAST(floor((8 - 1) / 2) AS INT), 0),
+                             greatest(len(string_split(text, ' ')) - 8, 0)) + 1 :
+                       least(greatest(pos - CAST(floor((8 - 1) / 2) AS INT), 0),
+                             greatest(len(string_split(text, ' ')) - 8, 0)) + 8
+                   ], ' ') AS trunc_ctx,
+               -- P6: [START_ENT]/[END_ENT] span marking
+               substr(text, 1, start) || '[START_ENT] ' || mention || ' [END_ENT]'
+                   || substr(text, e + 1) AS marked,
+               -- P7 (single-marker closed form): offsets recovered from the
+               -- [[...]]-marked text
+               position('[[' IN substr(text, 1, start) || '[[' || mention || ']]'
+                   || substr(text, e + 1)) - 1 AS p7_start
+        FROM spans)
+    SELECT doc_id, start, "end", mention,
+           substr(context, new_start + 1, new_end - new_start) AS ctx_mention,
+           CAST(new_start AS INT) AS new_start, CAST(new_end AS INT) AS new_end,
+           trunc_ctx, marked,
+           CAST(p7_start AS INT) AS p7_start,
+           CAST(p7_start + length(mention) AS INT) AS p7_end
+    FROM base
+    """,
+)
+def p4p7_context_ops(spark, sf):
+    """P4 context window + P5 token truncation + P6 span marking + P7 marker
+    parsing, composed over the lexicon-token spans of the documents corpus —
+    converts the contexts operator family from pytest-only to driver-gated.
+    P7 runs the REAL parse_markers (aggregate walk) on single-marker rows;
+    the oracle replays the single-marker closed form."""
+    from entity_linkings_spark.operators.contexts import (
+        cut_context_window,
+        mark_span,
+        parse_markers,
+        truncate_around_mention,
+    )
+
+    docs = _docs(spark, sf)
+    spans = (
+        _tokens_with_offsets(docs)
+        .join(F.broadcast(_lexicon(spark, sf)), F.col("token") == F.col("tok"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id", "start",
+            (F.col("start") + F.length("token")).alias("end"),
+            F.col("token").alias("mention"), "pos", "text",
+        )
+    )
+    win = cut_context_window("text", "start", "end", 64)
+    toks = F.split("text", " ")
+    marked2 = F.concat(
+        F.expr("substring(text, 1, start)"), F.lit("[["), F.col("mention"),
+        F.lit("]]"), F.expr("substring(text, end + 1)"),
+    )
+    enriched = spans.select(
+        "doc_id", "start", "end", "mention",
+        win.alias("w"),
+        F.array_join(
+            truncate_around_mention(toks, F.col("pos"), F.col("pos") + 1, 8), " "
+        ).alias("trunc_ctx"),
+        mark_span("text", "start", "end").alias("marked"),
+        marked2.alias("m2text"),
+    )
+    # parse_markers emits its own (start, end): join back by the original span
+    # (renamed to break the self-join lineage ambiguity)
+    parsed = parse_markers(
+        enriched.select(F.col("doc_id").alias("p_doc"),
+                        F.col("start").alias("o_start"),
+                        F.col("end").alias("o_end"), F.col("m2text").alias("text")),
+        "text",
+    ).select(
+        "p_doc", "o_start", "o_end",
+        F.col("start").cast("int").alias("p7_start"),
+        F.col("end").cast("int").alias("p7_end"),
+    )
+    return (
+        enriched.join(
+            parsed,
+            (enriched["doc_id"] == parsed["p_doc"])
+            & (enriched["start"] == parsed["o_start"])
+            & (enriched["end"] == parsed["o_end"]),
+        )
+        .select(
+            enriched["doc_id"], "start", "end", "mention",
+            F.expr("substring(w.context, w.new_start + 1, w.new_end - w.new_start)").alias("ctx_mention"),
+            F.col("w.new_start").cast("int").alias("new_start"),
+            F.col("w.new_end").cast("int").alias("new_end"),
+            "trunc_ctx", "marked", "p7_start", "p7_end",
+        )
+    )
+
+
 # ---- F1-F3: normalization tiers ---------------------------------------------
 
 @register(
@@ -1513,6 +1628,35 @@ def a7_cost_estimate(spark, sf):
             0.0005 * ptoks / 1000.0 + 0.0015 * (4.0 * F.count("*")) / 1000.0, 6
         ).alias("est_cost_usd"),
     )
+
+
+# ---- S4: mention-counter JSON scan, round-tripped ---------------------------
+
+@register(
+    "s4_mention_counter_roundtrip",
+    "SELECT p_name AS mention, p_brand AS entity_id, count(*) AS count "
+    "FROM part GROUP BY 1, 2",
+)
+def s4_mention_counter_roundtrip(spark, sf):
+    """S4 mention-counter scan (reference prior resource: a JSON dict-of-
+    dicts {mention: {entity: count}}): format the part-derived counter as
+    one JSON object per mention with to_json, parse it back through the
+    distributed from_json_lines scanner, compare against the direct
+    aggregate."""
+    from entity_linkings_spark.sources.alias_counts import from_json_lines
+
+    counts = _part(spark, sf).groupBy(
+        F.col("p_name").alias("mention"), F.col("p_brand").alias("entity_id")
+    ).agg(F.count("*").alias("count"))
+    lines = counts.groupBy("mention").agg(
+        F.to_json(
+            F.map_from_arrays(
+                F.array(F.first("mention")),
+                F.array(F.map_from_entries(F.collect_list(F.struct("entity_id", "count")))),
+            )
+        ).alias("value")
+    ).select("value")
+    return from_json_lines(lines)
 
 
 # ---- S10/S11: converter scans, round-tripped through their own formatters ---
