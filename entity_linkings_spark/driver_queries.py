@@ -1486,6 +1486,72 @@ def p8_extract_islands(spark, sf):
     )
 
 
+# ---- F11/F12: softmax + span-probability combination --------------------------
+
+@register(
+    "f11_f12_softmax_spans",
+    f"""
+    WITH toks AS ({_TOKENS_SQL}), lex AS ({_LEXICON_SQL}),
+    tf AS (SELECT doc_id, token, count(*) AS tf, length(token) AS tl FROM toks
+           WHERE token IN (SELECT tok FROM lex) GROUP BY doc_id, token),
+    mx AS (SELECT *, max(tf) OVER (PARTITION BY doc_id) AS mtf,
+                     max(tl) OVER (PARTITION BY doc_id) AS mtl FROM tf),
+    ex AS (SELECT *, exp(tf - mtf) AS es, exp(tl - mtl) AS ee FROM mx),
+    sm AS (SELECT doc_id, token,
+                  es / sum(es) OVER (PARTITION BY doc_id) AS p_start,
+                  ee / sum(ee) OVER (PARTITION BY doc_id) AS p_end
+           FROM ex),
+    sc AS (SELECT doc_id, token, p_start, p_end, p_start * p_end AS span_score
+           FROM sm),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY round(span_score, 6) DESC, token ASC) AS rn FROM sc)
+    SELECT doc_id, token,
+           round(p_start, 6) AS p_start, round(p_end, 6) AS p_end,
+           round(span_score, 6) AS span_score
+    FROM r WHERE rn = 1
+    """,
+)
+def f11_f12_softmax_spans(spark, sf):
+    """F11 window softmax (max-stabilized) over per-doc token frequencies and
+    token lengths, F12 max_prod span-probability combination, T4-style argmax
+    per doc — the scalar probability surface driver-gated (exp's last-ulp
+    varies by libm; scores are rounded before ranking, same convention as
+    every ranked double here)."""
+    from entity_linkings_spark.operators.contexts import (
+        combine_span_probabilities,
+        softmax_over,
+    )
+
+    toks = _tokens_with_offsets(_docs(spark, sf)).join(
+        F.broadcast(_lexicon(spark, sf)), F.col("token") == F.col("tok")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf"), F.first(F.length("token")).alias("tl")
+    )
+    sm = tf.select(
+        "doc_id",
+        "token",
+        softmax_over("tf", ["doc_id"]).alias("p_start"),
+        softmax_over("tl", ["doc_id"]).alias("p_end"),
+    )
+    sc = sm.withColumn(
+        "span_score", combine_span_probabilities("p_start", "p_end", "max_prod")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("span_score", 6)), F.asc("token")
+    )
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            "doc_id", "token",
+            F.round("p_start", 6).alias("p_start"),
+            F.round("p_end", 6).alias("p_end"),
+            F.round("span_score", 6).alias("span_score"),
+        )
+    )
+
+
 # ---- J10: in-batch negative candidate construction ---------------------------
 
 @register(
