@@ -43,6 +43,7 @@ HEADLINE = [
     # round-2 additions (new operator families)
     "score_pairs",
     "j5_tfidf_topk",
+    "j5_tfidf_topk_maxdf",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "dedup_embedding_neardup",

@@ -1171,6 +1171,61 @@ def j5_tfidf_topk(spark, sf):
     return tfidf_topk(ents, qs, k=5)
 
 
+_TFIDF_MAXDF_SQL = f"""
+    WITH ents AS (SELECT p_partkey AS entity_id,
+                         p_name || ' sku' || p_partkey AS text FROM part),
+    post AS (SELECT entity_id, tok, count(*) AS tf FROM (
+        SELECT entity_id, unnest(regexp_extract_all(lower(text), '[\\w#]+')) AS tok
+        FROM ents) GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+    kept AS (SELECT * FROM dfq
+             WHERE df <= CAST(floor(0.05 * (SELECT count(*) FROM ents)) AS INT)),
+    w AS (SELECT tok, CAST((SELECT count(*) + 1 FROM ents) AS DOUBLE) / (df + 1) AS w
+          FROM kept),
+    qs AS (SELECT p_partkey AS query_id,
+                  'sku' || p_partkey || ' ' || surface AS text
+           FROM ({_VARIANTS_SQL}) WHERE p_partkey % 5 = 0),
+    qt AS (SELECT query_id,
+                  unnest(list_distinct(regexp_extract_all(lower(text), '[\\w#]+'))) AS tok
+           FROM qs),
+    sc AS (SELECT query_id, entity_id, round(sum(tf * w.w), 6) AS score
+           FROM qt JOIN post USING (tok) JOIN w USING (tok) GROUP BY 1, 2),
+    all_pairs AS (SELECT q.query_id, e.entity_id, COALESCE(s.score, 0.0) AS score
+                  FROM qs q CROSS JOIN ents e
+                  LEFT JOIN sc s ON s.query_id = q.query_id AND s.entity_id = e.entity_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, entity_id ASC) AS rank
+          FROM all_pairs)
+    SELECT query_id, entity_id, CAST(rank AS INT) AS rank, score FROM r WHERE rank <= 5
+"""
+
+
+@register("j5_tfidf_topk_maxdf", _TFIDF_MAXDF_SQL)
+def j5_tfidf_topk_maxdf(spark, sf):
+    """Ranked retrieval with max-DF pruning over a realistic mixed dictionary
+    (distinctive sku tokens + dense name words): tokens in > 5% of entities
+    are dropped from the index BEFORE the postings fan-out — the standard
+    stopword-pruning knob that keeps the token join sub-quadratic when the
+    dictionary vocabulary is dense (contrast: j5_tfidf_topk runs unpruned on
+    the all-dense vocabulary as the deliberate worst case)."""
+    from entity_linkings_spark.operators.retrieval import tfidf_topk
+
+    pk = F.col("p_partkey")
+    ents = _part(spark, sf).select(
+        pk.alias("entity_id"),
+        F.concat("p_name", F.lit(" sku"), pk.cast("string")).alias("text"),
+    )
+    qs = (
+        _variants(spark, sf)
+        .where(pk % 5 == 0)
+        .select(
+            pk.alias("query_id"),
+            F.concat(F.lit("sku"), pk.cast("string"), F.lit(" "), "surface").alias("text"),
+        )
+    )
+    return tfidf_topk(ents, qs, k=5, max_df_frac=0.05)
+
+
 # ---- J7/U3: anti-join exclusion (only_negative semantics) -------------------
 
 @register(

@@ -40,17 +40,30 @@ def entity_postings(entities: DataFrame) -> DataFrame:
 
 
 def tfidf_topk(
-    entities: DataFrame, queries: DataFrame, k: int = 5, fill: bool = True
+    entities: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    fill: bool = True,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """(query_id, entity_id, rank, score): top-k entities per query by
     sum(tf(t, e) * w(t)) over the query's distinct tokens, w(t) =
     (N+1)/(df(t)+1); ties and zero-score fill ordered by entity_id.
 
     With ``fill=True`` every query returns exactly min(k, |entities|) rows
-    (the reference's cardinality contract, bm25_test.py:51-64)."""
+    (the reference's cardinality contract, bm25_test.py:51-64).
+
+    ``max_df_frac``: standard max-document-frequency pruning — tokens
+    appearing in more than that fraction of entities are dropped from the
+    index (they are stopwords of this dictionary and their postings fan-out
+    dominates cost while contributing the least-informative weight). The
+    pruning happens on the WEIGHT dimension table, and the query side joins
+    the weights BEFORE the postings, so dense tokens never explode the join."""
     n_ents = entities.count()
     post = entity_postings(entities)
     dfreq = post.groupBy("tok").agg(F.count("*").alias("df"))
+    if max_df_frac is not None:
+        dfreq = dfreq.where(F.col("df") <= int(max_df_frac * n_ents))
     w = dfreq.select(
         "tok", (F.lit(float(n_ents + 1)) / (F.col("df") + 1)).alias("w")
     )
@@ -58,8 +71,10 @@ def tfidf_topk(
         "query_id", F.explode(F.array_distinct(tokenize("text"))).alias("tok")
     )
     scored = (
-        qtoks.join(post, "tok")
-        .join(F.broadcast(w), "tok")
+        # weight (and max-df-prune) the query tokens FIRST — the broadcast
+        # join drops dense tokens before the postings fan-out
+        qtoks.join(F.broadcast(w), "tok")
+        .join(post, "tok")
         .groupBy("query_id", "entity_id")
         .agg(F.round(F.sum(F.col("tf") * F.col("w")), 6).alias("score"))
     )

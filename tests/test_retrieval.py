@@ -54,3 +54,18 @@ def test_zero_fill_is_lowest_missing_ids(spark):
     assert [r["entity_id"] for r in rows[1:]] == [1, 2, 3]
     assert all(r["score"] == 0.0 for r in rows[1:])
     assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_max_df_pruning_drops_dense_tokens(spark):
+    # 'common' appears in every entity (df=1.0) and must be pruned; 'rare'
+    # stays. A query of only-dense tokens degrades to pure zero-fill.
+    ents = _ents(spark, ["common rare", "common alpha", "common beta", "common gamma"])
+    qs = _qs(spark, ["common rare", "common"])
+    out = tfidf_topk(ents, qs, k=2, max_df_frac=0.5)
+    rows = {(r["query_id"], r["rank"]): r for r in out.collect()}
+    # q0: 'rare' (df=1 <= 2) scores entity 0; 'common' (df=4) contributes 0
+    assert rows[(0, 1)]["entity_id"] == 0 and rows[(0, 1)]["score"] > 0
+    assert rows[(0, 2)]["score"] == 0.0  # fill
+    # q1: all tokens pruned -> both rows are zero-fill by lowest id
+    assert [rows[(1, i)]["entity_id"] for i in (1, 2)] == [0, 1]
+    assert all(rows[(1, i)]["score"] == 0.0 for i in (1, 2))
