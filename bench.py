@@ -93,21 +93,42 @@ spark.stop()
 """
 
 
-def run_headline() -> dict[str, float]:
-    from entity_linkings_spark import get_spark
-    import __spark_entry__ as entrymod
+_HEADLINE_SNIPPET = r"""
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from entity_linkings_spark import get_spark
+import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="el-bench", master=f"local[{CPUS}]")
-    spark.sparkContext.setLogLevel("ERROR")
-    qs = entrymod.queries()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
-    spark.stop()
-    return times
+sf_dir, cpus = sys.argv[1], sys.argv[2]
+names = sys.argv[3].split(",")
+spark = get_spark(app_name="el-bench", master=f"local[{cpus}]")
+spark.sparkContext.setLogLevel("ERROR")
+qs = entrymod.queries()
+times = {}
+for name in names:
+    t0 = time.time()
+    n = qs[name](spark, sf_dir).count()
+    times[name] = round(time.time() - t0, 3)
+    print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+print(json.dumps(times))
+spark.stop()
+"""
+
+
+def run_headline() -> dict[str, float]:
+    """The whole headline set in ONE subprocess (one session, queries warm
+    each other as in earlier rounds — numbers stay comparable), exited
+    BEFORE the scaling phase: a stopped SparkSession's JVM was observed
+    burning >100% CPU for minutes after spark.stop(), which contaminated
+    scaling measurements run in the same parent process."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    res = subprocess.run(
+        [sys.executable, "-c", _HEADLINE_SNIPPET, SF_DIR, str(CPUS), ",".join(HEADLINE)],
+        capture_output=True, text=True, timeout=1800, cwd=repo,
+    )
+    print(res.stderr, file=sys.stderr, end="")
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
 
 
 def run_scaling() -> dict:
