@@ -8,12 +8,25 @@
 
 Two parts:
   1. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-     on local[$SPARK_GRAFT_CPUS] — the engine's real operator workloads;
+     on local[$SPARK_GRAFT_CPUS] — the engine's real operator workloads.
+     HERMETIC protocol (round-3): every query runs in its OWN subprocess
+     (fresh JVM, fresh SparkSession — a stopped session's JVM was observed
+     burning CPU for minutes after spark.stop(), contaminating whatever ran
+     next in a shared process). Inside the subprocess: one generic warmup job
+     (JIT + python workers + parquet reader, never the query itself), then
+     the query is timed twice with spark.catalog.clearCache() in between
+     (CacheManager matches canonicalized plans, so a second build of the
+     same query WOULD silently hit the first run's .cache() otherwise);
+     the recorded number is the min of the two runs — on this
+     hypervisor-steal VM noise only ever slows a run down.
   2. the north-rule scaling evidence: the pair-scoring stage (the Arrow/pandas
-     UDF hot path) on the SAME 8M-pair input at local[8] and local[32]
-     (sandbox proxy for N vs 4N executors), reporting absolute pairs/sec at
-     both levels and efficiency = (T8/T32)/4. Each level runs in a fresh
-     subprocess so JVM/session state cannot leak between levels.
+     UDF hot path) on the SAME 8M-pair input at two parallelism levels per
+     pair (sandbox proxy for N vs 4N executors), reporting absolute pairs/sec
+     at both levels and efficiency = (T_N/T_4N)/4. Each level runs in a fresh
+     subprocess. DECLARED PRIMARY PAIR: local[4] -> local[16] — it leaves
+     headroom below this VM's 32-vCPU saturation point, where hypervisor
+     steal and shared memory bandwidth flatten any workload; 8 -> 32 is
+     reported as the saturated secondary data point.
 """
 
 from __future__ import annotations
@@ -93,59 +106,75 @@ spark.stop()
 """
 
 
-_HEADLINE_SNIPPET = r"""
+_QUERY_SNIPPET = r"""
 import json, os, sys, time
 sys.path.insert(0, os.getcwd())
 from entity_linkings_spark import get_spark
 import __spark_entry__ as entrymod
 
-sf_dir, cpus = sys.argv[1], sys.argv[2]
-names = sys.argv[3].split(",")
-spark = get_spark(app_name="el-bench", master=f"local[{cpus}]")
+sf_dir, cpus, name = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = get_spark(app_name=f"el-bench-{name}", master=f"local[{cpus}]")
 spark.sparkContext.setLogLevel("ERROR")
-qs = entrymod.queries()
-times = {}
-for name in names:
+
+# generic warmup: JIT, codegen, python workers, parquet reader — NOT the
+# query itself (its own caches/checkpoints must not leak into run 1)
+from pyspark.sql import functions as F
+spark.range(0, 5_000_000, 1, 64).agg(F.sum("id")).collect()
+spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+q = entrymod.queries()[name]
+runs, rows = [], None
+for _ in range(2):
     t0 = time.time()
-    n = qs[name](spark, sf_dir).count()
-    times[name] = round(time.time() - t0, 3)
-    print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
-print(json.dumps(times))
+    rows = q(spark, sf_dir).count()
+    runs.append(round(time.time() - t0, 3))
+    # CacheManager serves any canonically-identical plan cached by run 1;
+    # drop it so run 2 does the full work again
+    spark.catalog.clearCache()
+print(json.dumps({"name": name, "runs": runs, "sec": min(runs), "rows": rows}))
 spark.stop()
 """
 
 
-def run_headline() -> dict[str, float]:
-    """The whole headline set in ONE subprocess (one session, queries warm
-    each other as in earlier rounds — numbers stay comparable), exited
-    BEFORE the scaling phase: a stopped SparkSession's JVM was observed
-    burning >100% CPU for minutes after spark.stop(), which contaminated
-    scaling measurements run in the same parent process."""
+def _run_subprocess(snippet: str, argv: list[str], what: str) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     res = subprocess.run(
-        [sys.executable, "-c", _HEADLINE_SNIPPET, SF_DIR, str(CPUS), ",".join(HEADLINE)],
+        [sys.executable, "-c", snippet, *argv],
         capture_output=True, text=True, timeout=1800, cwd=repo,
     )
-    print(res.stderr, file=sys.stderr, end="")
-    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
+    if res.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench subprocess for {what} failed (exit {res.returncode}):\n"
+            f"{res.stderr[-4000:]}"
+        )
+    return json.loads(lines[-1])
+
+
+def run_headline() -> dict[str, float]:
+    """Each headline query in its OWN subprocess (hermetic: no JVM/session/
+    cache state shared between queries), min of 2 warm runs each."""
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        out = _run_subprocess(_QUERY_SNIPPET, [SF_DIR, str(CPUS), name], name)
+        times[name] = out["sec"]
+        print(
+            f"# {name}: {out['sec']}s (runs={out['runs']}, {out['rows']} rows)",
+            file=sys.stderr,
+        )
+    return times
 
 
 def run_scaling() -> dict:
-    """N -> 4N scaling. Primary pair: local[4] -> local[16] (leaves headroom
-    below this VM's 32-vCPU saturation point, where hypervisor steal and
-    shared memory bandwidth flatten any workload); local[8] -> local[32]
-    reported as the saturated secondary data point."""
-    repo = os.path.dirname(os.path.abspath(__file__))
+    """N -> 4N scaling. Primary pair: local[4] -> local[16] (headroom below
+    VM saturation); local[8] -> local[32] as the saturated secondary point."""
     out = {}
     for level in (4, 16, 8, 32):
-        res = subprocess.run(
-            [sys.executable, "-c", _SCALE_SNIPPET, str(level), str(N_PAIRS)],
-            capture_output=True, text=True, timeout=1800, cwd=repo,
+        out[f"local{level}"] = _run_subprocess(
+            _SCALE_SNIPPET, [str(level), str(N_PAIRS)], f"scaling local[{level}]"
         )
-        line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
-        out[f"local{level}"] = json.loads(line)
-        print(f"# scaling local[{level}]: {line}", file=sys.stderr)
+        print(f"# scaling local[{level}]: {json.dumps(out[f'local{level}'])}",
+              file=sys.stderr)
     eff = lambda a, b: round((out[a]["sec"] / out[b]["sec"]) / 4.0, 4)  # noqa: E731
     return {
         "local4": round(out["local4"]["pps"], 1),
@@ -153,6 +182,7 @@ def run_scaling() -> dict:
         "local8": round(out["local8"]["pps"], 1),
         "local32": round(out["local32"]["pps"], 1),
         "pairs": N_PAIRS,
+        "primary_pair": "local4->local16",
         "scaling_efficiency": eff("local4", "local16"),
         "scaling_efficiency_8_32": eff("local8", "local32"),
     }
@@ -167,6 +197,7 @@ def main():
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR,
+        "protocol": "per-query subprocess, generic warmup, min of 2 runs",
         "pairs_scored_per_sec": scaling,
     }
     print(json.dumps(result))

@@ -904,18 +904,41 @@ def ann_lsh_recall(spark, sf):
     return SIM.topk_recall(approx, exact)
 
 
-def _ivf_topk_sql(stride: int = 20, nprobe: int = 3, k: int = 10) -> str:
-    """SQL replica of IVF-flat with the sampled codebook (same assignment,
-    same probes, same re-rank)."""
+def _ivf_topk_sql(
+    num_centroids: int = 200, nprobe: int = 28, assign_lists: int = 2, k: int = 10
+) -> str:
+    """SQL replica of IVF-flat with the bounded md5-seeded codebook, one
+    Lloyd refinement iteration (decimal-exact per-dim sums, see
+    operators/similarity.py ivf_topk for why decimal), soft corpus
+    assignment, same probes, same re-rank."""
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id % {stride} = 0),
+    seeds AS (SELECT vec_id AS cent_id, e AS ce FROM v
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {num_centroids}),
+    a0 AS (SELECT vec_id, e, cent_id FROM (
+             SELECT c.vec_id, c.e, s.cent_id,
+                    row_number() OVER (PARTITION BY c.vec_id
+                        ORDER BY round(list_cosine_similarity(c.e, s.ce), 6) DESC,
+                                 s.cent_id ASC) AS rnk
+             FROM v c, seeds s) WHERE rnk = 1),
+    expl AS (SELECT cent_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val,
+                    greatest(sqrt(list_aggregate(list_transform(e, x -> x*x),
+                                                 'sum')), 1e-300) AS nn
+             FROM a0),
+    sums AS (SELECT cent_id, dim,
+                    sum(CAST(round(val / nn, 9) AS DECIMAL(38,9))) AS s,
+                    count(*) AS cnt
+             FROM expl GROUP BY 1, 2),
+    refined AS (SELECT cent_id, list(round(s::DOUBLE / cnt, 6) ORDER BY dim) AS ce
+                FROM sums GROUP BY 1),
+    cents AS (SELECT s.cent_id, coalesce(r.ce, s.ce) AS ce
+              FROM seeds s LEFT JOIN refined r USING (cent_id)),
     lists AS (SELECT neighbor_id, cv, cent_id AS list_id FROM (
         SELECT c.vec_id AS neighbor_id, c.e AS cv, ct.cent_id,
                row_number() OVER (PARTITION BY c.vec_id
                    ORDER BY round(list_cosine_similarity(c.e, ct.ce), 6) DESC,
                             ct.cent_id ASC) AS crank
-        FROM v c, cents ct) WHERE crank = 1),
+        FROM v c, cents ct) WHERE crank <= {assign_lists}),
     probes AS (SELECT query_id, qv, cent_id AS list_id FROM (
         SELECT q.vec_id AS query_id, q.e AS qv, ct.cent_id,
                row_number() OVER (PARTITION BY q.vec_id
@@ -934,12 +957,14 @@ def _ivf_topk_sql(stride: int = 20, nprobe: int = 3, k: int = 10) -> str:
 """
 
 
-# registered config: 50 centroids (stride 10), nprobe 8 -> ~16% of the corpus
-# scanned per query, measured recall 0.70 at sf0.01. This corpus's neighbors
-# sit barely above random cosine (0.4-0.55), the worst case for a coarse
-# quantizer; clustered real-world embeddings partition far more cleanly.
-_IVF_CFG = dict(centroid_stride=10, nprobe=8, k=10)
-_IVF_TOPK_SQL = _ivf_topk_sql(10, 8, 10)
+# registered config: 200 md5-seeded centroids + 1 Lloyd iteration, corpus
+# soft-assigned to its top-2 lists, nprobe 28 -> ~25% of the corpus scanned
+# per query, measured recall 0.935 at sf0.01 (up from 0.70/16% in round 2).
+# This corpus's neighbors sit barely above random cosine (0.4-0.55), the
+# worst case for a coarse quantizer; clustered real-world embeddings
+# partition far more cleanly.
+_IVF_CFG = dict(num_centroids=200, nprobe=28, assign_lists=2, lloyd_iters=1, k=10)
+_IVF_TOPK_SQL = _ivf_topk_sql(200, 28, 2, 10)
 
 
 @register("ann_ivf_topk", _IVF_TOPK_SQL)

@@ -74,12 +74,13 @@ def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
     return row["n"], row["h"]
 
 
-def _local_components(edges: DataFrame) -> DataFrame:
-    """Driver-side union-find finish for a SMALL edge set — the standard
-    hybrid: distributed contraction shrinks the graph, a local solve closes
-    it without paying per-round Spark job overhead (each star round is 2+
-    jobs; a 200-node tail would otherwise cost seconds of pure scheduling).
-    Same contract as the distributed path: cluster_id = min node id."""
+def _local_components(rows, spark) -> DataFrame:
+    """Driver-side union-find finish for a SMALL edge set (pre-collected
+    ``rows``) — the standard hybrid: distributed contraction shrinks the
+    graph, a local solve closes it without paying per-round Spark job
+    overhead (each star round is 2+ jobs; a 200-node tail would otherwise
+    cost seconds of pure scheduling). Same contract as the distributed path:
+    cluster_id = min node id."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -89,7 +90,6 @@ def _local_components(edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    rows = edges.collect()
     for r in rows:
         ru, rv = find(r["u"]), find(r["v"])
         if ru != rv:
@@ -101,7 +101,7 @@ def _local_components(edges: DataFrame) -> DataFrame:
     # min(ms) is the min member; the root is itself a member chain head —
     # with min-root union the root IS the component minimum, but keep the
     # explicit min for clarity
-    return edges.sparkSession.createDataFrame(out, "node string, cluster_id string")
+    return spark.createDataFrame(out, "node string, cluster_id string")
 
 
 def connected_components(
@@ -113,33 +113,42 @@ def connected_components(
     """(node, cluster_id) for every node in ``edges`` (u,v string columns);
     cluster_id = min node id of the component (FIXTURES.md section 6).
 
-    Hybrid execution: edge sets at or below ``local_threshold`` (checked from
-    the same fingerprint aggregate the convergence test needs anyway) are
-    closed with a driver-side union-find; larger graphs run the
-    large-star/small-star contraction loop with per-round checkpointed
-    frontiers until the edge fingerprint stabilizes — and drop to the local
-    finish as soon as contraction shrinks them under the threshold. Raises if
-    not converged in ``max_iterations``."""
+    Hybrid execution: edge sets at or below ``local_threshold`` are closed
+    with a driver-side union-find; larger graphs run the large-star/
+    small-star contraction loop with per-round checkpointed frontiers until
+    the edge fingerprint stabilizes — and drop to the local finish as soon
+    as contraction shrinks them under the threshold. Raises if not converged
+    in ``max_iterations``.
+
+    The entry path costs exactly ONE action for empty and small graphs: a
+    ``limit(local_threshold + 1).collect()`` answers "empty?", "small enough
+    to solve locally?" AND (if small) delivers the complete edge set, where
+    the previous shape paid checkpoint + fingerprint + collect = 3 jobs. The
+    localCheckpoint is LAZY: big graphs materialize the frontier as a side
+    effect of that same first action (Spark completes a lazy local
+    checkpoint's missing partitions inside the triggering action), so the
+    contraction loop still starts from a materialized frontier."""
+    spark = edges.sparkSession
     cur = _canon(edges)
     if checkpoint:
-        cur = cur.localCheckpoint()
-    prev_fp = _edge_fingerprint(cur)
-    if prev_fp[0] == 0:  # empty graph: skip the contraction loop entirely
-        spark = edges.sparkSession
+        cur = cur.localCheckpoint(eager=False)
+    head = cur.limit(local_threshold + 1).collect()
+    if not head:  # empty graph: skip the contraction loop entirely
         return spark.createDataFrame([], "node string, cluster_id string")
-    if prev_fp[0] <= local_threshold:
-        return _local_components(cur)
+    if len(head) <= local_threshold:  # limit returned everything there is
+        return _local_components(head, spark)
+    prev_fp = _edge_fingerprint(cur)
     for _ in range(max_iterations):
         nxt = _small_star(_large_star(cur))
         if checkpoint:
-            nxt = nxt.localCheckpoint()
+            nxt = nxt.localCheckpoint(eager=False)
         fp = _edge_fingerprint(nxt)
         cur = nxt
         if fp == prev_fp:
             break
         prev_fp = fp
         if fp[0] <= local_threshold:
-            return _local_components(cur)
+            return _local_components(cur.collect(), spark)
     else:
         raise RuntimeError(f"connected_components: no convergence in {max_iterations} rounds")
 

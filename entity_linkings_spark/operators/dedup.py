@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from entity_linkings_spark.functions.hashing import minhash_signature, simhash64
@@ -171,7 +171,35 @@ def simhash_bands(max_hamming: int, total_bits: int = 60) -> list[tuple[int, int
     return bands
 
 
-def simhash_near_pairs(sh: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
+def simhash_bucket_stats(
+    sh: DataFrame, max_hamming: int = 8, min_size: int = 2
+) -> DataFrame:
+    """(band_idx, band_val, bucket_size) for every band bucket with at least
+    ``min_size`` members — the observability companion of the
+    ``max_bucket_size`` cap (mirrors blocking.block_stats): callers log or
+    assert the drop set by filtering ``bucket_size > cap`` here, so a capped
+    run's lost fan-in is a queryable number, not a guess."""
+    bands = simhash_bands(max_hamming)
+    band_arr = F.array(
+        *[
+            F.shiftright("simhash", lo).bitwiseAND(F.lit((1 << width) - 1)).cast("long")
+            for _, lo, width in bands
+        ]
+    )
+    return (
+        sh.select(F.posexplode(band_arr).alias("band_idx", "band_val"))
+        .groupBy("band_idx", "band_val")
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") >= min_size)
+    )
+
+
+def simhash_near_pairs(
+    sh: DataFrame,
+    id_col: str,
+    max_hamming: int = 8,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """All pairs with Hamming distance <= max_hamming — COMPLETE (multi-band
     any-band-equal candidates, pigeonhole-exhaustive) then exact-verified.
 
@@ -182,7 +210,15 @@ def simhash_near_pairs(sh: DataFrame, id_col: str, max_hamming: int = 8) -> Data
     choose a smaller k (tighter dup definition) or run banding on a
     corpus partition key first; completeness is per-k exact either way, the
     knob trades pair-join fan-in, never recall.
-    """
+
+    ``max_bucket_size`` (VERDICT r2 item 5): the skew guard for that fan-in.
+    Band buckets larger than the cap are dropped BEFORE the self-join (one
+    window count, same shape as blocking.cap_blocks), bounding the join's
+    per-key blow-up at ~cap^2 instead of (n/2^band_bits)^2. A dropped bucket
+    only loses a pair if NO other band holds it under the cap — near-dup
+    pairs agree on several bands, so real duplicates usually survive; audit
+    exactly what was dropped via simhash_bucket_stats. None = exact
+    (registered dedup_simhash_pairs stays oracle-complete)."""
     bands = simhash_bands(max_hamming)
     # NOTE for callers: the banded self-join scans ``sh`` on BOTH sides (and
     # the smaller side is typically broadcast), so a lazily-chained expensive
@@ -200,6 +236,13 @@ def simhash_near_pairs(sh: DataFrame, id_col: str, max_hamming: int = 8) -> Data
         F.col("simhash"),
         F.posexplode(band_arr).alias("band_idx", "band_val"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_val")
+        keyed = (
+            keyed.withColumn("bsz", F.count("*").over(w))
+            .where(F.col("bsz") <= max_bucket_size)
+            .drop("bsz")
+        )
     a = keyed.select(
         "band_idx", "band_val", F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a")
     )

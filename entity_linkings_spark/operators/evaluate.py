@@ -129,23 +129,42 @@ def inkb_micro_f1(preds: DataFrame, golds: DataFrame) -> DataFrame:
     preds: (conv_id, turn_idx, start, end, labels array<string>)
     golds: (conv_id, turn_idx, start, end, label  array<string>) — non-NIL.
     """
-    # one lazy plan, no driver-side actions: a full-outer join on the span key
-    # tags every row as pred-only / gold-only / both, so counts + hit count
-    # come out of a single aggregate (instead of three separate passes)
+    # one lazy plan, no driver-side actions: each side is first collapsed to
+    # ONE row per span key (count + unioned label set), so the full-outer
+    # join is 1:1 and duplicate span keys cannot inflate n_pred/n_gold the
+    # way a raw m:n full join would (ADVICE r2). A pred row at a hit key
+    # counts as a hit if ANY pred label at that key overlaps the gold label
+    # union — exact for unique keys; for same-span duplicates with disjoint
+    # label sets (not producible by this engine's extractors) it upper-bounds
+    # the reference's per-row loop.
     key = ["conv_id", "turn_idx", "start", "end"]
-    p_side = preds.select(*key, "labels").withColumn("is_pred", F.lit(1))
-    g_side = golds.select(*key, "label").withColumn("is_gold", F.lit(1))
-    j = p_side.join(g_side, key, "full")
+    p_agg = (
+        preds.select(*key, "labels")
+        .groupBy(*key)
+        .agg(
+            F.count("*").alias("p_cnt"),
+            F.array_distinct(F.flatten(F.collect_list("labels"))).alias("p_labels"),
+        )
+    )
+    g_agg = (
+        golds.select(*key, "label")
+        .groupBy(*key)
+        .agg(
+            F.count("*").alias("g_cnt"),
+            F.array_distinct(F.flatten(F.collect_list("label"))).alias("g_labels"),
+        )
+    )
+    j = p_agg.join(g_agg, key, "full")
     agg = j.agg(
-        F.sum(F.coalesce("is_pred", F.lit(0))).alias("n_pred"),
-        F.sum(F.coalesce("is_gold", F.lit(0))).alias("n_gold"),
+        F.sum(F.coalesce("p_cnt", F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce("g_cnt", F.lit(0))).alias("n_gold"),
         F.sum(
             F.when(
-                F.col("is_pred").isNotNull()
-                & F.col("is_gold").isNotNull()
-                & F.arrays_overlap("labels", "label"),
-                1,
-            ).otherwise(0)
+                F.col("p_cnt").isNotNull()
+                & F.col("g_cnt").isNotNull()
+                & F.arrays_overlap("p_labels", "g_labels"),
+                F.col("p_cnt"),
+            ).otherwise(F.lit(0))
         ).alias("n_hit"),
     )
     p = F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1))

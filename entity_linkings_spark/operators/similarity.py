@@ -223,49 +223,97 @@ def lsh_topk(
     )
 
 
+def ivf_codebook(
+    corpus: DataFrame,
+    num_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 65536,
+):
+    """(cent_ids sorted asc, seed matrix) — the first ``num_centroids``
+    corpus vectors ordered by (md5(id), id). Deterministic, and the collect
+    is bounded by num_centroids REGARDLESS of corpus size: orderBy+limit is
+    a distributed TakeOrdered, only the winners reach the driver. Guarded
+    loudly (mirrors ngram_idf's max_vocab pattern, blocking.py)."""
+    import numpy as np
+
+    if num_centroids > max_centroids:
+        raise ValueError(
+            f"ivf codebook: num_centroids={num_centroids} exceeds "
+            f"max_centroids={max_centroids}; a codebook this large would OOM "
+            "the driver collect — shrink it or raise max_centroids explicitly"
+        )
+    crows = sorted(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(num_centroids)
+        .collect(),
+        key=lambda r: r["cid"],
+    )
+    if not crows:
+        raise ValueError("ivf codebook: empty corpus — no codebook can be sampled")
+    cent_ids = np.array([r["cid"] for r in crows])
+    cmat = np.array([r["ce"] for r in crows], dtype=np.float64)
+    return cent_ids, cmat
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    centroid_stride: int = 20,
-    nprobe: int = 3,
+    num_centroids: int = 200,
+    nprobe: int = 28,
+    assign_lists: int = 2,
+    lloyd_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_centroids: int = 65536,
 ) -> DataFrame:
-    """IVF-flat approximate top-k with a SAMPLED codebook: centroids are the
-    corpus vectors with ``id % centroid_stride == 0`` (deterministic coarse
-    quantizer — no Lloyd iterations, so no cross-engine float-accumulation
-    risk), every corpus vector is assigned to its nearest centroid by cosine
-    (ties by centroid id), and a query scans only its ``nprobe`` nearest
-    lists. The inverted lists ARE a partitioning of the corpus: the probe
-    join is an equi-join on centroid id, never a full scan.
+    """IVF-flat approximate top-k with a BOUNDED codebook: the seeds are the
+    first ``num_centroids`` corpus vectors ordered by md5(id) (deterministic,
+    corpus-size-INDEPENDENT — the collect is O(num_centroids) however large
+    the corpus, guarded by ``max_centroids``), refined by ``lloyd_iters``
+    spherical-k-means iterations computed DISTRIBUTED (assignment is a
+    broadcast-codebook GEMM over the corpus; the per-list mean is a decimal
+    fixed-point aggregate, see below), every corpus vector lands in its
+    ``assign_lists`` nearest inverted lists (soft assignment — the standard
+    recall lever when clusters overlap), and a query scans only its
+    ``nprobe`` nearest lists. The inverted lists ARE a partitioning of the
+    corpus: the probe join is an equi-join on list id, never a full scan.
+
+    Cross-engine determinism of the refinement: float addition is not
+    associative, so a naive avg() over shuffled partitions is
+    run-to-run-nondeterministic. Components are rounded to 9 decimals and
+    summed as decimal(38,9) — EXACT integer arithmetic, any accumulation
+    order — then mean+round happen once in double on both engines. Refined
+    centroids are left UNNORMALIZED (cosine is scale-invariant), so no
+    cross-engine sqrt/normalize parity is needed for the codebook itself.
 
     Replaces FAISS IndexIVFFlat semantics
     (/root/reference/entity_linkings/candidate_retriever/dualencoder/
     indexer.py:94-132) with the codebook-as-dimension-table pattern; recall
-    is tunable via nprobe/centroid_stride and measured by topk_recall."""
+    is measured by topk_recall (ann_ivf_recall: 0.935 at sf0.01, ~25% of the
+    corpus scanned per query)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     import numpy as np
     import pandas as pd
 
-    # the codebook is a dimension table: collect once, ship in the closure,
-    # and score every vector against ALL centroids with one numpy matmul per
-    # Arrow batch — a per-pair Catalyst cosine costs ~30us while the GEMM is
-    # amortized BLAS (assignment 13.5s -> ~2s at sf0.1). Rounding to 6
-    # decimals BEFORE the top-n keeps rank parity with the SQL oracle (same
-    # convention as every other ranked cosine here).
-    crows = sorted(
-        corpus.where(F.col(id_col) % centroid_stride == 0)
-        .select(id_col, vec_col)
-        .collect(),
-        key=lambda r: r[0],
+    cent_ids, cmat = ivf_codebook(
+        corpus, num_centroids, id_col=id_col, vec_col=vec_col,
+        max_centroids=max_centroids,
     )
-    cent_ids = np.array([r[0] for r in crows])
-    cmat = np.array([r[1] for r in crows], dtype=np.float64)
-    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300)
+    dim = cmat.shape[1]
 
     def assign(df: DataFrame, idc: str, vc: str, n: int, out: str) -> DataFrame:
         from pyspark.sql import types as T
 
+        # ADVICE r2: a codebook smaller than the requested fan-out must clamp
+        # (argsort yields only len(cent_ids) columns)
+        n = min(n, len(cent_ids))
+        cnorm = cmat / np.maximum(
+            np.linalg.norm(cmat, axis=1, keepdims=True), 1e-300
+        )
         out_schema = T.StructType(
             list(df.schema.fields) + [T.StructField(out, T.LongType())]
         )
@@ -276,7 +324,7 @@ def ivf_topk(
                     continue
                 v = np.array([np.asarray(x) for x in pdf[vc]], dtype=np.float64)
                 v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
-                cd = np.round(v @ cmat.T, 6)
+                cd = np.round(v @ cnorm.T, 6)
                 # top-n by (cdist desc, cent_id asc): cent_ids are sorted, so
                 # a stable argsort on -cdist breaks ties by centroid id
                 order = np.argsort(-cd, axis=1, kind="stable")[:, :n]
@@ -288,10 +336,40 @@ def ivf_topk(
 
         return df.mapInPandas(run, out_schema)
 
-    lists = assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        "neighbor_id", "cv", 1, "list_id",
+    def _round6(x: float) -> float:
+        # DuckDB round() = half away from zero; python round() is banker's —
+        # quantize the exact double with HALF_UP instead
+        return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    corpus_cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
+    for _ in range(lloyd_iters):
+        assigned = assign(corpus_cv, "neighbor_id", "cv", 1, "list_id")
+        nrm = F.greatest(_norm(F.col("cv")), F.lit(1e-300))
+        sums = assigned.groupBy("list_id").agg(
+            F.count("*").alias("cnt"),
+            *[
+                F.sum(
+                    F.round(F.element_at("cv", d + 1).cast("double") / nrm, 9)
+                    .cast("decimal(38,9)")
+                ).alias(f"s{d}")
+                for d in range(dim)
+            ],
+        )
+        refined = {
+            r["list_id"]: [
+                _round6(float(r[f"s{d}"]) / r["cnt"]) for d in range(dim)
+            ]
+            for r in sums.collect()  # <= num_centroids rows: bounded
+        }
+        # empty lists keep their seed vector (same coalesce as the oracle)
+        cmat = np.array(
+            [refined.get(cid, cmat[j]) for j, cid in enumerate(cent_ids)],
+            dtype=np.float64,
+        )
+
+    lists = assign(corpus_cv, "neighbor_id", "cv", assign_lists, "list_id")
     probes = assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "query_id", "qv", nprobe, "list_id",

@@ -99,21 +99,36 @@ class SnapshotStore:
             json.dump({"snapshot_id": snapshot_id, "stage": stage}, f)
         os.replace(mf_tmp, mf)  # atomic commit point
 
-    def gc(self) -> list[str]:
+    def gc(self, grace_seconds: float = 3600.0) -> list[str]:
         """Prune snap dirs with no committed manifest (crashed writes, or
-        manifests removed by an operator). Returns the pruned paths."""
+        manifests removed by an operator). Returns the pruned paths.
+
+        ``grace_seconds`` (ADVICE r2): a concurrent ``write()`` has a window
+        between renaming the snap dir into place and writing its manifest —
+        gc racing into that window would delete a committed-in-progress
+        write. Snap dirs younger than the grace period (mtime) are skipped;
+        pass 0 only when no writers are active."""
+        import time
+
+        now = time.time()
         pruned = []
         for stage in os.listdir(self.root):
             sdir = self._stage_dir(stage)
             if not os.path.isdir(sdir):
                 continue
             for d in os.listdir(sdir):
-                if not (d.startswith("snap-") and os.path.isdir(os.path.join(sdir, d))):
+                path = os.path.join(sdir, d)
+                if not (d.startswith("snap-") and os.path.isdir(path)):
                     continue
                 sid = d.removeprefix("snap-").removesuffix(".tmp")
                 if d.endswith(".tmp") or not os.path.exists(self._manifest(stage, sid)):
-                    shutil.rmtree(os.path.join(sdir, d), ignore_errors=True)
-                    pruned.append(os.path.join(sdir, d))
+                    try:
+                        if now - os.path.getmtime(path) < grace_seconds:
+                            continue  # possibly a rename-then-manifest window
+                    except OSError:
+                        continue  # raced with a writer/another gc: leave it
+                    shutil.rmtree(path, ignore_errors=True)
+                    pruned.append(path)
         return pruned
 
 

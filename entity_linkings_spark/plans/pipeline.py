@@ -49,8 +49,7 @@ from entity_linkings_spark.operators import scoring as S
 from entity_linkings_spark.operators.mentions import extract_mentions
 from entity_linkings_spark.sources.dictionary import (
     NIL_ID,
-    abbrev_dot_tokens,
-    dictionary_token_set,
+    dictionary_token_sets,
 )
 
 
@@ -85,11 +84,8 @@ class LinkagePipeline:
 
     # ---- stage 1: mentions --------------------------------------------------
     def mentions(self, transcripts: DataFrame) -> DataFrame:
-        return extract_mentions(
-            transcripts,
-            dictionary_token_set(self.dic),
-            abbrev_dot_tokens(self.dic),
-        )
+        toks, abbrevs = dictionary_token_sets(self.dic)
+        return extract_mentions(transcripts, toks, abbrevs)
 
     # ---- stage 2: distinct surfaces + prior evidence ------------------------
     def surfaces(self, mentions: DataFrame) -> DataFrame:

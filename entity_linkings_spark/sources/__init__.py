@@ -5,6 +5,7 @@ stage sink (Iceberg on a real cluster, atomic parquet snapshots here)."""
 from entity_linkings_spark.sources.dictionary import (
     abbrev_dot_tokens,
     dictionary_token_set,
+    dictionary_token_sets,
     load_dictionary,
     with_nil_row,
 )
@@ -16,6 +17,7 @@ from entity_linkings_spark.sources.transcripts import (
 __all__ = [
     "abbrev_dot_tokens",
     "dictionary_token_set",
+    "dictionary_token_sets",
     "load_dictionary",
     "with_nil_row",
     "TRANSCRIPT_SCHEMA",

@@ -88,6 +88,31 @@ def dictionary_token_set(dic: DataFrame, min_len: int = 2) -> list[str]:
     return sorted(r["tok"] for r in rows)
 
 
+def dictionary_token_sets(dic: DataFrame, min_len: int = 2) -> tuple[list[str], list[str]]:
+    """(word tokens, abbrev-dot tokens) in ONE Spark action — the fused form
+    of dictionary_token_set + abbrev_dot_tokens. Both are tiny
+    dimension-table derivatives; collecting them separately costs two full
+    dictionary-scan jobs where one suffices (the pipeline's per-job
+    scheduling overhead is pure waste at any scale)."""
+    forms = _surface_forms(dic)
+    words = (
+        forms.select(F.explode(tokenize("surface")).alias("tok"))
+        .where(F.length("tok") >= min_len)
+        .withColumn("kind", F.lit("w"))
+    )
+    abbrevs = forms.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("surface"), F.lit(r"([\w]+)\."), 1)
+        ).alias("tok"),
+        F.lit("a").alias("kind"),
+    )
+    rows = words.unionByName(abbrevs).distinct().collect()
+    return (
+        sorted(r["tok"] for r in rows if r["kind"] == "w"),
+        sorted(r["tok"] for r in rows if r["kind"] == "a"),
+    )
+
+
 def abbrev_dot_tokens(dic: DataFrame) -> list[str]:
     """Lowercase tokens that appear immediately before a '.' inside any
     dictionary surface form (e.g. 'Sys' of 'Acme Sys.', 'A' of 'A. Tanaka').

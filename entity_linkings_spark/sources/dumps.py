@@ -33,6 +33,18 @@ from pyspark.sql import functions as F
 
 _INSERT_RE = re.compile(r"INSERT INTO [`\"]?(\w+)[`\"]? VALUES\s*", re.IGNORECASE)
 
+# MySQL's mysqldump escape table (https://dev.mysql.com/doc/refman/8.0/en/
+# string-literals.html): control escapes decode to their control character;
+# anything else (\', \\, \", \%...) falls back to the literal next character
+_MYSQL_ESCAPES = {
+    "n": "\n",
+    "t": "\t",
+    "r": "\r",
+    "0": "\0",
+    "Z": "\x1a",
+    "b": "\b",
+}
+
 
 def _split_tuples(values: str) -> Iterator[list[str | None]]:
     """Yield value tuples from the VALUES tail of one INSERT statement.
@@ -52,7 +64,8 @@ def _split_tuples(values: str) -> Iterator[list[str | None]]:
             c = values[i]
             if in_q:
                 if c == "\\" and i + 1 < n:
-                    buf.append(values[i + 1])
+                    nxt = values[i + 1]
+                    buf.append(_MYSQL_ESCAPES.get(nxt, nxt))
                     i += 2
                     continue
                 if c == "'":
@@ -122,17 +135,21 @@ def format_sql_dump(
 ) -> DataFrame:
     """Inverse of parse_sql_dump (used by the round-trip correctness query):
     pack rows into INSERT statements, ``rows_per_stmt`` tuples per line.
-    All columns are rendered as quoted strings with backslash-escaped quotes;
-    NULL renders as NULL."""
+    All columns are rendered as quoted strings with backslash-escaped quotes
+    AND mysqldump's control escapes (\\n \\t \\r \\0 \\Z \\b — the exact
+    inverse of _MYSQL_ESCAPES, so parse(format(x)) round-trips control
+    characters too); NULL renders as NULL."""
+
+    def esc(c: str):
+        s = F.regexp_replace(F.col(c).cast("string"), r"(['\\])", r"\\$1")
+        for ch, letter in (("\n", "n"), ("\t", "t"), ("\r", "r"),
+                           ("\x00", "0"), ("\x1a", "Z"), ("\x08", "b")):
+            s = F.regexp_replace(s, ch, "\\\\" + letter)
+        return s
+
     cols = [
-        F.when(
-            F.col(c).isNull(), F.lit("NULL")
-        ).otherwise(
-            F.concat(
-                F.lit("'"),
-                F.regexp_replace(F.col(c).cast("string"), r"(['\\])", r"\\$1"),
-                F.lit("'"),
-            )
+        F.when(F.col(c).isNull(), F.lit("NULL")).otherwise(
+            F.concat(F.lit("'"), esc(c), F.lit("'"))
         )
         for c in df.columns
     ]

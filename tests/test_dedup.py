@@ -53,6 +53,34 @@ def test_simhash_near_pairs_complete_vs_bruteforce(spark):
     assert got == exp  # complete AND exact — no missed pairs, no extras
 
 
+def test_simhash_bucket_cap_bounds_fanin_on_skew(spark):
+    """VERDICT r2 item 5: on a skewed corpus (one value repeated n times =>
+    one bucket of n in EVERY band => ~n^2/2 joined pairs), max_bucket_size
+    bounds the self-join fan-in, and the drop set is observable via
+    simhash_bucket_stats."""
+    hot = [(i, 0xABCDEF) for i in range(200)]  # one n=200 bucket per band
+    # a small cold cluster that must SURVIVE the cap
+    cold = [(1000, 0b1), (1001, 0b11)]  # hamming 1
+    sh = spark.createDataFrame(hot + cold, "doc_id long, simhash long")
+
+    capped = D.simhash_near_pairs(sh, "doc_id", 8, max_bucket_size=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in got          # under-cap buckets keep their pairs
+    assert not any(a < 1000 and b < 1000 for a, b in got)  # hot bucket dropped
+
+    # the drop is a queryable number, not a guess
+    stats = D.simhash_bucket_stats(sh, 8)
+    dropped = stats.where(F.col("bucket_size") > 50).collect()
+    assert len(dropped) == 9            # k+1 = 9 bands, all holding the hot value
+    # low bands hold the 200 hot docs; high bands' zero-value buckets also
+    # absorb the 2 cold docs (hot value has no bits there)
+    assert all(r["bucket_size"] in (200, 202) for r in dropped)
+
+    # uncapped stays exact on the same input (the cap is opt-in)
+    exact = D.simhash_near_pairs(sh, "doc_id", 8).count()
+    assert exact == 200 * 199 // 2 + 1
+
+
 def test_minhash_empty_docs_never_pair(spark):
     """Empty shingle sets must not band together (NULL signature, not a
     shared sentinel): a corpus of many empty-feature docs yields zero

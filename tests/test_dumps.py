@@ -26,6 +26,31 @@ def test_split_tuples_edge_cases():
     ]
 
 
+def test_split_tuples_mysql_control_escapes():
+    """ADVICE r2: mysqldump's control escapes must decode to their control
+    characters, not the literal following letter."""
+    vals = r"(1,'a\nb\tc\rd'),(2,'z\0y\Zx\bw'),(3,'keep\%\_literal')"
+    got = list(_split_tuples(vals))
+    assert got == [
+        ["1", "a\nb\tc\rd"],
+        ["2", "z\0y\x1ax\bw"],
+        # \% and \_ are LIKE-pattern escapes: identity fallback keeps the char
+        ["3", "keep%_literal"],
+    ]
+
+
+def test_sql_dump_roundtrip_control_chars_spark(spark):
+    rows = [(1, "line1\nline2\ttabbed", "a\rb"), (2, "nul\0sub\x1aback\bspace", None)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    import pyspark.sql.functions as F
+    back = parse_sql_dump(format_sql_dump(df, "t"), "t").select(
+        F.element_at("fields", 1).cast("long").alias("id"),
+        F.element_at("fields", 2).alias("a"),
+        F.element_at("fields", 3).alias("b"),
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+
+
 def test_sql_dump_roundtrip_spark(spark):
     rows = [
         (1, "it's got 'quotes'", None),

@@ -96,10 +96,15 @@ def test_alternating_fingerprints_both_resumable(spark, tmp_path):
     assert runner.run("st", "fp1", build).resumed
     assert runner.run("st", "fp2", build).resumed
     assert calls["n"] == 2
-    # an orphan snap dir (no manifest) is pruned; committed ones survive
+    # an orphan snap dir (no manifest) is pruned; committed ones survive.
+    # A FRESH orphan is protected by the grace window (ADVICE r2: gc must
+    # not race a writer's rename-then-manifest gap); it is pruned only once
+    # past the grace period (simulated with grace 0 = "no writers active").
     import os
     orphan = store._snap_dir("st", "0rphan")
     os.makedirs(orphan)
-    pruned = store.gc()
+    assert store.gc() == []  # inside the default 1h grace window
+    assert os.path.isdir(orphan)
+    pruned = store.gc(grace_seconds=0)
     assert pruned == [orphan]
     assert runner.run("st", "fp1", build).resumed and calls["n"] == 2

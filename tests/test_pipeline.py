@@ -60,6 +60,24 @@ def test_top1_accuracy_and_inkb(run, tiny):
     assert 0.0 <= row["f1"] <= 1.0 and row["f1"] >= 0.99
 
 
+def test_inkb_duplicate_span_keys_do_not_inflate(spark):
+    """ADVICE r2: a pred span key matching g gold rows (or vice versa) must
+    not multiply n_pred/n_gold through the full-outer join."""
+    schema = "conv_id string, turn_idx int, start int, end int"
+    preds = spark.createDataFrame(
+        [("c", 0, 1, 5, ["e1"]), ("c", 0, 1, 5, ["e1"]), ("c", 1, 2, 6, ["e9"])],
+        schema + ", labels array<string>",
+    )
+    golds = spark.createDataFrame(
+        [("c", 0, 1, 5, ["e1"]), ("c", 0, 1, 5, ["e2"]), ("c", 2, 0, 3, ["e3"])],
+        schema + ", label array<string>",
+    )
+    row = inkb_micro_f1(preds, golds).collect()[0]
+    assert row["n_pred"] == 3  # NOT 5 (2 preds x 2 golds + 1)
+    assert row["n_gold"] == 3
+    assert row["n_hit"] == 2  # both duplicate preds hit the e1/e2 gold union
+
+
 def test_output_ordering_stable(run):
     rows = run["resolved_mentions"].collect()
     keys = [(r["conv_id"], r["turn_idx"], r["start"]) for r in rows]

@@ -72,7 +72,7 @@ def test_lsh_no_forced_broadcast_on_query_side():
 
 def test_ivf_topk_structure_and_recall(emb):
     q = emb.where(F.col("vec_id") % 25 == 0)
-    r = SIM.ivf_topk(emb, q, k=10, centroid_stride=10, nprobe=8)
+    r = SIM.ivf_topk(emb, q, k=10)
     rows = r.collect()
     per_q = {}
     for x in rows:
@@ -80,4 +80,35 @@ def test_ivf_topk_structure_and_recall(emb):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
     exact = SIM.brute_force_topk(emb, q, k=10)
     rec = SIM.topk_recall(r, exact).collect()[0]
-    assert rec["recall"] >= 0.5  # sampled-codebook floor on this corpus
+    # measured floor on the sf0.001 sample (a harder draw than sf0.01, where
+    # the registered ann_ivf_recall gate measures 0.935 for this same config)
+    assert rec["recall"] >= 0.85
+
+
+def test_ivf_codebook_bounded_under_replication(spark, emb):
+    """VERDICT r2 item 2: the codebook collect is O(num_centroids) however
+    large the corpus — a 10x-replicated input yields a codebook of exactly
+    the configured size, and the guards fire loudly instead of mis-shaping."""
+    big = (
+        emb.withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(10)])))
+        .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000) * F.col("rep"))
+        .drop("rep")
+    )
+    assert big.count() == emb.count() * 10
+    ids_small, mat_small = SIM.ivf_codebook(emb, 32)
+    ids_big, mat_big = SIM.ivf_codebook(big, 32)
+    assert len(ids_small) == len(ids_big) == 32
+    assert mat_small.shape == mat_big.shape == (32, 64)
+
+    with pytest.raises(ValueError, match="max_centroids"):
+        SIM.ivf_codebook(big, 100_000)
+    with pytest.raises(ValueError, match="empty corpus"):
+        SIM.ivf_codebook(emb.where(F.lit(False)), 8)
+
+
+def test_ivf_clamps_nprobe_to_codebook(emb):
+    """ADVICE r2: nprobe larger than the codebook must clamp, not crash with
+    a pandas length mismatch."""
+    q = emb.where(F.col("vec_id") % 125 == 0)
+    r = SIM.ivf_topk(emb, q, k=5, num_centroids=4, nprobe=50, lloyd_iters=0)
+    assert r.count() > 0
