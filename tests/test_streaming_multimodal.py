@@ -44,6 +44,67 @@ def test_incremental_linkage_foreachbatch(spark, tiny, tiny_paths, tmp_path):
     assert spark.read.parquet(sink).count() == 286
 
 
+def test_sessionized_linkage_two_layers_end_to_end(spark, tiny, tmp_path):
+    """VERDICT r2 item 8: stateful sessionization (applyInPandasWithState)
+    COMPOSED with the foreachBatch linkage path — closed sessions drive
+    per-session mention extraction + resolution, with epoch replay safety."""
+    from entity_linkings_spark.streaming.incremental import (
+        session_batch_processor,
+        sessionized_linkage,
+    )
+
+    t0 = 1735725600000  # 2025-01-01 10:00 UTC, ms
+    MIN = 60_000
+    # one conversation, two sessions: turns 5 min apart, then a 3-hour gap
+    # (>> the 30-min session gap) closes session 1 inside the first batch
+    from pyspark.sql import Window
+
+    conv = tiny["transcripts"].orderBy("conv_id", "turn_idx").limit(6)
+    turns = conv.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy("conv_id", "turn_idx")) - 1,
+    ).withColumn(
+        "ts",
+        F.timestamp_millis(
+            F.lit(t0)
+            + F.col("rn") * 5 * MIN
+            + F.when(F.col("rn") >= 3, 180 * MIN).otherwise(0)
+        ),
+    ).drop("rn")
+    src = str(tmp_path / "sess_in")
+    turns.coalesce(1).write.parquet(src)
+
+    pipe = LinkagePipeline(tiny["dictionary"])
+    sink, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    stream = stream_transcripts(spark, src, max_files=1)
+    q = sessionized_linkage(
+        stream, pipe, src, sink, ckpt, gap_ms=30 * MIN, watermark="10 minutes"
+    ).start()
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(sink)
+    rows = out.collect()
+    assert len(rows) > 0  # session 1 closed in-batch and was resolved
+    # every emitted mention is tagged with session 1's id and belongs to the
+    # first three turns (session 2 is still open in state, not emitted)
+    conv_id = turns.select("conv_id").first()[0]
+    assert {r["session_id"] for r in rows} == {f"{conv_id}:{t0}"}
+    assert all(r["turn_idx"] <= 2 for r in rows)
+    assert all(r["entity_id"] is not None for r in rows)
+
+    # replay safety at the composed layer: re-running an epoch's session
+    # batch overwrites its partition instead of appending duplicates
+    sess_batch = spark.createDataFrame(
+        [(conv_id, t0, t0 + 10 * MIN, 3)],
+        "user_id string, session_start_ms long, session_end_ms long, n_events long",
+    )
+    process = session_batch_processor(pipe, src, sink)
+    process(sess_batch, 99)
+    n1 = spark.read.parquet(sink).count()
+    process(sess_batch, 99)  # replay the SAME epoch
+    assert spark.read.parquet(sink).count() == n1
+
+
 def test_windowed_mention_counts(spark, tiny, tmp_path):
     toks = dictionary_token_set(tiny["dictionary"])
     src = str(tmp_path / "in2")
@@ -84,14 +145,17 @@ def test_multimodal_features_and_frames(spark):
 def test_real_decoders_and_stub_boundary(spark):
     assets = M.synthetic_assets(spark, 12)
     feats = M.extract_features(assets, real_decode=False)
-    by_kind = {r["kind"]: r["decoder"] for r in feats.collect()}
-    # stdlib-decodable formats decode FOR REAL; video falls back to the fake
-    assert by_kind == {"image": "ppm", "audio": "wav", "video": "fake"}
+    by_kind: dict[str, set] = {}
+    for r in feats.collect():
+        by_kind.setdefault(r["kind"], set()).add(r["decoder"])
+    # stdlib-decodable formats decode FOR REAL (images alternate PPM/BMP);
+    # video falls back to the fake
+    assert by_kind == {"image": {"ppm", "bmp"}, "audio": {"wav"}, "video": {"fake"}}
     # with real_decode=True the decodable kinds still succeed...
     ok = M.extract_features(
         assets.where("kind != 'video'"), real_decode=True
     ).collect()
-    assert {r["decoder"] for r in ok} == {"ppm", "wav"}
+    assert {r["decoder"] for r in ok} == {"ppm", "bmp", "wav"}
     # ...and the codec-less kind fails loudly at the marked swap-in site
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         M.extract_features(assets.where("kind = 'video'"), real_decode=True).collect()
@@ -113,9 +177,37 @@ def test_ppm_roundtrip_and_resize(spark):
     assets = M.synthetic_assets(spark, 9)
     out = M.resize_images(assets, 16, 12).collect()
     assert len(out) == 3  # only the images
+    formats = set()
     for r in out:
-        dec = M.decode_ppm(bytes(r["payload"]))
+        b = bytes(r["payload"])
+        dec = M.decode_ppm(b) if b.startswith(b"P6") else M.decode_bmp(b)
+        formats.add(b[:2])
         assert dec.shape == (12, 16, 3)
+    assert formats == {b"P6", b"BM"}  # resize re-encodes in the source format
+
+
+def test_bmp_roundtrip_padding_and_topdown():
+    import struct
+
+    import numpy as np
+
+    # w=3 -> stride 12 with 3 pad bytes per row: padding must round-trip
+    arr = (np.arange(5 * 3 * 3, dtype=np.uint32) % 256).astype(np.uint8).reshape(5, 3, 3)
+    assert (M.decode_bmp(M.encode_bmp(arr)) == arr).all()
+    # top-down variant (negative height) decodes to the same image
+    enc = bytearray(M.encode_bmp(arr))
+    h = struct.unpack_from("<i", enc, 22)[0]
+    struct.pack_into("<i", enc, 22, -h)
+    off = struct.unpack_from("<I", enc, 10)[0]
+    stride = (3 * 3 + 3) // 4 * 4
+    rows = [bytes(enc[off + y * stride : off + (y + 1) * stride]) for y in range(h)]
+    enc[off:] = b"".join(reversed(rows))
+    assert (M.decode_bmp(bytes(enc)) == arr).all()
+    # loud failure on unsupported bpp
+    bad = bytearray(M.encode_bmp(arr))
+    struct.pack_into("<H", bad, 28, 8)
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        M.decode_bmp(bytes(bad))
 
 
 def test_wav_roundtrip():
