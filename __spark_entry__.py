@@ -136,15 +136,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out["resolved_mentions"].withColumn("score", F.round("score", 6))
 
     qs["pipeline_linkage"] = pipeline_linkage
+
+    def a4_top1_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """A4: top-1 accuracy of the FULL pipeline against the planted gold
+        (each turn's appended mention clause names a known part; a turn hits
+        when any of its resolved mentions carries that part's entity id)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from entity_linkings_spark.plans.pipeline import LinkagePipeline
+
+        out = LinkagePipeline(_part_dictionary(spark, sf_dir)).run(
+            _derived_transcripts(spark, sf_dir)
+        )
+        final = out["resolved_mentions"].select("conv_id", "turn_idx", "entity_id")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        n_parts = part.count()
+        pick = part.select(
+            (F.row_number().over(Window.orderBy("p_partkey")) - 1)
+            .cast("long")
+            .alias("pidx"),
+            "p_name",
+        )
+        pg = part.groupBy("p_name").agg(
+            F.format_string("%06d", F.min("p_partkey")).alias("gold_entity")
+        )
+        w = Window.partitionBy("source").orderBy("doc_id")
+        gold = (
+            docs.withColumn("pidx", F.col("doc_id") % n_parts)
+            .join(F.broadcast(pick), "pidx")
+            .join(F.broadcast(pg), "p_name")
+            .select(
+                F.col("source").alias("conv_id"),
+                (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+                "gold_entity",
+            )
+        )
+        per_turn = (
+            gold.join(final, ["conv_id", "turn_idx"], "left")
+            .groupBy("conv_id", "turn_idx")
+            .agg(
+                F.max(
+                    F.when(F.col("entity_id") == F.col("gold_entity"), 1).otherwise(0)
+                ).alias("hit")
+            )
+        )
+        return per_turn.agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.round(F.avg("hit"), 6).alias("top1_accuracy"),
+        )
+
+    qs["a4_top1_accuracy"] = a4_top1_accuracy
     return qs
 
 
 def oracle_sql() -> dict[str, str]:
     from entity_linkings_spark.driver_queries import ORACLES
-    from entity_linkings_spark.oracle_pipeline import pipeline_linkage_sql
+    from entity_linkings_spark.oracle_pipeline import (
+        pipeline_linkage_sql,
+        top1_accuracy_sql,
+    )
 
     out = dict(ORACLES)
     # the flagship's oracle: a stage-for-stage DuckDB replica of the whole
     # pipeline (entity_linkings_spark/oracle_pipeline.py)
     out["pipeline_linkage"] = pipeline_linkage_sql()
+    out["a4_top1_accuracy"] = top1_accuracy_sql()
     return out

@@ -98,9 +98,10 @@ def run(salt, count):
     t0 = time.time(); agg.collect(); return time.time() - t0
 
 run(1, max(n // 4, 100_000))  # warmup: JIT, python workers, Arrow channel
-# best-of-3: this box is a VM with hypervisor steal — noise only ever slows
-# a run down, so the minimum is the least-disturbed measurement
-dt = min(run(salt, n) for salt in (2, 3, 4))
+# best-of-2 inside the subprocess: this box is a VM with hypervisor steal —
+# noise only ever slows a run down, so the minimum is the least-disturbed
+# measurement (cross-sweep robustness lives in run_scaling's interleaving)
+dt = min(run(salt, n) for salt in (2, 3))
 print(json.dumps({"level": level, "pairs": n, "sec": dt, "pps": n / dt}))
 spark.stop()
 """
@@ -167,24 +168,50 @@ def run_headline() -> dict[str, float]:
 
 def run_scaling() -> dict:
     """N -> 4N scaling. Primary pair: local[4] -> local[16] (headroom below
-    VM saturation); local[8] -> local[32] as the saturated secondary point."""
-    out = {}
-    for level in (4, 16, 8, 32):
-        out[f"local{level}"] = _run_subprocess(
+    VM saturation); local[8] -> local[32] as the saturated secondary point.
+
+    Interleaved sweeps: this VM's background steal drifts the WHOLE box by
+    up to ~25% over minutes, so measuring level N and level 4N far apart
+    corrupts their ratio with drift that has nothing to do with scaling.
+    The primary pair runs as two adjacent (4, 16) sweeps; each sweep yields
+    one efficiency sample and the reported number is the best sweep — noise
+    only ever slows a run down, so the least-disturbed sweep is the honest
+    capability measurement (per-sweep samples are all recorded)."""
+    def level_run(level: int) -> dict:
+        out = _run_subprocess(
             _SCALE_SNIPPET, [str(level), str(N_PAIRS)], f"scaling local[{level}]"
         )
-        print(f"# scaling local[{level}]: {json.dumps(out[f'local{level}'])}",
-              file=sys.stderr)
-    eff = lambda a, b: round((out[a]["sec"] / out[b]["sec"]) / 4.0, 4)  # noqa: E731
+        print(f"# scaling local[{level}]: {json.dumps(out)}", file=sys.stderr)
+        return out
+
+    sweeps = []
+    best = {}
+    for lo, hi in ((4, 16), (4, 16), (8, 32)):
+        a, b = level_run(lo), level_run(hi)
+        eff = round((a["sec"] / b["sec"]) / 4.0, 4)
+        sweeps.append({"pair": f"local{lo}->local{hi}", "eff": eff,
+                       "total_sec": round(a["sec"] + b["sec"], 3),
+                       f"pps{lo}": round(a["pps"], 1), f"pps{hi}": round(b["pps"], 1)})
+        for lvl, r in ((lo, a), (hi, b)):
+            k = f"local{lvl}"
+            best[k] = max(best.get(k, 0.0), round(r["pps"], 1))
+
+    def pick(pair: str) -> float:
+        # the least-disturbed sweep is the one with the LOWEST combined wall
+        # (steal only adds time); report ITS ratio — picking max(eff) would
+        # be gameable by a steal-slowed small-level run inflating the ratio
+        cand = [s for s in sweeps if s["pair"] == pair]
+        return min(cand, key=lambda s: s["total_sec"])["eff"]
+
+    primary = pick("local4->local16")
+    secondary = pick("local8->local32")
     return {
-        "local4": round(out["local4"]["pps"], 1),
-        "local16": round(out["local16"]["pps"], 1),
-        "local8": round(out["local8"]["pps"], 1),
-        "local32": round(out["local32"]["pps"], 1),
+        **best,
         "pairs": N_PAIRS,
         "primary_pair": "local4->local16",
-        "scaling_efficiency": eff("local4", "local16"),
-        "scaling_efficiency_8_32": eff("local8", "local32"),
+        "scaling_efficiency": primary,
+        "scaling_efficiency_8_32": secondary,
+        "sweeps": sweeps,
     }
 
 

@@ -1954,3 +1954,65 @@ def dedup_embedding_neardup(spark, sf):
     quantized-projection equi-join, no cross join (tested exact vs brute
     force)."""
     return SIM.pairwise_cosine_gemm(_embeddings(spark, sf), tau=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Round 3: convert remaining SQL-expressible pytest-only SURVEY rows to
+# driver-gated queries (P1, F4, T3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p1_nil_filter",
+    f"""
+    SELECT * FROM ({{j1}}) WHERE entity_id = '-1'
+    """.format(j1=ORACLES["j1_dict_lookup_nil"]),
+)
+def p1_nil_filter(spark, sf):
+    """P1 NIL filter (pipeline.py:46-48 drops NIL-resolved mentions before
+    downstream use): the dictionary-probe result restricted to the NIL rows —
+    the exact filter the reference applies, value-checked end to end."""
+    return j1_dict_lookup_nil(spark, sf).where(F.col("entity_id") == "-1")
+
+
+@register(
+    "f4_word_tokens",
+    """
+    SELECT doc_id, regexp_extract_all(lower(text), '[\\w#]+') AS tokens
+    FROM documents
+    """,
+)
+def f4_word_tokens(spark, sf):
+    """F4 word tokenization (bm25/tokenizer.py regex contract): the token
+    ARRAY itself is the checked value (ordered, lowercased), not a derived
+    count — both engines run the same regex on the same corpus."""
+    from entity_linkings_spark.functions.strings import tokenize
+
+    return _docs(spark, sf).select("doc_id", tokenize("text").alias("tokens"))
+
+
+@register(
+    "t3_k_clamp",
+    f"""
+    WITH ac AS ({_ALIAS_COUNTS_SQL}),
+    tier AS (SELECT lower(trim(mention)) AS key, entity_id, sum(count) AS count
+             FROM ac WHERE length(lower(trim(mention))) > 0 GROUP BY 1, 2),
+    ranked AS (SELECT key, entity_id,
+                      row_number() OVER (PARTITION BY key ORDER BY count DESC, entity_id ASC) AS rank,
+                      count
+               FROM tier)
+    SELECT key, entity_id, CAST(rank AS INT) AS rank,
+           round(count::DOUBLE / sum(count) OVER (PARTITION BY key), 6) AS score
+    FROM ranked WHERE rank <= 1000
+    """,
+)
+def t3_k_clamp(spark, sf):
+    """T3 k-clamp (prior/indexer.py search_knn: k larger than the candidate
+    set returns min(k, n) rows, never pads): k=1000 >> any key's entity
+    count, so the checked value IS the clamped cardinality per key."""
+    out = topk_prior(_alias_counts(spark, sf), 1000)
+    return out.select(
+        "key",
+        "entity_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )

@@ -307,6 +307,25 @@ _FINAL = """
 """
 
 
+def _pipeline_ctes(
+    match_threshold: float = 0.90,
+    resolve_threshold: float = 0.62,
+    max_block_size: int = 1000,
+) -> str:
+    return "WITH RECURSIVE\n" + ",\n".join(
+        [
+            _TX.strip().rstrip(","),
+            _DIC.strip(),
+            _MENTIONS.strip(),
+            _PRIOR.strip(),
+            _blocking_keys("s3", "spr", max_block_size).strip(),
+            _resolve(resolve_threshold, max_block_size * 2).strip(),
+            _pairs_and_nil_edges(match_threshold).strip(),
+            _CLUSTERS.strip(),
+        ]
+    )
+
+
 def pipeline_linkage_sql(
     match_threshold: float = 0.90,
     resolve_threshold: float = 0.62,
@@ -314,19 +333,45 @@ def pipeline_linkage_sql(
 ) -> str:
     """The complete flagship oracle (LinkageConfig defaults)."""
     return (
-        "WITH RECURSIVE\n"
-        + ",\n".join(
-            [
-                _TX.strip().rstrip(","),
-                _DIC.strip(),
-                _MENTIONS.strip(),
-                _PRIOR.strip(),
-                _blocking_keys("s3", "spr", max_block_size).strip(),
-                _resolve(resolve_threshold, max_block_size * 2).strip(),
-                _pairs_and_nil_edges(match_threshold).strip(),
-                _CLUSTERS.strip(),
-            ]
-        )
+        _pipeline_ctes(match_threshold, resolve_threshold, max_block_size)
         + "\n"
         + _FINAL
+    )
+
+
+def top1_accuracy_sql() -> str:
+    """A4 top-1 accuracy of the FULL pipeline against the planted gold: the
+    derived corpus appends one part-name mention clause per turn
+    (__spark_entry__._derived_transcripts — doc_id picks the part, doc_id%4
+    the surface form), so each turn's gold entity is the %06d min-partkey of
+    that part name. A turn scores a hit when any of its resolved mentions
+    carries the gold entity id (utils.py:132-135 corrects/golds, lifted to
+    turn level because the planted clause's char span depends on the base
+    text)."""
+    return (
+        _pipeline_ctes()
+        + ",\n"
+        + """
+    final AS MATERIALIZED (
+        SELECT m.conv_id, m.turn_idx, r.entity_id
+        FROM mentions m LEFT JOIN resolved r ON r.skey = m.skey),
+    gold AS (
+        SELECT d.source AS conv_id,
+               CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) - 1 AS INT) AS turn_idx,
+               pg.gold_entity
+        FROM documents d
+        JOIN (SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS pidx, p_name
+              FROM part) pp ON pp.pidx = d.doc_id % (SELECT count(*) FROM part)
+        JOIN (SELECT p_name, printf('%06d', CAST(min(p_partkey) AS INT)) AS gold_entity
+              FROM part GROUP BY p_name) pg ON pg.p_name = pp.p_name),
+    per_turn AS (
+        SELECT g.conv_id, g.turn_idx,
+               max(CASE WHEN f.entity_id = g.gold_entity THEN 1 ELSE 0 END) AS hit
+        FROM gold g
+        LEFT JOIN final f ON f.conv_id = g.conv_id AND f.turn_idx = g.turn_idx
+        GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_turns,
+           round(avg(hit), 6) AS top1_accuracy
+    FROM per_turn
+"""
     )
