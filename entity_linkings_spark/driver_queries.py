@@ -2016,3 +2016,68 @@ def t3_k_clamp(spark, sf):
         F.col("rank").cast("int").alias("rank"),
         F.round("score", 6).alias("score"),
     )
+
+
+@register(
+    "f5_char_ngrams",
+    f"""
+    WITH lex AS ({_LEXICON_SQL})
+    SELECT tok,
+           CASE WHEN length(tok) <= 3 THEN [tok]
+                ELSE list_transform(generate_series(1, length(tok) - 2),
+                                    i -> substr(tok, CAST(i AS INT), 3)) END AS ngrams
+    FROM lex
+    """,
+)
+def f5_char_ngrams(spark, sf):
+    """F5 subword tokenization — the documented model-free substitution
+    (char 3-gram shingles, SURVEY 2.7): the ordered shingle ARRAY per token
+    is the checked value; short tokens yield themselves (the non-vanishing
+    contract tested in test_functions)."""
+    from entity_linkings_spark.functions.strings import char_ngrams
+
+    return _lexicon(spark, sf).select("tok", char_ngrams("tok", 3).alias("ngrams"))
+
+
+@register(
+    "f8_hash_keys",
+    f"""
+    WITH lex AS ({_LEXICON_SQL})
+    SELECT tok,
+           md5(tok) AS md5_hex,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h60,
+           CAST(('0x' || substr(md5('mh1:' || tok), 1, 7)) AS BIGINT) AS h28_mh1
+    FROM lex
+    """,
+)
+def f8_hash_keys(spark, sf):
+    """F8 md5-derived keys (utils.py md5 ids): the full hex digest plus the
+    engine's h60/h28 truncations — every blocking/fingerprint key in the repo
+    derives from these, so this row value-checks the shared hash substrate."""
+    from entity_linkings_spark.functions.hashing import h28, h60
+
+    lex = _lexicon(spark, sf)
+    return lex.select(
+        "tok",
+        F.md5("tok").alias("md5_hex"),
+        h60("tok").alias("h60"),
+        h28("tok", "mh1:").alias("h28_mh1"),
+    )
+
+
+@register(
+    "t6_stable_order",
+    f"""
+    SELECT row_number() OVER (ORDER BY doc_id, start) AS ordinal, *
+    FROM ({{p8}})
+    """.format(p8=ORACLES["p8_extract_islands"]),
+)
+def t6_stable_order(spark, sf):
+    """T6 stable output ordering: the extraction output's TOTAL deterministic
+    order materialized as an ordinal column — the driver's value hash is
+    order-insensitive, so making the ordinal part of the VALUES is what
+    actually checks the ordering contract across engines."""
+    w = Window.orderBy("doc_id", "start")
+    return p8_extract_islands(spark, sf).withColumn(
+        "ordinal", F.row_number().over(w).cast("long")
+    )
