@@ -61,6 +61,9 @@ HEADLINE = [
     "ann_ivf_topk",
     "dedup_embedding_neardup",
     "dedup_pipeline",
+    # round-3 addition (regime-based dense-retrieval tool; the frozen rows
+    # above stay untouched for cross-round comparability)
+    "j5_tfidf_topk_gemm",
 ]
 
 _SCALE_SNIPPET = r"""

@@ -2081,3 +2081,24 @@ def t6_stable_order(spark, sf):
     return p8_extract_islands(spark, sf).withColumn(
         "ordinal", F.row_number().over(w).cast("long")
     )
+
+
+@register("j5_tfidf_topk_gemm", _TFIDF_TOPK_SQL)
+def j5_tfidf_topk_gemm(spark, sf):
+    """The SAME ranked-retrieval contract as j5_tfidf_topk (identical oracle)
+    under the dense-vocabulary regime tool: entity weight matrix as a
+    broadcast dimension table + one numpy GEMM per Arrow batch
+    (operators/retrieval.py tfidf_topk_gemm). The all-dense 16-word
+    dictionary that makes the postings join its deliberate worst case
+    (~30M scored partials) is exactly the shape a GEMM flattens."""
+    from entity_linkings_spark.operators.retrieval import tfidf_topk_gemm
+
+    ents = _part(spark, sf).select(
+        F.col("p_partkey").alias("entity_id"), F.col("p_name").alias("text")
+    )
+    qs = (
+        _variants(spark, sf)
+        .where(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_partkey").alias("query_id"), F.col("surface").alias("text"))
+    )
+    return tfidf_topk_gemm(ents, qs, k=5)

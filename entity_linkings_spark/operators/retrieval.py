@@ -116,3 +116,101 @@ def tfidf_topk(
         out.withColumn("rank", F.row_number().over(rank_w).cast("int"))
         .select("query_id", "entity_id", "rank", "score")
     )
+
+
+def tfidf_topk_gemm(
+    entities: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_df_frac: float | None = None,
+    max_cells: int = 50_000_000,
+) -> DataFrame:
+    """tfidf_topk for the DENSE-VOCABULARY regime — same results, different
+    physical plan (the regime-based tool choice this repo applies to exact
+    near-dup: postings joins win when the vocabulary is large and sparse;
+    when every query token matches most entities the postings join fans out
+    to ~|queries| x |entities| partials and the right tool is a GEMM).
+
+    The entity weight matrix (|entities| x |vocab| of tf(t,e) * w(t)) is a
+    dimension table: collected once (GUARDED by ``max_cells`` — this path is
+    only for vocabularies small enough that the matrix is broadcastable),
+    shipped in the closure, and each Arrow batch of queries scores against
+    ALL entities with one numpy float64 matmul. The dense score grid IS the
+    full ranking, so the reference's min(k, N) cardinality contract
+    (bm25_test.py:51-64) — including the zero-score fill ordered by entity
+    id — falls out naturally instead of needing the anti-join completion.
+
+    Parity with tfidf_topk/the SQL oracle: scores round to 6 decimals before
+    ranking (GEMM accumulation order differs only in the last ulp), ties
+    break by ascending entity id via a stable argsort over the id-sorted
+    matrix. Query tokenization happens IN SPARK (array_distinct(tokenize()))
+    so the regex lives in one engine only."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_ents = entities.count()
+    post = entity_postings(entities)
+    dfreq = post.groupBy("tok").agg(F.count("*").alias("df"))
+    if max_df_frac is not None:
+        dfreq = dfreq.where(F.col("df") <= int(max_df_frac * n_ents))
+    w = dfreq.select(
+        "tok", (F.lit(float(n_ents + 1)) / (F.col("df") + 1)).alias("w")
+    )
+    vocab = sorted(r["tok"] for r in w.select("tok").collect())
+    if n_ents * max(len(vocab), 1) > max_cells:
+        raise ValueError(
+            f"tfidf_topk_gemm: dense matrix would be {n_ents} x {len(vocab)} "
+            f"= {n_ents * len(vocab)} cells > max_cells={max_cells}; this is "
+            "the sparse regime — use tfidf_topk (postings join) instead"
+        )
+    tok_idx = {t: i for i, t in enumerate(vocab)}
+    ent_rows = (
+        post.join(w, "tok")
+        .select("entity_id", "tok", (F.col("tf") * F.col("w")).alias("tw"))
+        .collect()
+    )
+    ids = np.array(sorted(r["entity_id"] for r in entities.select("entity_id").collect()))
+    eid_idx = {e: i for i, e in enumerate(ids)}
+    emat = np.zeros((len(ids), len(vocab)), dtype=np.float64)
+    for r in ent_rows:
+        emat[eid_idx[r["entity_id"]], tok_idx[r["tok"]]] = r["tw"]
+
+    kk = min(k, len(ids))
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("entity_id", T.LongType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.zeros((len(pdf), len(vocab)), dtype=np.float64)
+            for i, toks in enumerate(pdf["toks"]):
+                for t in toks:
+                    j = tok_idx.get(t)
+                    if j is not None:
+                        q[i, j] = 1.0
+            scores = np.round(q @ emat.T, 6)
+            # ids are sorted ascending, so a stable argsort on -scores breaks
+            # ties by entity id — the oracle's (score DESC, entity_id ASC)
+            order = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+            rows = np.arange(len(pdf))[:, None]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].to_numpy(), kk),
+                    "entity_id": ids[order].reshape(-1),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf)),
+                    "score": scores[rows, order].reshape(-1),
+                }
+            )
+
+    qtoks = queries.select(
+        "query_id", F.array_distinct(tokenize("text")).alias("toks")
+    )
+    return qtoks.mapInPandas(run, out_schema)

@@ -69,3 +69,22 @@ def test_max_df_pruning_drops_dense_tokens(spark):
     # q1: all tokens pruned -> both rows are zero-fill by lowest id
     assert [rows[(1, i)]["entity_id"] for i in (1, 2)] == [0, 1]
     assert all(rows[(1, i)]["score"] == 0.0 for i in (1, 2))
+
+
+def test_gemm_equals_postings_join(spark, tiny):
+    """tfidf_topk_gemm is a physical-plan alternative, not a semantic one:
+    identical rows (incl. zero-fill ranks and tie-breaks) to tfidf_topk."""
+    import pyspark.sql.functions as F
+
+    from entity_linkings_spark.operators.retrieval import tfidf_topk, tfidf_topk_gemm
+
+    ents = tiny["dictionary"].where(F.col("id") != "-1").select(
+        F.monotonically_increasing_id().alias("entity_id"), F.col("name").alias("text")
+    ).localCheckpoint()
+    qs = ents.select(F.col("entity_id").alias("query_id"), "text").limit(40)
+    a = sorted(map(tuple, tfidf_topk(ents, qs, k=7).collect()))
+    b = sorted(map(tuple, tfidf_topk_gemm(ents, qs, k=7).collect()))
+    assert a == b
+
+    with __import__("pytest").raises(ValueError, match="max_cells"):
+        tfidf_topk_gemm(ents, qs, k=7, max_cells=1)
