@@ -141,23 +141,31 @@ def tfidf_topk_gemm(
     id — falls out naturally instead of needing the anti-join completion.
 
     Parity with tfidf_topk/the SQL oracle: scores round to 6 decimals before
-    ranking (GEMM accumulation order differs only in the last ulp), ties
-    break by ascending entity id via a stable argsort over the id-sorted
-    matrix. Query tokenization happens IN SPARK (array_distinct(tokenize()))
-    so the regex lives in one engine only."""
+    ranking (GEMM accumulation order differs only in the last ulp); top-k
+    selection uses an EXACT integer composite key (score-in-micros, id rank)
+    so np.argpartition — O(N) selection, not an O(N log N) full-row sort —
+    still reproduces the oracle's (score DESC, entity_id ASC) order
+    including the huge zero-score tie class. Query tokenization happens IN
+    SPARK (array_distinct(tokenize())) so the regex lives in one engine
+    only. Driver cost: exactly 3 bounded actions (entity ids, the df/weight
+    table, the postings) — weights are recomputed from (df, N) driver-side
+    rather than spending a 4th job on a count."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    n_ents = entities.count()
+    ids = np.array(
+        sorted(r["entity_id"] for r in entities.select("entity_id").collect())
+    )
+    n_ents = len(ids)
+    if n_ents == 0:
+        raise ValueError("tfidf_topk_gemm: empty entity table")
     post = entity_postings(entities)
     dfreq = post.groupBy("tok").agg(F.count("*").alias("df"))
+    df_rows = dfreq.collect()
     if max_df_frac is not None:
-        dfreq = dfreq.where(F.col("df") <= int(max_df_frac * n_ents))
-    w = dfreq.select(
-        "tok", (F.lit(float(n_ents + 1)) / (F.col("df") + 1)).alias("w")
-    )
-    vocab = sorted(r["tok"] for r in w.select("tok").collect())
+        df_rows = [r for r in df_rows if r["df"] <= int(max_df_frac * n_ents)]
+    vocab = sorted(r["tok"] for r in df_rows)
     if n_ents * max(len(vocab), 1) > max_cells:
         raise ValueError(
             f"tfidf_topk_gemm: dense matrix would be {n_ents} x {len(vocab)} "
@@ -165,18 +173,27 @@ def tfidf_topk_gemm(
             "the sparse regime — use tfidf_topk (postings join) instead"
         )
     tok_idx = {t: i for i, t in enumerate(vocab)}
-    ent_rows = (
-        post.join(w, "tok")
-        .select("entity_id", "tok", (F.col("tf") * F.col("w")).alias("tw"))
-        .collect()
-    )
-    ids = np.array(sorted(r["entity_id"] for r in entities.select("entity_id").collect()))
-    eid_idx = {e: i for i, e in enumerate(ids)}
-    emat = np.zeros((len(ids), len(vocab)), dtype=np.float64)
-    for r in ent_rows:
-        emat[eid_idx[r["entity_id"]], tok_idx[r["tok"]]] = r["tw"]
+    weight = {
+        r["tok"]: float(n_ents + 1) / (r["df"] + 1)
+        for r in df_rows
+    }
+    eid_idx = {int(e): i for i, e in enumerate(ids)}
+    emat = np.zeros((n_ents, len(vocab)), dtype=np.float64)
+    for r in post.collect():
+        j = tok_idx.get(r["tok"])
+        if j is not None:  # max-df-pruned tokens carry no weight
+            emat[eid_idx[r["entity_id"]], j] = r["tf"] * weight[r["tok"]]
 
-    kk = min(k, len(ids))
+    kk = min(k, n_ents)
+    # composite int64 ranking key: score-in-micros (scores are 6-decimal by
+    # contract) shifted past a 24-bit id-rank field, with LOWER id rank
+    # winning inside a score tie. Exact while score*1e6 < 2^39 — guarded.
+    id_bits = 24
+    if n_ents >= (1 << id_bits):
+        raise ValueError("tfidf_topk_gemm: more than 2^24 entities — raise id_bits")
+    max_score_micros = (1 << (63 - id_bits)) - 1
+    anti_rank = (1 << id_bits) - 1 - np.arange(n_ents, dtype=np.int64)
+
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -197,10 +214,15 @@ def tfidf_topk_gemm(
                     if j is not None:
                         q[i, j] = 1.0
             scores = np.round(q @ emat.T, 6)
-            # ids are sorted ascending, so a stable argsort on -scores breaks
-            # ties by entity id — the oracle's (score DESC, entity_id ASC)
-            order = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+            micros = np.round(scores * 1e6).astype(np.int64)
+            if micros.size and micros.max() > max_score_micros:
+                raise ValueError("tfidf_topk_gemm: score overflows the composite key")
+            key = (micros << id_bits) + anti_rank[None, :]
+            # O(N) selection of the kk largest keys, then sort just those
+            top = np.argpartition(-key, kk - 1, axis=1)[:, :kk]
             rows = np.arange(len(pdf))[:, None]
+            order_in_top = np.argsort(-key[rows, top], axis=1)
+            order = top[rows, order_in_top]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(pdf["query_id"].to_numpy(), kk),
@@ -210,7 +232,10 @@ def tfidf_topk_gemm(
                 }
             )
 
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    # single-file parquet arrives as ONE partition — without this the whole
+    # GEMM+selection runs in a single python worker
     qtoks = queries.select(
         "query_id", F.array_distinct(tokenize("text")).alias("toks")
-    )
+    ).repartition(par)
     return qtoks.mapInPandas(run, out_schema)
