@@ -2102,3 +2102,38 @@ def j5_tfidf_topk_gemm(spark, sf):
         .select(F.col("p_partkey").alias("query_id"), F.col("surface").alias("text"))
     )
     return tfidf_topk_gemm(ents, qs, k=5)
+
+
+@register(
+    "dedup_simhash_pairs_capped",
+    f"""
+    WITH base AS ({_SIMHASH_SQL}),
+    bands(band_idx, lo, width) AS (SELECT * FROM (VALUES {_simhash_bands_values_sql(8)})),
+    keyed AS (SELECT doc_id, simhash, band_idx,
+                     (simhash >> lo) & ((1::BIGINT << width) - 1) AS band_val
+              FROM base, bands),
+    kept AS (SELECT * FROM (
+                 SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+                 FROM keyed) WHERE bsz <= 8)
+    SELECT id_a, id_b, CAST(min(hamming) AS INT) AS hamming FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id)
+    WHERE hamming <= 8 GROUP BY 1, 2
+    """,
+)
+def dedup_simhash_pairs_capped(spark, sf):
+    """The max_bucket_size skew guard (VERDICT r2 item 5) itself
+    oracle-gated: identical banding to dedup_simhash_pairs with buckets
+    larger than 8 dropped BEFORE the self-join, replicated in SQL with the
+    same window count. The cap bites on this corpus (band buckets up to 20
+    members get dropped) yet all 25 true pairs are still recovered through
+    their other bands — the value check proves BOTH the exact drop
+    semantics and the multi-band redundancy argument the cap's recall story
+    rests on."""
+    sh = D.simhash_docs(_docs(spark, sf), "doc_id").localCheckpoint()
+    return D.simhash_near_pairs(sh, "doc_id", 8, max_bucket_size=8).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )

@@ -94,3 +94,19 @@ def test_singletons_fill(spark):
         for r in clusters_with_singletons(connected_components(edges), nodes).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_small_graph_cc_costs_at_most_two_jobs(spark):
+    """VERDICT r2 item 4 (job-count cut), pinned with a drift-free metric:
+    the small-graph CC entry is ONE action — the limit-collect — plus at
+    most the lazy localCheckpoint's backfill job. The previous shape
+    (eager checkpoint + fingerprint + collect) cost 3 actions / 4+ jobs."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "u string, v string"
+    )
+    sc = spark.sparkContext
+    j0 = sc._jsc.sc().dagScheduler().nextJobId()
+    out = connected_components(edges)  # fast path collects during build
+    j1 = sc._jsc.sc().dagScheduler().nextJobId()
+    assert j1 - j0 <= 2
+    assert out.count() == 5  # result itself is a local createDataFrame

@@ -51,3 +51,13 @@ def test_dimension_joins_broadcast(spark):
     # lexicon/dictionary joins must not shuffle the fact side
     p = _plan(spark, "j1_dict_lookup_nil")
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_gemm_retrieval_parallelizes_batches(spark):
+    """tfidf_topk_gemm must repartition the query side before mapInPandas:
+    a single-file parquet source arrives as ONE partition, which would run
+    the whole GEMM+selection in one python worker (measured 31s -> ~2s at
+    sf0.1)."""
+    p = _plan(spark, "j5_tfidf_topk_gemm")
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    assert "Exchange RoundRobinPartitioning" in p  # the repartition survived
