@@ -188,12 +188,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     qs["a4_top1_accuracy"] = a4_top1_accuracy
+
+    def j8_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """J8 candidate x mention pairing: the pipeline's blocking stage
+        (shared token + MinHash-LSH key derivation, capped blocks,
+        triangle-salted hot blocks, canonical deduped pairs) over the
+        derived corpus — salting is pair-set-identical to the plain join by
+        construction, which this value check also proves end to end."""
+        from entity_linkings_spark.plans.pipeline import LinkagePipeline
+
+        pipe = LinkagePipeline(_part_dictionary(spark, sf_dir))
+        mentions = pipe.mentions(_derived_transcripts(spark, sf_dir))
+        surfaces = pipe.surfaces(mentions)
+        keys = pipe.surface_keys(surfaces)
+        return pipe.pairs(surfaces, keys).select(
+            "skey_a", "skey_b", "surface_a", "surface_b"
+        )
+
+    qs["j8_blocking_pairs"] = j8_blocking_pairs
     return qs
 
 
 def oracle_sql() -> dict[str, str]:
     from entity_linkings_spark.driver_queries import ORACLES
     from entity_linkings_spark.oracle_pipeline import (
+        blocking_pairs_sql,
         pipeline_linkage_sql,
         top1_accuracy_sql,
     )
@@ -203,4 +222,5 @@ def oracle_sql() -> dict[str, str]:
     # pipeline (entity_linkings_spark/oracle_pipeline.py)
     out["pipeline_linkage"] = pipeline_linkage_sql()
     out["a4_top1_accuracy"] = top1_accuracy_sql()
+    out["j8_blocking_pairs"] = blocking_pairs_sql()
     return out

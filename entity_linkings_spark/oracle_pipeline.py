@@ -208,14 +208,18 @@ def _blocking_keys(prefix: str, src: str, cap: int, num_bands: int = 8, rows_per
 
 # plans/pipeline.py pairs() -> candidate pairs; scoring only the NIL-NIL
 # subset (the sole stage-4 consumer; see module docstring)
-def _pairs_and_nil_edges(match_threshold: float) -> str:
-    return f"""
+_PAIRS_CTE = """
     pairs AS MATERIALIZED (
         SELECT a.skey AS skey_a, b.skey AS skey_b,
                min(a.surface) AS surface_a, min(b.surface) AS surface_b
         FROM s3_capped a JOIN s3_capped b
           ON a.block_key = b.block_key AND a.skey < b.skey
-        GROUP BY 1, 2),
+        GROUP BY 1, 2)"""
+
+
+def _pairs_and_nil_edges(match_threshold: float) -> str:
+    return f"""
+    {_PAIRS_CTE.strip()},
     nilpairs AS MATERIALIZED (
         SELECT p.skey_a || p.skey_b AS pair_id, p.surface_a AS a, p.surface_b AS b,
                p.skey_a, p.skey_b
@@ -336,6 +340,27 @@ def pipeline_linkage_sql(
         _pipeline_ctes(match_threshold, resolve_threshold, max_block_size)
         + "\n"
         + _FINAL
+    )
+
+
+def blocking_pairs_sql(max_block_size: int = 1000) -> str:
+    """J8 candidate x mention pairing as its own oracle: the pipeline's
+    blocking stage (token + MinHash-LSH keys, capped blocks, canonical
+    skey_a < skey_b pairs) over the derived corpus — the exact pairs CTE the
+    flagship consumes, selected as the result instead of feeding scoring."""
+    return (
+        "WITH RECURSIVE\n"
+        + ",\n".join(
+            [
+                _TX.strip().rstrip(","),
+                _DIC.strip(),
+                _MENTIONS.strip(),
+                _PRIOR.strip(),
+                _blocking_keys("s3", "spr", max_block_size).strip(),
+                _PAIRS_CTE.strip(),
+            ]
+        )
+        + "\nSELECT skey_a, skey_b, surface_a, surface_b FROM pairs"
     )
 
 
