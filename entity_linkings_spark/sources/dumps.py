@@ -60,6 +60,9 @@ def _split_tuples(values: str) -> Iterator[list[str | None]]:
         fields: list[str | None] = []
         buf: list[str] = []
         in_q = False
+        was_q = False  # "this field was a quoted string" — so '' != NULL and
+        # quoted whitespace survives (strip() applies ONLY to unquoted values;
+        # a quoted ' ' must round-trip as ' ', found by the hypothesis test)
         while i < n:
             c = values[i]
             if in_q:
@@ -79,26 +82,29 @@ def _split_tuples(values: str) -> Iterator[list[str | None]]:
                 buf.append(c)
                 i += 1
                 continue
-            if c == "'":
+            if c == "'" and not was_q:
                 in_q = True
-                buf.append("\0q")  # mark "was quoted" so '' != NULL
+                was_q = True
+                buf = []  # drop any whitespace buffered before the quote
                 i += 1
                 continue
             if c in ",)":
-                raw = "".join(buf).strip()
-                if raw.startswith("\0q"):
-                    fields.append(raw[2:])
-                elif raw.upper() == "NULL" or raw == "":
-                    fields.append(None)
+                if was_q:
+                    fields.append("".join(buf))
                 else:
-                    fields.append(raw)
+                    raw = "".join(buf).strip()
+                    fields.append(None if (raw.upper() == "NULL" or raw == "") else raw)
                 buf = []
+                was_q = False
                 if c == ")":
                     i += 1
                     break
                 i += 1
                 continue
-            buf.append(c)
+            if not was_q:
+                buf.append(c)
+            # after a closing quote, anything but the delimiter is dump
+            # whitespace — skip it rather than pollute the quoted value
             i += 1
         yield fields
 

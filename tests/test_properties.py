@@ -85,3 +85,53 @@ def test_grid_neardup_complete_on_random_vectors(seed):
             if (np.abs(cells[i] - cells[j]) <= 1).all() and cos[i, j] >= tau:
                 found.add((i, j))
     assert found == exact  # every qualifying pair lands in adjacent cells
+
+
+# ---- round-3 machinery properties (pure-python/numpy, no Spark session) ----
+
+@given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_bmp_roundtrip_any_shape(w, h, seed):
+    """BMP encode/decode round-trips every (h, w) incl. all stride paddings."""
+    from entity_linkings_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(seed)
+    arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(arr)) == arr).all()
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+               max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_mysql_escape_roundtrip(s):
+    """format-side escaping and _split_tuples decoding are exact inverses
+    for arbitrary text incl. control characters and quote/backslash runs."""
+    import re
+
+    from entity_linkings_spark.sources.dumps import _split_tuples
+
+    esc = re.sub(r"(['\\])", r"\\\1", s)
+    for ch, letter in (("\n", "n"), ("\t", "t"), ("\r", "r"),
+                       ("\x00", "0"), ("\x1a", "Z"), ("\x08", "b")):
+        esc = esc.replace(ch, "\\" + letter)
+    got = list(_split_tuples(f"('{esc}')"))
+    assert got == [[s]]
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(1, 9))
+@settings(max_examples=30, deadline=None)
+def test_gemm_composite_key_orders_like_lexicographic(seed, k):
+    """The int64 (score-micros << 24 | inverted-id-rank) key used by
+    tfidf_topk_gemm must reproduce (score DESC, id-rank ASC) exactly —
+    including massive tie classes (scores drawn from a tiny grid)."""
+    rng = np.random.RandomState(seed)
+    n = 50
+    scores = np.round(rng.choice([0.0, 0.25, 0.5, 123.456789], size=n), 6)
+    micros = np.round(scores * 1e6).astype(np.int64)
+    anti_rank = (1 << 24) - 1 - np.arange(n, dtype=np.int64)
+    key = (micros << 24) + anti_rank
+    kk = min(k, n)
+    top = np.argpartition(-key, kk - 1)[:kk]
+    order = top[np.argsort(-key[top])]
+    naive = sorted(range(n), key=lambda i: (-scores[i], i))[:kk]
+    assert list(order) == naive
