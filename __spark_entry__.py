@@ -23,18 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministically reshape the documents corpus into the transcript
-    schema (conv_id, turn_idx, role, text, tool, ts) — conversations keyed by
-    source, turns ordered by doc_id.
-
-    Each turn additionally carries one deterministic entity-mention clause
-    derived from the part table (doc_id picks the part, doc_id % 4 picks the
-    surface form: Title-Case, UPPER, Title-Case with an adjacent-char
-    transposition typo, or lowercase), so the full linkage pipeline — mention
-    extraction, alias/prior hits, scored typo resolution, clustering — is
-    exercised end-to-end on the driver corpus, and the DuckDB oracle can
-    replay the exact same derivation."""
+def _doc_turn_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHARED doc -> (conv_id, turn_idx, picked part) mapping: doc_id
+    picks the part (pidx = doc_id % |part|), per-source row_number gives the
+    turn index. Single definition consumed by BOTH the transcript derivation
+    (_derived_transcripts) and the planted-gold builder (a4_top1_accuracy) —
+    if the derivation ever changes, the accuracy gate changes WITH it
+    instead of silently measuring against stale gold."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -56,6 +51,35 @@ def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         tcname.alias("tcname"),
     )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("pidx", F.col("doc_id") % n_parts)
+        .join(F.broadcast(pick), "pidx")
+        .select(
+            F.col("source").alias("conv_id"),
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            "doc_id",
+            "text",
+            "p_name",
+            "tcname",
+        )
+    )
+
+
+def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically reshape the documents corpus into the transcript
+    schema (conv_id, turn_idx, role, text, tool, ts) — conversations keyed by
+    source, turns ordered by doc_id.
+
+    Each turn additionally carries one deterministic entity-mention clause
+    derived from the part table (doc_id picks the part, doc_id % 4 picks the
+    surface form: Title-Case, UPPER, Title-Case with an adjacent-char
+    transposition typo, or lowercase), so the full linkage pipeline — mention
+    extraction, alias/prior hits, scored typo resolution, clustering — is
+    exercised end-to-end on the driver corpus, and the DuckDB oracle can
+    replay the exact same derivation."""
+    from pyspark.sql import functions as F
+
     typo = F.concat(
         F.substring("tcname", 1, 1),
         F.substring("tcname", 3, 1),
@@ -68,23 +92,18 @@ def _derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 4 == 2, typo)
         .otherwise(F.lower("p_name"))
     )
-    w = Window.partitionBy("source").orderBy("doc_id")
-    return (
-        docs.withColumn("pidx", F.col("doc_id") % n_parts)
-        .join(F.broadcast(pick), "pidx")
-        .select(
-            F.col("source").alias("conv_id"),
-            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-            F.element_at(
-                F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
-                (F.col("doc_id") % 3 + 1).cast("int"),
-            ).alias("role"),
-            F.concat_ws(" ", F.col("text"), variant, F.lit("arrived.")).alias("text"),
-            F.lit("").alias("tool"),
-            F.timestamp_millis(
-                F.lit(1735689600000) + F.col("doc_id").cast("long") * 60000
-            ).alias("ts"),
-        )
+    return _doc_turn_parts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("role"),
+        F.concat_ws(" ", F.col("text"), variant, F.lit("arrived.")).alias("text"),
+        F.lit("").alias("tool"),
+        F.timestamp_millis(
+            F.lit(1735689600000) + F.col("doc_id").cast("long") * 60000
+        ).alias("ts"),
     )
 
 
@@ -141,7 +160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """A4: top-1 accuracy of the FULL pipeline against the planted gold
         (each turn's appended mention clause names a known part; a turn hits
         when any of its resolved mentions carries that part's entity id)."""
-        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         from entity_linkings_spark.plans.pipeline import LinkagePipeline
@@ -150,28 +168,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _derived_transcripts(spark, sf_dir)
         )
         final = out["resolved_mentions"].select("conv_id", "turn_idx", "entity_id")
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         part = spark.read.parquet(f"{sf_dir}/part.parquet")
-        n_parts = part.count()
-        pick = part.select(
-            (F.row_number().over(Window.orderBy("p_partkey")) - 1)
-            .cast("long")
-            .alias("pidx"),
-            "p_name",
-        )
         pg = part.groupBy("p_name").agg(
             F.format_string("%06d", F.min("p_partkey")).alias("gold_entity")
         )
-        w = Window.partitionBy("source").orderBy("doc_id")
+        # gold rides the SAME doc->turn->part mapping the transcripts use
         gold = (
-            docs.withColumn("pidx", F.col("doc_id") % n_parts)
-            .join(F.broadcast(pick), "pidx")
+            _doc_turn_parts(spark, sf_dir)
             .join(F.broadcast(pg), "p_name")
-            .select(
-                F.col("source").alias("conv_id"),
-                (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-                "gold_entity",
-            )
+            .select("conv_id", "turn_idx", "gold_entity")
         )
         per_turn = (
             gold.join(final, ["conv_id", "turn_idx"], "left")

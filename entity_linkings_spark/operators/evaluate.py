@@ -155,27 +155,33 @@ def inkb_micro_f1(preds: DataFrame, golds: DataFrame) -> DataFrame:
         )
     )
     j = p_agg.join(g_agg, key, "full")
+    hit = (
+        F.col("p_cnt").isNotNull()
+        & F.col("g_cnt").isNotNull()
+        & F.arrays_overlap("p_labels", "g_labels")
+    )
+    # precision credits hit PRED rows, recall credits hit GOLD rows — two
+    # counters, so duplicate span keys on either side can never push a
+    # metric past 1.0 (3 dup preds hitting 1 gold: P=3/3, R=1/1, not R=3)
     agg = j.agg(
         F.sum(F.coalesce("p_cnt", F.lit(0))).alias("n_pred"),
         F.sum(F.coalesce("g_cnt", F.lit(0))).alias("n_gold"),
-        F.sum(
-            F.when(
-                F.col("p_cnt").isNotNull()
-                & F.col("g_cnt").isNotNull()
-                & F.arrays_overlap("p_labels", "g_labels"),
-                F.col("p_cnt"),
-            ).otherwise(F.lit(0))
-        ).alias("n_hit"),
+        F.sum(F.when(hit, F.col("p_cnt")).otherwise(F.lit(0))).alias("n_hit"),
+        F.sum(F.when(hit, F.col("g_cnt")).otherwise(F.lit(0))).alias("n_hit_gold"),
     )
     p = F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1))
-    r = F.col("n_hit") / F.greatest(F.col("n_gold"), F.lit(1))
+    r = F.col("n_hit_gold") / F.greatest(F.col("n_gold"), F.lit(1))
+    # harmonic mean of P and R; equals the classic 2h/(np+ng) whenever
+    # n_hit == n_hit_gold (always true for unique span keys, so the a5
+    # oracle's formula is unchanged on real corpora)
+    f1 = (2.0 * p * r / F.greatest(p + r, F.lit(1e-300))).alias("f1")
     return agg.select(
         "n_pred",
         "n_gold",
         "n_hit",
         p.alias("precision"),
         r.alias("recall"),
-        (2.0 * F.col("n_hit") / F.greatest(F.col("n_pred") + F.col("n_gold"), F.lit(1))).alias("f1"),
+        f1,
     )
 
 

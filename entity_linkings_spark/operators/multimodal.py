@@ -238,12 +238,21 @@ def _fake_features(payload: bytes) -> np.ndarray:
 def _decode_one(kind: str, payload: bytes, real_decode: bool):
     """(decoder_name, features) for one payload."""
     if payload is not None:
-        if payload.startswith(b"P6"):
-            return "ppm", _image_features(decode_ppm(payload))
-        if payload[:2] == b"BM":
-            return "bmp", _image_features(decode_bmp(payload))
-        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-            return "wav", _audio_features(*decode_wav(payload))
+        # magic-byte sniff, but a payload that LOOKS like a known format yet
+        # fails to decode (unsupported bpp/compression, truncated raster, a
+        # fake payload that happens to start with 'BM'...) must honor the
+        # module contract: loud failure only under real_decode, fake fallback
+        # otherwise
+        try:
+            if payload.startswith(b"P6"):
+                return "ppm", _image_features(decode_ppm(payload))
+            if payload[:2] == b"BM":
+                return "bmp", _image_features(decode_bmp(payload))
+            if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                return "wav", _audio_features(*decode_wav(payload))
+        except (ValueError, EOFError, wave.Error):
+            if real_decode:
+                raise
     if real_decode:
         raise NotImplementedError(
             f"no codec for kind={kind!r} payload in this container — swap in "
@@ -294,7 +303,10 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     dec, enc = decode_bmp, encode_bmp
                 else:
                     continue
-                arr = block_mean_resize(dec(b), out_w, out_h)
+                try:
+                    arr = block_mean_resize(dec(b), out_w, out_h)
+                except ValueError:
+                    continue  # sniffed-but-undecodable: drop, per contract
                 out["asset_id"].append(aid)
                 out["width"].append(out_w)
                 out["height"].append(out_h)

@@ -73,19 +73,11 @@ def dictionary_token_set(dic: DataFrame, min_len: int = 2) -> list[str]:
     (single-char tokens like the 'A' of 'A. Tanaka' would make every article
     an anchor — initials are handled by the extractor's initial-dot rule).
 
-    Collected to the driver: this is a dimension-table derivative. For very
-    large dictionaries (>~200k tokens) swap the extractor's literal
-    ``arrays_overlap`` for the broadcast-join variant (see
-    operators/mentions.py docstring).
+    Thin wrapper over dictionary_token_sets so the extraction expression has
+    exactly ONE definition (the pipeline uses the fused form; a divergence
+    between the two would silently change the anchor set).
     """
-    rows = (
-        _surface_forms(dic)
-        .select(F.explode(tokenize("surface")).alias("tok"))
-        .where(F.length("tok") >= min_len)
-        .distinct()
-        .collect()
-    )
-    return sorted(r["tok"] for r in rows)
+    return dictionary_token_sets(dic, min_len)[0]
 
 
 def dictionary_token_sets(dic: DataFrame, min_len: int = 2) -> tuple[list[str], list[str]]:
@@ -117,15 +109,8 @@ def abbrev_dot_tokens(dic: DataFrame) -> list[str]:
     """Lowercase tokens that appear immediately before a '.' inside any
     dictionary surface form (e.g. 'Sys' of 'Acme Sys.', 'A' of 'A. Tanaka').
     The extractor extends a mention span over a trailing '.' only for these,
-    so sentence-final periods are never swallowed."""
-    rows = (
-        _surface_forms(dic)
-        .select(
-            F.explode(
-                F.regexp_extract_all(F.lower("surface"), F.lit(r"([\w]+)\."), 1)
-            ).alias("tok")
-        )
-        .distinct()
-        .collect()
-    )
-    return sorted(r["tok"] for r in rows)
+    so sentence-final periods are never swallowed.
+
+    Thin wrapper over dictionary_token_sets (single definition, see
+    dictionary_token_set)."""
+    return dictionary_token_sets(dic)[1]

@@ -76,6 +76,16 @@ def test_inkb_duplicate_span_keys_do_not_inflate(spark):
     assert row["n_pred"] == 3  # NOT 5 (2 preds x 2 golds + 1)
     assert row["n_gold"] == 3
     assert row["n_hit"] == 2  # both duplicate preds hit the e1/e2 gold union
+    # metrics stay in [0,1] even with asymmetric duplication (3 dup preds on
+    # 1 gold: P=1, R=1, F1=1 — never recall 3.0)
+    p2 = spark.createDataFrame(
+        [("c", 0, 1, 5, ["e1"])] * 3, "conv_id string, turn_idx int, start int, end int, labels array<string>"
+    )
+    g2 = spark.createDataFrame(
+        [("c", 0, 1, 5, ["e1"])], "conv_id string, turn_idx int, start int, end int, label array<string>"
+    )
+    r2 = inkb_micro_f1(p2, g2).collect()[0]
+    assert r2["precision"] == 1.0 and r2["recall"] == 1.0 and r2["f1"] == 1.0
 
 
 def test_output_ordering_stable(run):

@@ -135,3 +135,18 @@ def test_gemm_composite_key_orders_like_lexicographic(seed, k):
     order = top[np.argsort(-key[top])]
     naive = sorted(range(n), key=lambda i: (-scores[i], i))[:kk]
     assert list(order) == naive
+
+
+@given(st.floats(min_value=-1e5, max_value=1e5, allow_nan=False))
+@settings(max_examples=80, deadline=None)
+def test_round_half_up_matches_duckdb(x):
+    """The IVF Lloyd refinement assumes python Decimal HALF_UP quantization
+    of a double equals DuckDB's round() of the same double (both half away
+    from zero over the EXACT binary value) — the cross-engine contract the
+    refined codebook's determinism rests on."""
+    import duckdb
+    from decimal import ROUND_HALF_UP, Decimal
+
+    eng = float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    duck = duckdb.sql("SELECT round(?::DOUBLE, 6)", params=[x]).fetchone()[0]
+    assert eng == duck

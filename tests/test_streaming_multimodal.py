@@ -238,3 +238,28 @@ def test_epoch_replay_is_idempotent(spark, tiny, tmp_path):
     process(tiny["transcripts"].limit(80), 8)
     assert set(r["epoch_id"] for r in out.select("epoch_id").distinct().collect()) <= {7, 8}
     assert spark.read.parquet(sink).where("epoch_id = 7").count() == n1
+
+
+def test_sniffed_but_undecodable_falls_back_not_crashes(spark):
+    """A payload that LOOKS like a known format but cannot decode (unsupported
+    bpp, truncated raster, a fake payload starting 'BM') must honor the module
+    contract: fake fallback under real_decode=False, loud failure under
+    real_decode=True, silent drop in resize."""
+    import struct
+
+    import numpy as np
+
+    good = M.encode_bmp(np.zeros((2, 2, 3), np.uint8))
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 32)  # 32-bit BMP: unsupported
+    rows = [
+        ("a-bad-bmp", "image", bytes(bad_bpp), None),
+        ("a-trunc-ppm", "image", b"P6\n8 8\n255\nxx", None),
+        ("a-bm-prefix", "video", b"BMnot really a bitmap", None),
+    ]
+    df = spark.createDataFrame(rows, M.ASSET_SCHEMA)
+    feats = {r["asset_id"]: r["decoder"] for r in M.extract_features(df).collect()}
+    assert feats == {"a-bad-bmp": "fake", "a-trunc-ppm": "fake", "a-bm-prefix": "fake"}
+    with pytest.raises(Exception, match="unsupported BMP|ValueError"):
+        M.extract_features(df.where("asset_id = 'a-bad-bmp'"), real_decode=True).collect()
+    assert M.resize_images(df, 4, 4).count() == 0  # dropped, not crashed
