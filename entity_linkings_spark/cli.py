@@ -20,7 +20,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+if __package__ in (None, ""):  # `spark-submit path/to/cli.py` without the
+    # --py-files zip puts the package DIR on sys.path, not its parent — make
+    # the deferred `entity_linkings_spark.*` imports resolve either way
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _session(args):
