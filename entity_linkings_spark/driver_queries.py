@@ -2137,3 +2137,41 @@ def dedup_simhash_pairs_capped(spark, sf):
     return D.simhash_near_pairs(sh, "doc_id", 8, max_bucket_size=8).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
+
+
+def _pii_sql() -> str:
+    from entity_linkings_spark.functions.strings import PII_PATTERNS
+
+    expr = "concat(text, ' contact user', doc_id, '@example.com or +1 555 01', " \
+           "doc_id % 100, ' ip 10.0.', doc_id % 256, '.1 card ', " \
+           "4000000000000000 + doc_id, ' done')"
+    for pat, repl in PII_PATTERNS:
+        # standard-SQL string literals keep backslashes verbatim: only quotes
+        # need escaping
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS redacted FROM documents"
+
+
+@register("f_redact_pii", _pii_sql())
+def f_redact_pii(spark, sf):
+    """Training-data PII redaction (functions/strings.py redact_pii): each
+    document gets a deterministic synthetic contact suffix (email, phone,
+    IPv4, card number derived from doc_id) so every pattern is exercised,
+    then the SAME regexp_replace chain runs in both engines — the checked
+    value is the redacted text itself. Patterns avoid alternation and
+    lookaround so Java-regex and RE2 semantics coincide."""
+    from entity_linkings_spark.functions.strings import redact_pii
+
+    doc = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 01"), (F.col("doc_id") % 100).cast("string"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 card "), (F.lit(4000000000000000) + F.col("doc_id")).cast("string"),
+            F.lit(" done"),
+        ).alias("dirty"),
+    )
+    return doc.select("doc_id", redact_pii("dirty").alias("redacted"))

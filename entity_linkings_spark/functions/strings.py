@@ -81,3 +81,27 @@ def mention_substring(text: Column | str, start: Column | str, end: Column | str
     reference's Python slice semantics) on Spark's 1-based substr."""
     t, s, e = _c(text), _c(start), _c(end)
     return t.substr(s + F.lit(1), e - s)
+
+
+# (pattern, placeholder) pairs applied IN ORDER — order matters (an email
+# contains digit runs; redacting emails first keeps the placeholders clean).
+# Patterns deliberately avoid alternation and lookaround so Java regex
+# (Spark, leftmost-first backtracking) and RE2 (DuckDB, leftmost-longest)
+# match identically; both support \b (ASCII) and non-capturing groups.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{13,19}\b", "<CARD>"),
+    (r"\+?\d[\d() -]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Training-data hygiene: replace email / IPv4 / card-length digit runs /
+    phone-like sequences with typed placeholders — a pure Catalyst
+    regexp_replace chain (no UDF; the patterns are dialect-portable so the
+    DuckDB oracle applies the literal same chain)."""
+    c = _c(col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

@@ -103,3 +103,24 @@ def test_simhash_properties(spark):
     assert vals[0] == vals[1] != 0
     assert vals[2] == 0
     assert 0 <= vals[0] < 2**60
+
+
+def test_redact_pii(spark):
+    from entity_linkings_spark.functions.strings import redact_pii
+
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("a", "mail bob.smith+x@sub.example.co.uk now"),
+        ("b", "call +1 (555) 010-7788 or 555 010 7788 today"),
+        ("c", "host 192.168.0.1 card 4111111111111111 ok"),
+        ("d", "clean text stays clean"),
+        ("e", "year 2024 and 12345 stay (too short for <CARD>)"),
+    ]
+    df = spark.createDataFrame(rows, "k string, t string")
+    got = {r["k"]: r["red"] for r in df.select("k", redact_pii("t").alias("red")).collect()}
+    assert got["a"] == "mail <EMAIL> now"
+    assert got["b"] == "call <PHONE> or <PHONE> today"
+    assert got["c"] == "host <IP> card <CARD> ok"
+    assert got["d"] == "clean text stays clean"
+    assert got["e"] == "year 2024 and 12345 stay (too short for <CARD>)"
