@@ -2175,3 +2175,60 @@ def f_redact_pii(spark, sf):
         ).alias("dirty"),
     )
     return doc.select("doc_id", redact_pii("dirty").alias("redacted"))
+
+
+def _split_sql(weights: dict[str, float], salt: str = "split") -> str:
+    """CASE thresholds are built from the SAME python float accumulation the
+    operator uses (0.8 + 0.1 is 0.9000000000000001 in binary — repr() keeps
+    the exact double so both engines compare against the identical value)."""
+    names = list(weights)
+    case = ""
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        case += f"WHEN u < {cum!r} THEN '{name}' "
+    case += f"ELSE '{names[-1]}'"
+    return f"""
+    WITH h AS (SELECT doc_id,
+        CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)::DOUBLE
+            / 1152921504606846976 AS u
+        FROM documents)
+    SELECT doc_id, CASE {case} END AS split FROM h
+"""
+
+
+@register("split_train_val_test", _split_sql({"train": 0.8, "val": 0.1, "test": 0.1}))
+def split_train_val_test(spark, sf):
+    """Deterministic hash-based dataset split (operators/sampling.py):
+    md5-driven, so assignment is stable under retries/repartitioning —
+    rand() splits leak examples between train and val on task retry. The
+    per-row assignment itself is the checked value."""
+    from entity_linkings_spark.operators.sampling import assign_splits
+
+    return assign_splits(
+        _docs(spark, sf).select("doc_id"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+@register(
+    "sample_per_source",
+    """
+    WITH s AS (SELECT doc_id, source,
+                      md5('sample:' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+          FROM s)
+    SELECT source, doc_id FROM r WHERE rn <= 7
+    """,
+)
+def sample_per_source(spark, sf):
+    """Deterministic stratified sampling (operators/sampling.py): at most n
+    rows per group in md5 order of the row key — every stratum contributes,
+    no stratum dominates, reproducible across runs and engines."""
+    from entity_linkings_spark.operators.sampling import sample_per_group
+
+    return sample_per_group(_docs(spark, sf), "source", 7, "doc_id").select(
+        "source", "doc_id"
+    )

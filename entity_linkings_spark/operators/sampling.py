@@ -1,0 +1,83 @@
+"""Deterministic dataset splitting & sampling — the selection operators a
+training-data pipeline needs around the cleaning/dedup stages.
+
+Both operators are pure Catalyst and HASH-DRIVEN rather than random:
+``rand()`` changes across runs/retries (a retried task would reshuffle
+examples between train and val — leakage), while md5-derived assignment is
+a function of the ROW, so it is stable under retries, re-partitioning,
+incremental reruns and engine changes (the DuckDB oracles replay the exact
+same arithmetic; same h60 scheme as functions/hashing.py).
+
+Scale notes: split assignment is a projection (no shuffle); per-group
+sampling is one window over the group key — the same shuffle any
+per-group top-k costs. Neither collects anything to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from entity_linkings_spark.functions.hashing import h60
+
+# h60 yields 60-bit non-negative hashes; buckets are fractions of 2^60
+_H60_SPACE = float(1 << 60)
+
+
+def split_column(
+    key: Column | str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> Column:
+    """Split-name column: md5-hash the key (salted, so different splits of
+    the same table are independent), map the 60-bit hash to [0, 1), and
+    assign by cumulative weight ranges. Deterministic per row, exact in any
+    engine that can md5."""
+    if not weights or abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0: {weights}")
+    k = F.col(key) if isinstance(key, str) else key
+    u = h60(F.concat(F.lit(salt + ":"), k.cast("string"))) / F.lit(_H60_SPACE)
+    names = list(weights)
+    expr = F.lit(names[-1])  # last split takes the tail (sums to 1.0)
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        conds.append((name, cum))
+    for name, ub in reversed(conds):
+        expr = F.when(u < F.lit(ub), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def assign_splits(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """df + a ``split`` column. Rows with the same key ALWAYS land in the
+    same split (group-aware leakage control: split on conv_id/doc family id,
+    not on the row id, when rows of one unit must not straddle splits)."""
+    return df.withColumn(out, split_column(key, weights, salt))
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """At most ``n`` rows per group, chosen by md5 order of the row key —
+    a deterministic stratified sample (every group contributes, no group
+    dominates), reproducible across runs and engines. Ties are impossible
+    (the hash input includes the unique row key; the key itself breaks any
+    residual collision)."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -1,0 +1,44 @@
+"""Deterministic split/sample operators: retry-stability, group-aware
+leakage control, per-group caps, weight validation."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from entity_linkings_spark.operators.sampling import assign_splits, sample_per_group
+
+
+def test_split_deterministic_and_proportional(spark):
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    a = assign_splits(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 10_000 - 0.8) < 0.02
+    assert abs(counts["val"] / 10_000 - 0.1) < 0.01
+    # stable across a re-run AND a repartition (retry safety)
+    b = assign_splits(df.repartition(13), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert a.select("k", "split").exceptAll(b.select("k", "split")).count() == 0
+
+
+def test_split_group_aware_no_leakage(spark):
+    # rows sharing a key land in the SAME split — split on the unit key
+    df = spark.range(3000).select((F.col("id") % 300).alias("conv"), "id")
+    s = assign_splits(df, "conv", {"train": 0.7, "val": 0.3})
+    assert s.groupBy("conv").agg(F.countDistinct("split").alias("d")).where("d > 1").count() == 0
+
+
+def test_split_weights_validated(spark):
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        assign_splits(spark.range(5), "id", {"a": 0.5, "b": 0.4})
+
+
+def test_sample_per_group_caps_and_determinism(spark):
+    df = spark.range(1000).select((F.col("id") % 7).alias("g"), "id")
+    s = sample_per_group(df, "g", 5, "id")
+    per_g = {r["g"]: r["n"] for r in s.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert all(n == 5 for n in per_g.values()) and len(per_g) == 7
+    # groups smaller than n keep everything
+    small = spark.range(3).select(F.lit(0).alias("g"), "id")
+    assert sample_per_group(small, "g", 10, "id").count() == 3
+    # deterministic under repartition
+    s2 = sample_per_group(df.repartition(11), "g", 5, "id")
+    assert s.exceptAll(s2).count() == 0
