@@ -2232,3 +2232,42 @@ def sample_per_source(spark, sf):
     return sample_per_group(_docs(spark, sf), "source", 7, "doc_id").select(
         "source", "doc_id"
     )
+
+
+@register(
+    "chunk_tokens",
+    """
+    WITH t AS (SELECT doc_id,
+                      unnest(regexp_extract_all(lower(text), '[\\w#]+')) AS tok,
+                      generate_subscripts(regexp_extract_all(lower(text), '[\\w#]+'), 1) - 1 AS pos
+               FROM documents)
+    SELECT doc_id,
+           CAST(pos // 64 AS INT) AS chunk_idx,
+           list(tok ORDER BY pos) AS tokens,
+           CAST(count(*) AS INT) AS n_tokens
+    FROM t GROUP BY doc_id, pos // 64
+    """,
+)
+def chunk_tokens(spark, sf):
+    """LM-dataprep chunking: each document's token stream split into
+    fixed-size 64-token chunks (the tail chunk keeps the remainder) — the
+    per-chunk ORDERED token array is the checked value. Pure Catalyst:
+    posexplode + groupBy(doc, pos div k) + sort_array(collect_list(struct))
+    keeps order exact without any window over the full stream."""
+    from entity_linkings_spark.functions.strings import tokenize
+
+    k = 64
+    toks = _docs(spark, sf).select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "tok")
+    )
+    return (
+        toks.groupBy("doc_id", (F.col("pos") / k).cast("int").alias("chunk_idx"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ).alias("tokens"),
+            F.count("*").cast("int").alias("n_tokens"),
+        )
+        .select("doc_id", "chunk_idx", "tokens", "n_tokens")
+    )
