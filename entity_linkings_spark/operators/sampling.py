@@ -35,6 +35,8 @@ def split_column(
     engine that can md5."""
     if not weights or abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1.0: {weights}")
+    if any(v <= 0 for v in weights.values()):
+        raise ValueError(f"split weights must be positive: {weights}")
     k = F.col(key) if isinstance(key, str) else key
     u = h60(F.concat(F.lit(salt + ":"), k.cast("string"))) / F.lit(_H60_SPACE)
     names = list(weights)

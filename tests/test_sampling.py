@@ -42,3 +42,8 @@ def test_sample_per_group_caps_and_determinism(spark):
     # deterministic under repartition
     s2 = sample_per_group(df.repartition(11), "g", 5, "id")
     assert s.exceptAll(s2).count() == 0
+
+
+def test_split_weights_must_be_positive(spark):
+    with pytest.raises(ValueError, match="positive"):
+        assign_splits(spark.range(5), "id", {"a": 1.5, "b": -0.5})
