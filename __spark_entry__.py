@@ -211,7 +211,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     qs["j8_blocking_pairs"] = j8_blocking_pairs
-    return qs
+
+    # Registration ORDER is the driver's check order, and round-3's driver
+    # truncated at 50 entries — silently skipping exactly the flagship and
+    # every round-3 addition. Put the flagship, the newest queries, and any
+    # previously-unchecked entries FIRST so a truncated window still covers
+    # them; long-green veterans absorb the truncation risk instead.
+    priority = [
+        "pipeline_linkage",
+        "a4_top1_accuracy",
+        "j8_blocking_pairs",
+        "j5_tfidf_topk_auto",
+        "j5_tfidf_topk_gemm",
+        "dedup_simhash_pairs_capped",
+        "f_redact_pii",
+        "split_train_val_test",
+        "sample_per_source",
+        "chunk_tokens",
+        "f4_word_tokens",
+        "f5_char_ngrams",
+        "j4_prior_cascade",
+        "ann_ivf_topk",
+        "ann_ivf_recall",
+    ]
+    ordered = {name: qs[name] for name in priority if name in qs}
+    ordered.update((name, fn) for name, fn in qs.items() if name not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

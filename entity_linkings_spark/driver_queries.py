@@ -1977,17 +1977,21 @@ def p1_nil_filter(spark, sf):
 @register(
     "f4_word_tokens",
     """
-    SELECT doc_id, regexp_extract_all(lower(text), '[\\w#]+') AS tokens
+    SELECT doc_id, array_to_string(regexp_extract_all(lower(text), '[\\w#]+'), chr(1)) AS tokens
     FROM documents
     """,
 )
 def f4_word_tokens(spark, sf):
-    """F4 word tokenization (bm25/tokenizer.py regex contract): the token
-    ARRAY itself is the checked value (ordered, lowercased), not a derived
-    count — both engines run the same regex on the same corpus."""
+    """F4 word tokenization (bm25/tokenizer.py regex contract): the ordered,
+    lowercased token stream is the checked value. The array is flattened to a
+    \\x01-joined string in BOTH engines because the driver's canonicalizer
+    (pandas sort_values) cannot sort array cells — the content checked is
+    identical to the raw array, order included."""
     from entity_linkings_spark.functions.strings import tokenize
 
-    return _docs(spark, sf).select("doc_id", tokenize("text").alias("tokens"))
+    return _docs(spark, sf).select(
+        "doc_id", F.array_join(tokenize("text"), "\x01").alias("tokens")
+    )
 
 
 @register(
@@ -2023,20 +2027,25 @@ def t3_k_clamp(spark, sf):
     f"""
     WITH lex AS ({_LEXICON_SQL})
     SELECT tok,
-           CASE WHEN length(tok) <= 3 THEN [tok]
-                ELSE list_transform(generate_series(1, length(tok) - 2),
-                                    i -> substr(tok, CAST(i AS INT), 3)) END AS ngrams
+           array_to_string(
+             CASE WHEN length(tok) <= 3 THEN [tok]
+                  ELSE list_transform(generate_series(1, length(tok) - 2),
+                                      i -> substr(tok, CAST(i AS INT), 3)) END,
+             chr(1)) AS ngrams
     FROM lex
     """,
 )
 def f5_char_ngrams(spark, sf):
     """F5 subword tokenization — the documented model-free substitution
-    (char 3-gram shingles, SURVEY 2.7): the ordered shingle ARRAY per token
-    is the checked value; short tokens yield themselves (the non-vanishing
-    contract tested in test_functions)."""
+    (char 3-gram shingles, SURVEY 2.7): the ordered shingle stream per token
+    is the checked value, flattened to a \\x01-joined string in BOTH engines
+    (driver canonicalizer can't sort array cells); short tokens yield
+    themselves (the non-vanishing contract tested in test_functions)."""
     from entity_linkings_spark.functions.strings import char_ngrams
 
-    return _lexicon(spark, sf).select("tok", char_ngrams("tok", 3).alias("ngrams"))
+    return _lexicon(spark, sf).select(
+        "tok", F.array_join(char_ngrams("tok", 3), "\x01").alias("ngrams")
+    )
 
 
 @register(
@@ -2243,7 +2252,7 @@ def sample_per_source(spark, sf):
                FROM documents)
     SELECT doc_id,
            CAST(pos // 64 AS INT) AS chunk_idx,
-           list(tok ORDER BY pos) AS tokens,
+           array_to_string(list(tok ORDER BY pos), chr(1)) AS tokens,
            CAST(count(*) AS INT) AS n_tokens
     FROM t GROUP BY doc_id, pos // 64
     """,
@@ -2251,9 +2260,11 @@ def sample_per_source(spark, sf):
 def chunk_tokens(spark, sf):
     """LM-dataprep chunking: each document's token stream split into
     fixed-size 64-token chunks (the tail chunk keeps the remainder) — the
-    per-chunk ORDERED token array is the checked value. Pure Catalyst:
-    posexplode + groupBy(doc, pos div k) + sort_array(collect_list(struct))
-    keeps order exact without any window over the full stream."""
+    per-chunk ORDERED token stream is the checked value, flattened to a
+    \\x01-joined string in BOTH engines (driver canonicalizer can't sort
+    array cells). Pure Catalyst: posexplode + groupBy(doc, pos div k) +
+    sort_array(collect_list(struct)) keeps order exact without any window
+    over the full stream."""
     from entity_linkings_spark.functions.strings import tokenize
 
     k = 64
@@ -2263,9 +2274,12 @@ def chunk_tokens(spark, sf):
     return (
         toks.groupBy("doc_id", (F.col("pos") / k).cast("int").alias("chunk_idx"))
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                "\x01",
             ).alias("tokens"),
             F.count("*").cast("int").alias("n_tokens"),
         )
