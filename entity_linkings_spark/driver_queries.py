@@ -967,13 +967,49 @@ _IVF_CFG = dict(num_centroids=200, nprobe=28, assign_lists=2, lloyd_iters=1, k=1
 _IVF_TOPK_SQL = _ivf_topk_sql(200, 28, 2, 10)
 
 
+def _ivf_persist_kwargs(spark, sf):
+    """Persisted-index knobs for the registered IVF queries: the codebook +
+    inverted lists are lifecycle snapshots under .data/ivf_index keyed by the
+    corpus files' (path, size, mtime) — build once, load-if-exists on every
+    later call (VERDICT r3 #2; reference bm25/indexer.py:68-74 build/search
+    split). A rewritten corpus changes the tag, so a stale read is
+    impossible. Disable with SPARK_GRAFT_IVF_INDEX=0."""
+    import os
+
+    from entity_linkings_spark.plans.lifecycle import SnapshotStore
+
+    if os.environ.get("SPARK_GRAFT_IVF_INDEX", "1") == "0":
+        return {}
+    p = os.path.join(sf, "embeddings.parquet")
+    stats = []
+    try:
+        if os.path.isdir(p):
+            for fn in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, fn))
+                stats.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            st = os.stat(p)
+            stats.append(f"{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        return {}  # non-posix / remote corpus: build in-session
+    root = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".data", "ivf_index"),
+    )
+    tag = os.path.abspath(p) + "|" + "|".join(stats)
+    return {"index_store": SnapshotStore(spark, root), "index_tag": tag}
+
+
 @register("ann_ivf_topk", _IVF_TOPK_SQL)
 def ann_ivf_topk(spark, sf):
     """IVF-flat ANN (sampled codebook, nprobe nearest inverted lists) —
-    operators/similarity.py ivf_topk; the oracle replays the same algorithm."""
+    operators/similarity.py ivf_topk; the oracle replays the same algorithm.
+    The index (codebook + inverted lists) is persisted as a lifecycle
+    snapshot and loaded on every call after the first."""
     emb = _embeddings(spark, sf)
     q = emb.where(F.col("vec_id") % 25 == 0)
-    return SIM.ivf_topk(emb, q, **_IVF_CFG)
+    return SIM.ivf_topk(emb, q, **_IVF_CFG, **_ivf_persist_kwargs(spark, sf))
 
 
 @register(
@@ -990,7 +1026,7 @@ def ann_ivf_topk(spark, sf):
 def ann_ivf_recall(spark, sf):
     emb = _embeddings(spark, sf)
     q = emb.where(F.col("vec_id") % 25 == 0)
-    approx = SIM.ivf_topk(emb, q, **_IVF_CFG)
+    approx = SIM.ivf_topk(emb, q, **_IVF_CFG, **_ivf_persist_kwargs(spark, sf))
     exact = SIM.brute_force_topk(emb, q, k=10)
     return SIM.topk_recall(approx, exact)
 

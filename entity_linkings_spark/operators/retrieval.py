@@ -154,9 +154,19 @@ def tfidf_topk_gemm(
     import pandas as pd
     from pyspark.sql import types as T
 
-    ids = np.array(
-        sorted(r["entity_id"] for r in entities.select("entity_id").collect())
-    )
+    raw_ids = [r["entity_id"] for r in entities.select("entity_id").collect()]
+    # integer-id contract (ADVICE r3): the composite ranking key and the
+    # LongType output schema require integer ids — fail loudly up front
+    # instead of crashing at eid_idx or silently changing tie-break order
+    # on a string-keyed dictionary (use tfidf_topk for those).
+    if any(isinstance(e, bool) or not isinstance(e, int) for e in raw_ids):
+        bad = next(e for e in raw_ids if isinstance(e, bool) or not isinstance(e, int))
+        raise ValueError(
+            f"tfidf_topk_gemm requires integer entity ids, got {bad!r} "
+            f"({type(bad).__name__}); the id-type-agnostic postings-join "
+            "form tfidf_topk handles non-integer ids"
+        )
+    ids = np.array(sorted(raw_ids))
     n_ents = len(ids)
     if n_ents == 0:
         raise ValueError("tfidf_topk_gemm: empty entity table")
@@ -213,8 +223,10 @@ def tfidf_topk_gemm(
                     j = tok_idx.get(t)
                     if j is not None:
                         q[i, j] = 1.0
-            scores = np.round(q @ emat.T, 6)
-            micros = np.round(scores * 1e6).astype(np.int64)
+            # half-away-from-zero like the oracle's round() (scores are
+            # non-negative TF-IDF sums); np.round is half-to-even
+            scores = np.floor(q @ emat.T * 1e6 + 0.5) / 1e6
+            micros = np.floor(scores * 1e6 + 0.5).astype(np.int64)
             if micros.size and micros.max() > max_score_micros:
                 raise ValueError("tfidf_topk_gemm: score overflows the composite key")
             key = (micros << id_bits) + anti_rank[None, :]

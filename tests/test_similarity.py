@@ -112,3 +112,31 @@ def test_ivf_clamps_nprobe_to_codebook(emb):
     q = emb.where(F.col("vec_id") % 125 == 0)
     r = SIM.ivf_topk(emb, q, k=5, num_centroids=4, nprobe=50, lloyd_iters=0)
     assert r.count() > 0
+
+
+def test_ivf_index_snapshot_load_if_exists(spark, emb, tmp_path):
+    """VERDICT r3 item 2: the IVF index (codebook + inverted lists) persists
+    as a lifecycle snapshot — built once, loaded on every later call, with
+    results identical to an in-session build; a changed tag rebuilds."""
+    from entity_linkings_spark.plans.lifecycle import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "ivf"))
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    fresh = SIM.ivf_topk(emb, q, k=10, num_centroids=32)
+    built = SIM.ivf_topk(emb, q, k=10, num_centroids=32,
+                         index_store=store, index_tag="corpus-v1")
+    assert {tuple(r) for r in built.collect()} == {tuple(r) for r in fresh.collect()}
+
+    # second call must LOAD, not rebuild: poison the corpus — a rebuild
+    # would see an empty corpus and raise, a load never touches it
+    empty = emb.where(F.lit(False))
+    loaded = SIM.ivf_topk(empty, q, k=10, num_centroids=32,
+                          index_store=store, index_tag="corpus-v1")
+    assert {tuple(r) for r in loaded.collect()} == {tuple(r) for r in fresh.collect()}
+
+    # a different tag is a different snapshot: the poisoned corpus now
+    # actually builds, and the guard fires
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty corpus"):
+        SIM.ivf_topk(empty, q, k=10, num_centroids=32,
+                     index_store=store, index_tag="corpus-v2").collect()
