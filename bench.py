@@ -64,6 +64,9 @@ HEADLINE = [
     # round-3 addition (regime-based dense-retrieval tool; the frozen rows
     # above stay untouched for cross-round comparability)
     "j5_tfidf_topk_gemm",
+    # round-4 addition: the measured-density dispatcher — must route this
+    # corpus (the postings join's all-dense worst case) onto the GEMM plan
+    "j5_tfidf_topk_auto",
 ]
 
 _SCALE_SNIPPET = r"""

@@ -2149,6 +2149,26 @@ def j5_tfidf_topk_gemm(spark, sf):
     return tfidf_topk_gemm(ents, qs, k=5)
 
 
+@register("j5_tfidf_topk_auto", _TFIDF_TOPK_SQL)
+def j5_tfidf_topk_auto(spark, sf):
+    """Regime-dispatched ranked retrieval (VERDICT r3 #4): tfidf_topk_auto
+    measures the dictionary's density (cells vs max_cells, matrix occupancy,
+    id type) and routes to the postings join or the GEMM — identical rows
+    either way, same oracle. This corpus's 16-word all-dense dictionary is
+    the postings join's worst case, so the dispatcher must land on GEMM."""
+    from entity_linkings_spark.operators.retrieval import tfidf_topk_auto
+
+    ents = _part(spark, sf).select(
+        F.col("p_partkey").alias("entity_id"), F.col("p_name").alias("text")
+    )
+    qs = (
+        _variants(spark, sf)
+        .where(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_partkey").alias("query_id"), F.col("surface").alias("text"))
+    )
+    return tfidf_topk_auto(ents, qs, k=5)
+
+
 @register(
     "dedup_simhash_pairs_capped",
     f"""

@@ -88,3 +88,44 @@ def test_gemm_equals_postings_join(spark, tiny):
 
     with __import__("pytest").raises(ValueError, match="max_cells"):
         tfidf_topk_gemm(ents, qs, k=7, max_cells=1)
+
+
+def test_auto_dispatch_routes_by_regime(spark):
+    """tfidf_topk_auto (VERDICT r3 #4): dense small dictionaries route to
+    the GEMM plan (MapInPandas, no window), sparse/over-budget or
+    string-keyed ones to the postings join — with identical rows."""
+    from entity_linkings_spark.operators.retrieval import tfidf_topk_auto
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # dense: every entity shares the vocabulary -> GEMM
+    ents = _ents(spark, [f"acme widget unit{i % 2}" for i in range(8)])
+    qs = _qs(spark, ["acme widget", "unit0", "zzz"])
+    auto = tfidf_topk_auto(ents, qs, k=3)
+    assert "MapInPandas" in plan(auto)
+    exp = tfidf_topk(ents, qs, k=3)
+    assert {tuple(r) for r in auto.collect()} == {tuple(r) for r in exp.collect()}
+
+    # over-budget matrix -> postings join even though it is dense
+    sparse = tfidf_topk_auto(ents, qs, k=3, max_cells=4)
+    assert "MapInPandas" not in plan(sparse)
+    assert {tuple(r) for r in sparse.collect()} == {tuple(r) for r in exp.collect()}
+
+    # string ids -> postings join (GEMM's integer-id contract)
+    sents = spark.createDataFrame(
+        [(f"E{i}", "acme widget") for i in range(4)], "entity_id string, text string"
+    )
+    assert "MapInPandas" not in plan(tfidf_topk_auto(sents, qs, k=2))
+
+
+def test_gemm_rejects_string_ids(spark):
+    import pytest
+
+    from entity_linkings_spark.operators.retrieval import tfidf_topk_gemm
+
+    sents = spark.createDataFrame(
+        [("E1", "acme widget")], "entity_id string, text string"
+    )
+    with pytest.raises(ValueError, match="integer entity ids"):
+        tfidf_topk_gemm(sents, _qs(spark, ["acme"]), k=1)
