@@ -130,51 +130,47 @@ def inkb_micro_f1(preds: DataFrame, golds: DataFrame) -> DataFrame:
     golds: (conv_id, turn_idx, start, end, label  array<string>) — non-NIL.
     """
     # one lazy plan, no driver-side actions: each side is first collapsed to
-    # ONE row per span key (count + unioned label set), so the full-outer
-    # join is 1:1 and duplicate span keys cannot inflate n_pred/n_gold the
-    # way a raw m:n full join would (ADVICE r2). A pred row at a hit key
-    # counts as a hit if ANY pred label at that key overlaps the gold label
-    # union — exact for unique keys; for same-span duplicates with disjoint
-    # label sets (not producible by this engine's extractors) it upper-bounds
-    # the reference's per-row loop.
+    # ONE row per span key (unioned label set), and each unique key counts
+    # exactly once in every counter — the reference's own dedup (utils.py
+    # calculate_inkb_f1 collapses spans into a dict keyed by (start, end)
+    # before counting, ADVICE r3), so duplicate span rows can never inflate
+    # n_pred/n_gold/n_hit. The one residual divergence from the reference:
+    # it keeps the LAST duplicate's labels (dict overwrite) where this takes
+    # the label UNION — with same-span duplicates carrying different label
+    # sets (not producible by this engine's extractors) the union can count
+    # a hit the last-write-wins dict would drop.
     key = ["conv_id", "turn_idx", "start", "end"]
     p_agg = (
         preds.select(*key, "labels")
         .groupBy(*key)
-        .agg(
-            F.count("*").alias("p_cnt"),
-            F.array_distinct(F.flatten(F.collect_list("labels"))).alias("p_labels"),
-        )
+        .agg(F.array_distinct(F.flatten(F.collect_list("labels"))).alias("p_labels"))
+        .withColumn("p_one", F.lit(1))
     )
     g_agg = (
         golds.select(*key, "label")
         .groupBy(*key)
-        .agg(
-            F.count("*").alias("g_cnt"),
-            F.array_distinct(F.flatten(F.collect_list("label"))).alias("g_labels"),
-        )
+        .agg(F.array_distinct(F.flatten(F.collect_list("label"))).alias("g_labels"))
+        .withColumn("g_one", F.lit(1))
     )
     j = p_agg.join(g_agg, key, "full")
     hit = (
-        F.col("p_cnt").isNotNull()
-        & F.col("g_cnt").isNotNull()
+        F.col("p_one").isNotNull()
+        & F.col("g_one").isNotNull()
         & F.arrays_overlap("p_labels", "g_labels")
     )
-    # precision credits hit PRED rows, recall credits hit GOLD rows — two
-    # counters, so duplicate span keys on either side can never push a
-    # metric past 1.0 (3 dup preds hitting 1 gold: P=3/3, R=1/1, not R=3)
     agg = j.agg(
-        F.sum(F.coalesce("p_cnt", F.lit(0))).alias("n_pred"),
-        F.sum(F.coalesce("g_cnt", F.lit(0))).alias("n_gold"),
-        F.sum(F.when(hit, F.col("p_cnt")).otherwise(F.lit(0))).alias("n_hit"),
-        F.sum(F.when(hit, F.col("g_cnt")).otherwise(F.lit(0))).alias("n_hit_gold"),
+        F.sum(F.coalesce("p_one", F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce("g_one", F.lit(0))).alias("n_gold"),
+        F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(0))).alias("n_hit"),
     )
     p = F.col("n_hit") / F.greatest(F.col("n_pred"), F.lit(1))
-    r = F.col("n_hit_gold") / F.greatest(F.col("n_gold"), F.lit(1))
-    # harmonic mean of P and R; equals the classic 2h/(np+ng) whenever
-    # n_hit == n_hit_gold (always true for unique span keys, so the a5
-    # oracle's formula is unchanged on real corpora)
-    f1 = (2.0 * p * r / F.greatest(p + r, F.lit(1e-300))).alias("f1")
+    r = F.col("n_hit") / F.greatest(F.col("n_gold"), F.lit(1))
+    # classic micro F1 = 2h/(np+ng): with one hit counter over unique keys
+    # this IS the harmonic mean of P and R (the a5 oracle's formula)
+    f1 = (
+        2.0 * F.col("n_hit")
+        / F.greatest(F.col("n_pred") + F.col("n_gold"), F.lit(1))
+    ).alias("f1")
     return agg.select(
         "n_pred",
         "n_gold",

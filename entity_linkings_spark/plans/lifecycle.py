@@ -101,17 +101,24 @@ class SnapshotStore:
 
     def gc(self, grace_seconds: float = 3600.0) -> list[str]:
         """Prune snap dirs with no committed manifest (crashed writes, or
-        manifests removed by an operator). Returns the pruned paths.
+        manifests removed by an operator). Returns the pruned paths; paths
+        skipped only because they are inside the grace window are recorded
+        in ``self.last_gc_deferred`` and logged (ADVICE r3 — callers can
+        tell 'nothing to prune' from 'deferred by grace', and a crashed
+        .tmp younger than an hour is reclaimed by a later gc() or an
+        immediate ``gc(grace_seconds=0)`` when no writers are active).
 
         ``grace_seconds`` (ADVICE r2): a concurrent ``write()`` has a window
         between renaming the snap dir into place and writing its manifest —
         gc racing into that window would delete a committed-in-progress
         write. Snap dirs younger than the grace period (mtime) are skipped;
         pass 0 only when no writers are active."""
+        import logging
         import time
 
         now = time.time()
-        pruned = []
+        pruned: list[str] = []
+        deferred: list[str] = []
         for stage in os.listdir(self.root):
             sdir = self._stage_dir(stage)
             if not os.path.isdir(sdir):
@@ -124,11 +131,19 @@ class SnapshotStore:
                 if d.endswith(".tmp") or not os.path.exists(self._manifest(stage, sid)):
                     try:
                         if now - os.path.getmtime(path) < grace_seconds:
+                            deferred.append(path)
                             continue  # possibly a rename-then-manifest window
                     except OSError:
                         continue  # raced with a writer/another gc: leave it
                     shutil.rmtree(path, ignore_errors=True)
                     pruned.append(path)
+        self.last_gc_deferred = deferred
+        if deferred:
+            logging.getLogger(__name__).info(
+                "SnapshotStore.gc: %d candidate(s) deferred by the %.0fs grace "
+                "window (not orphaned-for-sure yet): %s",
+                len(deferred), grace_seconds, deferred,
+            )
         return pruned
 
 

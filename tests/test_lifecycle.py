@@ -104,9 +104,11 @@ def test_alternating_fingerprints_both_resumable(spark, tmp_path):
     orphan = store._snap_dir("st", "0rphan")
     os.makedirs(orphan)
     assert store.gc() == []  # inside the default 1h grace window
+    assert store.last_gc_deferred == [orphan]  # ADVICE r3: deferred != clean
     assert os.path.isdir(orphan)
     pruned = store.gc(grace_seconds=0)
     assert pruned == [orphan]
+    assert store.last_gc_deferred == []
     assert runner.run("st", "fp1", build).resumed and calls["n"] == 2
 
 

@@ -61,8 +61,10 @@ def test_top1_accuracy_and_inkb(run, tiny):
 
 
 def test_inkb_duplicate_span_keys_do_not_inflate(spark):
-    """ADVICE r2: a pred span key matching g gold rows (or vice versa) must
-    not multiply n_pred/n_gold through the full-outer join."""
+    """ADVICE r2+r3: duplicate span keys count once per UNIQUE key — the
+    reference's calculate_inkb_f1 collapses spans into a dict keyed by
+    (start, end) before counting, so neither the full-outer join nor row
+    multiplicity may inflate any counter."""
     schema = "conv_id string, turn_idx int, start int, end int"
     preds = spark.createDataFrame(
         [("c", 0, 1, 5, ["e1"]), ("c", 0, 1, 5, ["e1"]), ("c", 1, 2, 6, ["e9"])],
@@ -73,9 +75,9 @@ def test_inkb_duplicate_span_keys_do_not_inflate(spark):
         schema + ", label array<string>",
     )
     row = inkb_micro_f1(preds, golds).collect()[0]
-    assert row["n_pred"] == 3  # NOT 5 (2 preds x 2 golds + 1)
-    assert row["n_gold"] == 3
-    assert row["n_hit"] == 2  # both duplicate preds hit the e1/e2 gold union
+    assert row["n_pred"] == 2  # 2 unique pred keys (dict-dedup), NOT 3 rows
+    assert row["n_gold"] == 2
+    assert row["n_hit"] == 1  # the (1,5) key hits the e1/e2 gold union once
     # metrics stay in [0,1] even with asymmetric duplication (3 dup preds on
     # 1 gold: P=1, R=1, F1=1 — never recall 3.0)
     p2 = spark.createDataFrame(
