@@ -263,3 +263,52 @@ def test_sniffed_but_undecodable_falls_back_not_crashes(spark):
     with pytest.raises(Exception, match="unsupported BMP|ValueError"):
         M.extract_features(df.where("asset_id = 'a-bad-bmp'"), real_decode=True).collect()
     assert M.resize_images(df, 4, 4).count() == 0  # dropped, not crashed
+
+
+def test_stream_epoch_matches_batch_pipeline_row_for_row(spark, tiny, tmp_path):
+    """VERDICT r3 item 7: value-check the streaming path against the batch
+    pipeline on the SAME slice — the sessionized stream's resolved output
+    for a closed session must equal the full batch pipeline run over that
+    session's member turns, row for row on every shared column (the batch
+    side is the oracle-gated flagship; cluster ids are excluded — the
+    stream's within-batch clusters are trivial by design)."""
+    from pyspark.sql import Window
+
+    from entity_linkings_spark.streaming.incremental import sessionized_linkage
+
+    t0 = 1735725600000  # 2025-01-01 10:00 UTC, ms
+    MIN = 60_000
+    conv = tiny["transcripts"].orderBy("conv_id", "turn_idx").limit(6)
+    turns = conv.withColumn(
+        "rn", F.row_number().over(Window.orderBy("conv_id", "turn_idx")) - 1
+    ).withColumn(
+        "ts",
+        F.timestamp_millis(
+            F.lit(t0)
+            + F.col("rn") * 5 * MIN
+            + F.when(F.col("rn") >= 3, 180 * MIN).otherwise(0)
+        ),
+    ).drop("rn")
+    src = str(tmp_path / "rb_in")
+    turns.coalesce(1).write.parquet(src)
+
+    pipe = LinkagePipeline(tiny["dictionary"])
+    sink, ckpt = str(tmp_path / "rb_out"), str(tmp_path / "rb_ckpt")
+    q = sessionized_linkage(
+        stream_transcripts(spark, src, max_files=1), pipe, src, sink, ckpt,
+        gap_ms=30 * MIN, watermark="10 minutes",
+    ).start()
+    q.awaitTermination(300)
+
+    cols = ["conv_id", "turn_idx", "start", "end", "mention", "mention_id",
+            "entity_id", "score"]
+    streamed = spark.read.parquet(sink).select(*cols)
+
+    # the batch side on the identical slice: session 1's member turns
+    member = spark.read.parquet(src).where(F.col("turn_idx") <= 2)
+    batch = pipe.run(member)["resolved_mentions"].select(*cols)
+
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    assert len(s_rows) > 0
+    assert s_rows == b_rows
