@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_top1_accuracy",
         "j8_blocking_pairs",
         "j5_tfidf_topk_auto",
+        "w2_asof_join",
+        "w3_range_join",
         "j5_tfidf_topk_gemm",
         "dedup_simhash_pairs_capped",
         "f_redact_pii",

@@ -176,13 +176,20 @@ def run_scaling() -> dict:
     """N -> 4N scaling. Primary pair: local[4] -> local[16] (headroom below
     VM saturation); local[8] -> local[32] as the saturated secondary point.
 
-    Interleaved sweeps: this VM's background steal drifts the WHOLE box by
-    up to ~25% over minutes, so measuring level N and level 4N far apart
-    corrupts their ratio with drift that has nothing to do with scaling.
-    The primary pair runs as two adjacent (4, 16) sweeps; each sweep yields
-    one efficiency sample and the reported number is the best sweep — noise
-    only ever slows a run down, so the least-disturbed sweep is the honest
-    capability measurement (per-sweep samples are all recorded)."""
+    Protocol (round-4, VERDICT r3 #3 — the recorded gate has been decided by
+    box noise for three rounds):
+      * Interleaved sweeps: this VM's background steal drifts the WHOLE box
+        by up to ~25% over minutes, so measuring level N and level 4N far
+        apart corrupts their ratio with drift that has nothing to do with
+        scaling. Each sweep runs its two levels back-to-back.
+      * THREE primary sweeps with ALTERNATING level order (4-16, 16-4,
+        4-16): a monotone steal drift biases the ratio in opposite
+        directions under opposite orders, so alternation cancels it in
+        expectation instead of compounding it.
+      * The recorded number is the MEDIAN of the three per-sweep ratios —
+        one steal-burst sweep (in either direction) cannot decide the
+        record, and a median is not inflatable by a single slowed small-
+        level leg the way max(eff) would be. All samples are recorded."""
     def level_run(level: int) -> dict:
         out = _run_subprocess(
             _SCALE_SNIPPET, [str(level), str(N_PAIRS)], f"scaling local[{level}]"
@@ -192,10 +199,15 @@ def run_scaling() -> dict:
 
     sweeps = []
     best = {}
-    for lo, hi in ((4, 16), (4, 16), (8, 32)):
-        a, b = level_run(lo), level_run(hi)
+    for lo, hi, hi_first in ((4, 16, False), (4, 16, True), (4, 16, False),
+                             (8, 32, False)):
+        if hi_first:
+            b, a = level_run(hi), level_run(lo)
+        else:
+            a, b = level_run(lo), level_run(hi)
         eff = round((a["sec"] / b["sec"]) / 4.0, 4)
         sweeps.append({"pair": f"local{lo}->local{hi}", "eff": eff,
+                       "order": "hi-first" if hi_first else "lo-first",
                        "total_sec": round(a["sec"] + b["sec"], 3),
                        f"pps{lo}": round(a["pps"], 1), f"pps{hi}": round(b["pps"], 1)})
         for lvl, r in ((lo, a), (hi, b)):
@@ -203,11 +215,8 @@ def run_scaling() -> dict:
             best[k] = max(best.get(k, 0.0), round(r["pps"], 1))
 
     def pick(pair: str) -> float:
-        # the least-disturbed sweep is the one with the LOWEST combined wall
-        # (steal only adds time); report ITS ratio — picking max(eff) would
-        # be gameable by a steal-slowed small-level run inflating the ratio
-        cand = [s for s in sweeps if s["pair"] == pair]
-        return min(cand, key=lambda s: s["total_sec"])["eff"]
+        cand = sorted(s["eff"] for s in sweeps if s["pair"] == pair)
+        return cand[len(cand) // 2]  # median (odd count); single sweep = itself
 
     primary = pick("local4->local16")
     secondary = pick("local8->local32")

@@ -1522,6 +1522,101 @@ def w1_sessionize(spark, sf):
     )
 
 
+# ---- W2: as-of (point-in-time) join over the events stream ------------------
+
+@register(
+    "w2_asof_join",
+    """
+    WITH clicks AS (
+        SELECT user_id, epoch_ms(ts) AS tms, value, event_id,
+               row_number() OVER (PARTITION BY user_id, epoch_ms(ts)
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'),
+    u AS (SELECT user_id, tms, value FROM clicks WHERE rn = 1),
+    p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms, value
+          FROM events WHERE event_type IN ('view', 'error'))
+    SELECT p.event_id, p.user_id, p.tms, p.value,
+           u.value AS click_value_asof, u.tms AS tms_asof
+    FROM p ASOF LEFT JOIN u
+      ON p.user_id = u.user_id AND p.tms >= u.tms
+    """,
+)
+def w2_asof_join(spark, sf):
+    """W2 as-of join (operators/temporal.py asof_join): every view/error
+    event picks up the LATEST click's value for the same user at or before
+    its timestamp — the point-in-time lookup Spark's API lacks, verified
+    against DuckDB's native ASOF LEFT JOIN. One shuffle on the key (the
+    union-window form), no inequality join anywhere in the plan."""
+    from entity_linkings_spark.operators.temporal import asof_join
+
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("tms"),
+        "event_type",
+        "value",
+    )
+    updates = e.where(F.col("event_type") == "click").select(
+        "user_id", "tms", "value", "event_id"
+    )
+    probes = e.where(F.col("event_type").isin("view", "error")).select(
+        "event_id", "user_id", "tms", "value"
+    )
+    return asof_join(
+        probes,
+        updates,
+        on="user_id",
+        ts_col="tms",
+        value_cols=["value"],
+        tie_col="event_id",
+        suffix="_x",
+    ).select(
+        "event_id", "user_id", "tms", "value",
+        F.col("value_x").alias("click_value_asof"),
+        F.col("tms_x").alias("tms_asof"),
+    )
+
+
+# ---- W3: bucketed range join (event -> containing session interval) ---------
+
+@register(
+    "w3_range_join",
+    """
+    WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+    l AS (SELECT *, lag(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS prev FROM e),
+    s AS (SELECT *, CASE WHEN prev IS NULL OR tms - prev > 1800000 THEN 1 ELSE 0 END AS is_new FROM l),
+    g AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_seq FROM s),
+    sess AS (SELECT user_id, session_seq, min(tms) AS start_ms, max(tms) AS end_ms
+             FROM g GROUP BY user_id, session_seq)
+    SELECT e.event_id, e.user_id, e.tms, sess.session_seq, sess.start_ms, sess.end_ms
+    FROM e JOIN sess ON e.user_id = sess.user_id
+                    AND e.tms BETWEEN sess.start_ms AND sess.end_ms
+    """,
+)
+def w3_range_join(spark, sf):
+    """W3 range (interval-containment) join: every event tagged with the
+    session interval that contains it, via operators/temporal.py
+    range_join_buckets — a (user, time-bucket) equi-join + exact range
+    filter instead of the BroadcastNestedLoopJoin Spark plans for a raw
+    inequality join. The oracle is DuckDB's native inequality join over the
+    identical session derivation (w1's CTE)."""
+    from entity_linkings_spark.operators.temporal import range_join_buckets
+
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("tms"),
+    )
+    sess = w1_sessionize(spark, sf).select(
+        "user_id", "session_seq", "start_ms", "end_ms"
+    )
+    return range_join_buckets(
+        e, sess, event_ts="tms", start_col="start_ms", end_col="end_ms",
+        bucket_width=1_800_000, keys=["user_id"],
+    ).select("event_id", "user_id", "tms", "session_seq", "start_ms", "end_ms")
+
+
 # ---- J9: wiki_map 4-way left join + redirect chase --------------------------
 
 @register(
