@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_tfidf_topk_auto",
         "w2_asof_join",
         "w3_range_join",
+        "decontaminate_ngrams",
         "j5_tfidf_topk_gemm",
         "dedup_simhash_pairs_capped",
         "f_redact_pii",

@@ -745,6 +745,40 @@ def cc_components(spark, sf):
     )
 
 
+_SHINGLE13_SQL = """CASE WHEN len(ws) <= 13 THEN [array_to_string(ws, ' ')]
+              ELSE list_transform(generate_series(1, len(ws) - 12),
+                                  i -> array_to_string(ws[i:i+12], ' ')) END"""
+
+
+@register(
+    "decontaminate_ngrams",
+    f"""
+    WITH corp AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bm0 AS (SELECT string_split(array_to_string(string_split(text, ' ')[1:40], ' '), ' ') AS ws
+            FROM documents WHERE doc_id % 29 = 0),
+    bm AS (SELECT DISTINCT md5(sh) AS h FROM
+             (SELECT unnest({_SHINGLE13_SQL}) AS sh FROM bm0)),
+    ds AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM
+             (SELECT doc_id, unnest({_SHINGLE13_SQL}) AS sh FROM corp))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM ds JOIN bm USING (h) GROUP BY doc_id
+    """,
+)
+def decontaminate_ngrams(spark, sf):
+    """Benchmark decontamination (operators/dedup.py ngram_decontaminate):
+    the corpus checked for 13-gram collisions against a "benchmark" built
+    as 40-word excerpts of every 29th document — the standard eval-leakage
+    purge for training data, with planted partial overlaps so the check
+    value is rich (each excerpted source must surface with its exact
+    distinct-13-gram hit count, plus any true duplicates of it). Distinct-
+    shingle md5 equi-join; never a text comparison or cross join."""
+    docs = _docs(spark, sf)
+    benchmark = docs.where(F.col("doc_id") % 29 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 40), " ").alias("text")
+    )
+    return D.ngram_decontaminate(docs, benchmark, n=13)
+
+
 # ---- composed dedup job: candidates -> verify -> CC -> keeper ---------------
 
 @register(

@@ -258,3 +258,41 @@ def simhash_near_pairs(
         .agg(F.first("hamming").alias("hamming"))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: (id, n_hits) for every corpus document
+    sharing at least one word ``n``-gram with the benchmark set — the
+    standard 13-gram-collision test used to purge eval-set leakage from
+    training data (the n-gram analogue of GPT-3/PaLM-style decontamination).
+
+    Plan: both sides shingle with the SAME word_shingles expression, hash
+    each distinct shingle to md5, and meet in an equi-join on the hash —
+    never a text comparison, never a cross join. The benchmark side
+    (an eval set — small by nature) reduces to distinct hashes first, so
+    the planner broadcasts it when it fits and shuffles otherwise; the
+    corpus side is one explode + one aggregation keyed by doc. ``n_hits``
+    counts DISTINCT colliding n-grams per document (within-doc repeats of
+    the same shingle count once, both engines)."""
+    bm = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh")
+        )
+        .select(F.md5("sh").alias("h"))
+        .distinct()
+    )
+    doc_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh"),
+    ).select(id_col, F.md5("sh").alias("h"))
+    return (
+        doc_sh.join(bm, "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )

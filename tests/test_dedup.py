@@ -93,3 +93,30 @@ def test_minhash_empty_docs_never_pair(spark):
     pairs = D.minhash_band_pairs(df, "doc_id", shingles).collect()
     ids = {(r["id_a"], r["id_b"]) for r in pairs}
     assert ids == {(100, 101)}
+
+
+def test_ngram_decontaminate_finds_planted_overlap(spark):
+    from entity_linkings_spark.operators.dedup import ngram_decontaminate
+
+    mk = " ".join(f"w{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(1, mk), (2, mk.replace("w3", "XX")), (3, "totally different words " * 5)],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame([(mk,)], "text string")
+    got = {r["doc_id"]: r["n_hits"] for r in
+           ngram_decontaminate(corpus, benchmark, n=13).collect()}
+    # doc 1 is an exact copy: all 8 distinct 13-grams collide. doc 2 differs
+    # at word 3: only the 13-grams starting past it survive (positions 5-8).
+    assert got == {1: 8, 2: 4}
+
+
+def test_ngram_decontaminate_short_docs_whole_text(spark):
+    from entity_linkings_spark.operators.dedup import ngram_decontaminate
+
+    corpus = spark.createDataFrame([(1, "tiny doc"), (2, "other")],
+                                   "doc_id long, text string")
+    benchmark = spark.createDataFrame([("tiny doc",)], "text string")
+    got = {r["doc_id"]: r["n_hits"] for r in
+           ngram_decontaminate(corpus, benchmark, n=13).collect()}
+    assert got == {1: 1}  # sub-n docs shingle to the whole text, both sides
