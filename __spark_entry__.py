@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_asof_join",
         "w3_range_join",
         "decontaminate_ngrams",
+        "pack_sequences",
+        "vocab_topk",
+        "shuffle_train_order",
         "j5_tfidf_topk_gemm",
         "dedup_simhash_pairs_capped",
         "f_redact_pii",

@@ -2470,3 +2470,131 @@ def chunk_tokens(spark, sf):
         )
         .select("doc_id", "chunk_idx", "tokens", "n_tokens")
     )
+
+
+# ---- LM-dataprep: vocabulary building + deterministic training shuffle ------
+
+@register(
+    "vocab_topk",
+    """
+    WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[\\w#]+')) AS tok
+               FROM documents),
+    c AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok)
+    SELECT tok, freq, CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS INT) AS rank
+    FROM c QUALIFY rank <= 500
+    """,
+)
+def vocab_topk(spark, sf):
+    """Corpus vocabulary building: global top-500 tokens by frequency with
+    deterministic (freq DESC, tok ASC) ranks — the vocab-truncation step of
+    tokenizer training. The corpus-wide work is ONE shuffle (groupBy tok
+    with map-side partial counts); the ranking window then sorts only the
+    AGGREGATED vocab table (|vocab| rows, corpus-size-independent), so the
+    single-partition window is bounded, not a corpus sort."""
+    from entity_linkings_spark.functions.strings import tokenize
+
+    c = (
+        _docs(spark, sf)
+        .select(F.explode(tokenize("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 500)
+    )
+
+
+@register(
+    "shuffle_train_order",
+    """
+    SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(row_number() OVER (ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS ordinal
+    FROM documents
+    """,
+)
+def shuffle_train_order(spark, sf):
+    """Deterministic seeded global shuffle for training-example order:
+    shuffle key = md5(seed | doc_id) — reproducible across runs and task
+    retries (rand() is neither), engine-independent, and uniform. At scale
+    the job is just orderBy(shuffle_key) (a range-partitioned distributed
+    sort feeding sorted output files); the explicit ordinal is materialized
+    INTO the values here T6-style because the driver's hash is
+    order-insensitive — it is what proves both engines agree on the total
+    order, not just the key set."""
+    keyed = _docs(spark, sf).select(
+        "doc_id",
+        F.md5(F.concat(F.lit("42|"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return keyed.withColumn("ordinal", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH RECURSIVE base AS MATERIALIZED (
+        SELECT source, doc_id, len(regexp_extract_all(lower(text), '[\\w#]+')) AS n
+        FROM documents),
+    ch AS MATERIALIZED (
+        SELECT source, doc_id,
+               unnest(generate_series(0, CAST((n - 1) // 64 AS INT))) AS chunk_idx, n
+        FROM base WHERE n > 0),
+    rn AS MATERIALIZED (
+        SELECT source, doc_id, chunk_idx,
+               CAST(least(64, n - chunk_idx * 64) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch),
+    p AS (
+        SELECT source, doc_id, chunk_idx, n_tokens, rn,
+               CAST(0 AS BIGINT) AS bin_idx, n_tokens AS bin_fill
+        FROM rn WHERE rn = 1
+        UNION ALL
+        SELECT c.source, c.doc_id, c.chunk_idx, c.n_tokens, c.rn,
+               CASE WHEN p.bin_fill + c.n_tokens > 256 THEN p.bin_idx + 1
+                    ELSE p.bin_idx END,
+               CASE WHEN p.bin_fill + c.n_tokens > 256 THEN c.n_tokens
+                    ELSE p.bin_fill + c.n_tokens END
+        FROM rn c JOIN p ON c.source = p.source AND c.rn = p.rn + 1)
+    SELECT source, doc_id, CAST(chunk_idx AS INT) AS chunk_idx, n_tokens,
+           bin_idx, bin_fill
+    FROM p
+    """,
+)
+def pack_sequences_query(spark, sf):
+    """Greedy LM sequence packing (operators/batching.py pack_sequences):
+    each source's 64-token chunk stream packed in (doc_id, chunk_idx) order
+    into 256-token training bins — the example-packing step of LM dataprep.
+    Packing's resetting accumulator is non-associative (no Catalyst window
+    can express it), so the operator is one applyInPandas per group; the
+    oracle replays the exact greedy recurrence as a recursive CTE. Chunk
+    sizes derive from token counts in closed form (64 except the tail) —
+    identical to chunk_tokens' grouping, without exploding tokens."""
+    from entity_linkings_spark.functions.strings import tokenize
+    from entity_linkings_spark.operators.batching import pack_sequences
+
+    n = F.size(tokenize("text"))
+    chunks = (
+        _docs(spark, sf)
+        .select("source", "doc_id", n.alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            "source", "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), ((F.col("n") - 1) / 64).cast("int"))
+            ).alias("chunk_idx"),
+            "n",
+        )
+        .select(
+            "source", "doc_id", "chunk_idx",
+            F.least(F.lit(64), F.col("n") - F.col("chunk_idx") * 64)
+            .cast("long").alias("n_tokens"),
+        )
+    )
+    return pack_sequences(chunks, capacity=256, group_col="source").select(
+        "source", "doc_id", "chunk_idx", "n_tokens", "bin_idx", "bin_fill"
+    )

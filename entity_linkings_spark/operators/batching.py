@@ -96,3 +96,53 @@ def parse_multi_choice(response: Column | str, candidates: Column | str) -> Colu
         .otherwise(F.lit(-1))
         .cast("int")
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    capacity: int,
+    group_col: str = "source",
+    order_cols: list[str] | None = None,
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy in-order sequence packing for LM training: within each group,
+    walk the chunks in ``order_cols`` order and assign each to the current
+    bin while the running token count stays <= ``capacity``; otherwise open
+    the next bin. Adds ``bin_idx`` (0-based per group) and ``bin_fill``
+    (running tokens in the bin after this chunk). An oversized chunk
+    (size > capacity) occupies a bin alone.
+
+    Packing is a sequential scan with a resetting accumulator — not
+    expressible as a Catalyst window (the reset makes it non-associative) —
+    so this is an applyInPandas operator: one Arrow batch per group, a
+    numpy loop over the group's CHUNKS (not tokens), state bounded by the
+    group's chunk count. Groups partition the work, so the operator scales
+    with the number of groups exactly like any keyed aggregation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    order_cols = order_cols or ["doc_id", "chunk_idx"]
+    if capacity <= 0:
+        raise ValueError(f"pack_sequences: capacity must be positive, got {capacity}")
+    out_schema = T.StructType(
+        list(chunks.schema.fields)
+        + [T.StructField("bin_idx", T.LongType()),
+           T.StructField("bin_fill", T.LongType())]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        sizes = pdf[size_col].to_numpy(dtype=np.int64)
+        bins = np.zeros(len(sizes), dtype=np.int64)
+        fills = np.zeros(len(sizes), dtype=np.int64)
+        b, run = 0, 0
+        for i, s in enumerate(sizes):
+            if run + s > capacity and run > 0:
+                b, run = b + 1, 0
+            run += s
+            bins[i], fills[i] = b, run
+        pdf["bin_idx"], pdf["bin_fill"] = bins, fills
+        return pdf
+
+    return chunks.groupBy(group_col).applyInPandas(pack, out_schema)

@@ -69,3 +69,38 @@ def test_in_batch_candidates_shape(spark):
     assert out[1]["label"] == 0 and out[2]["label"] == 1
     # batch 1: gold only
     assert list(out[3]["candidate_ids"]) == ["E1"] and out[3]["label"] == 0
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    from entity_linkings_spark.operators.batching import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [("s", 0, 0, 100), ("s", 0, 1, 100), ("s", 1, 0, 60), ("s", 1, 1, 100),
+         ("s", 2, 0, 300),  # oversized: own bin
+         ("s", 3, 0, 10)],
+        "source string, doc_id long, chunk_idx int, n_tokens long",
+    )
+    out = {(r["doc_id"], r["chunk_idx"]): (r["bin_idx"], r["bin_fill"])
+           for r in pack_sequences(chunks, capacity=256, group_col="source").collect()}
+    assert out[(0, 0)] == (0, 100)
+    assert out[(0, 1)] == (0, 200)
+    # 200 + 60 = 260 > 256 -> new bin
+    assert out[(1, 0)] == (1, 60)
+    assert out[(1, 1)] == (1, 160)
+    assert out[(2, 0)] == (2, 300)  # oversized chunk occupies its own bin
+    assert out[(3, 0)] == (3, 10)   # and never shares it
+
+
+def test_pack_sequences_groups_independent(spark):
+    from entity_linkings_spark.operators.batching import pack_sequences
+
+    chunks = spark.createDataFrame(
+        [("a", 0, 0, 200), ("b", 0, 0, 200)],
+        "source string, doc_id long, chunk_idx int, n_tokens long",
+    )
+    out = pack_sequences(chunks, capacity=256, group_col="source").collect()
+    assert all(r["bin_idx"] == 0 for r in out)  # bins are per-group
+
+    import pytest
+    with pytest.raises(ValueError, match="capacity"):
+        pack_sequences(chunks, capacity=0)
