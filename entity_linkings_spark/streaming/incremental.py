@@ -206,3 +206,24 @@ def windowed_mention_counts(
     return anchors.groupBy(F.window("ts", window).alias("window"), "token").agg(
         F.count("*").alias("n")
     )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each normalized
+    text hash, with state BOUNDED by the watermark
+    (dropDuplicatesWithinWatermark evicts a hash's state once the watermark
+    passes it — at transcript-stream scale an unbounded dedup set is the
+    difference between a runnable job and an OOM; duplicates separated by
+    more than the watermark are the batch dedup job's responsibility, the
+    standard lambda split this module already applies to clustering)."""
+    from entity_linkings_spark.functions.strings import norm_exact
+
+    hashed = stream.withWatermark(ts_col, watermark).withColumn(
+        "text_hash", F.md5(norm_exact(text_col))
+    )
+    return hashed.dropDuplicatesWithinWatermark(["text_hash"])

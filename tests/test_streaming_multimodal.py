@@ -312,3 +312,46 @@ def test_stream_epoch_matches_batch_pipeline_row_for_row(spark, tiny, tmp_path):
     b_rows = sorted(map(tuple, batch.collect()))
     assert len(s_rows) > 0
     assert s_rows == b_rows
+
+
+def test_stream_dedup_exact_bounded_state(spark, tiny, tmp_path):
+    """Streaming exact dedup keeps one row per normalized text hash across
+    micro-batches, with watermark-bounded state
+    (dropDuplicatesWithinWatermark)."""
+    from entity_linkings_spark.streaming.incremental import (
+        stream_dedup_exact,
+        stream_transcripts,
+    )
+
+    src = str(tmp_path / "dd_in")
+    os.makedirs(src)
+    base = tiny["transcripts"].limit(40).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    # file 1: the base turns; file 2: the SAME texts under new conv ids
+    # (cross-batch duplicates) plus 5 genuinely new texts
+    base.coalesce(1).write.parquet(src + "/f1")
+    dup = base.limit(20).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("-dup")))
+    fresh = tiny["transcripts"].orderBy(F.desc("conv_id"), F.desc("turn_idx")).limit(5)
+    dup.unionByName(fresh.select(*base.columns)).coalesce(1).write.parquet(src + "/f2")
+    import glob, shutil
+    for i, f in enumerate(sorted(glob.glob(src + "/f*/*.parquet"))):
+        shutil.move(f, src + f"/file{i}.parquet")
+    for d in glob.glob(src + "/f1") + glob.glob(src + "/f2"):
+        shutil.rmtree(d)
+
+    out = stream_dedup_exact(stream_transcripts(spark, src, max_files=1))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("sdd")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select text_hash, count(*) n from sdd group by 1").collect()
+    distinct_texts = (
+        base.select("text").unionByName(fresh.select("text")).distinct().count()
+    )
+    assert len(got) == distinct_texts     # one survivor per distinct text
+    assert all(r["n"] == 1 for r in got)  # never a duplicate emission
