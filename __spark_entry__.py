@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences",
         "vocab_topk",
         "shuffle_train_order",
+        "skew_key_histogram",
+        "quality_repetition",
         "j5_tfidf_topk_gemm",
         "dedup_simhash_pairs_capped",
         "f_redact_pii",

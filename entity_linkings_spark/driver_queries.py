@@ -2598,3 +2598,96 @@ def pack_sequences_query(spark, sf):
     return pack_sequences(chunks, capacity=256, group_col="source").select(
         "source", "doc_id", "chunk_idx", "n_tokens", "bin_idx", "bin_fill"
     )
+
+
+# ---- scale observability: key-skew histogram --------------------------------
+
+@register(
+    "skew_key_histogram",
+    """
+    WITH b AS (SELECT user_id, count(*) AS bucket_size FROM events GROUP BY 1)
+    SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_keys
+    FROM b GROUP BY bucket_size
+    """,
+)
+def skew_key_histogram(spark, sf):
+    """Key-skew observability (operators/blocking.py key_size_histogram):
+    the exact per-key group-size histogram for a join/agg key — what an
+    operator reads BEFORE running a keyed shuffle at 100 TB to decide
+    whether salting/AQE-skew handling is needed. Two map-side-combining
+    aggregations; output is bounded by the number of distinct sizes."""
+    from entity_linkings_spark.operators.blocking import key_size_histogram
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return key_size_histogram(e, ["user_id"])
+
+
+# ---- LM-dataprep: repetition-based quality signals --------------------------
+
+@register(
+    "quality_repetition",
+    """
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws) - 1),
+                                       i -> ws[i] || ' ' || ws[i + 1])) AS gram
+          FROM w WHERE len(ws) >= 2),
+    c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2),
+    t AS (SELECT doc_id, max(n) AS top_2gram_n, sum(n) AS n_2grams FROM c GROUP BY 1),
+    d AS (SELECT doc_id,
+                 round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+                   AS dup_word_frac
+          FROM w WHERE len(ws) >= 1)
+    SELECT d.doc_id,
+           CAST(coalesce(t.n_2grams, 0) AS BIGINT) AS n_2grams,
+           CAST(coalesce(t.top_2gram_n, 0) AS BIGINT) AS top_2gram_n,
+           round(coalesce(CAST(t.top_2gram_n AS DOUBLE) / t.n_2grams, 0), 6) AS rep_ratio,
+           d.dup_word_frac
+    FROM d LEFT JOIN t USING (doc_id)
+    """,
+)
+def quality_repetition(spark, sf):
+    """Repetition-based quality signals (the Gopher heuristics' other half,
+    Rae et al. 2021 table A1): duplicate-word fraction and the most-frequent-
+    2-gram share of each document — boilerplate/spam detectors. The top-
+    2-gram needs a per-(doc, gram) count: one explode + one shuffle keyed by
+    (doc, gram) with partial combine, then a per-doc max — never a per-doc
+    quadratic HOF."""
+    ws = F.split(F.lower("text"), " ")
+    docs = _docs(spark, sf).select("doc_id", ws.alias("ws"))
+    grams = (
+        docs.where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_2gram_n"), F.sum("n").alias("n_2grams"))
+    )
+    per_doc = docs.where(F.size("ws") >= 1).select(
+        "doc_id",
+        F.round(
+            1.0 - F.size(F.array_distinct("ws")).cast("double") / F.size("ws"), 6
+        ).alias("dup_word_frac"),
+    )
+    return per_doc.join(grams, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_2grams", F.lit(0)).cast("long").alias("n_2grams"),
+        F.coalesce("top_2gram_n", F.lit(0)).cast("long").alias("top_2gram_n"),
+        F.round(
+            F.coalesce(
+                F.col("top_2gram_n").cast("double") / F.col("n_2grams"), F.lit(0.0)
+            ),
+            6,
+        ).alias("rep_ratio"),
+        "dup_word_frac",
+    )

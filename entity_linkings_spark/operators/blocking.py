@@ -118,13 +118,27 @@ def cap_blocks(keys: DataFrame, max_block_size: int) -> DataFrame:
     )
 
 
+def key_size_histogram(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(bucket_size, n_keys): EXACT histogram of per-key group sizes — the
+    skew diagnostic to run before any keyed join/agg at scale (a fat tail
+    here is what salting/AQE-skew-join exist for). Two aggregations, both
+    with map-side partial combine; the histogram itself is tiny (distinct
+    sizes), so no percentile-semantics ambiguity and bit-exact across
+    engines."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_keys"))
+    )
+
+
 def block_stats(keys: DataFrame) -> DataFrame:
     """Block-size histogram (observability for the cap; A6-style aggregate)."""
     return (
-        keys.groupBy("block_key")
-        .agg(F.count("*").alias("block_size"))
-        .groupBy("block_size")
-        .agg(F.count("*").alias("n_blocks"))
+        key_size_histogram(keys, ["block_key"])
+        .select(F.col("bucket_size").alias("block_size"),
+                F.col("n_keys").alias("n_blocks"))
         .orderBy("block_size")
     )
 
