@@ -64,9 +64,14 @@ HEADLINE = [
     # round-3 addition (regime-based dense-retrieval tool; the frozen rows
     # above stay untouched for cross-round comparability)
     "j5_tfidf_topk_gemm",
-    # round-4 addition: the measured-density dispatcher — must route this
-    # corpus (the postings join's all-dense worst case) onto the GEMM plan
+    # round-4 additions: the measured-density dispatcher (must route this
+    # corpus — the postings join's all-dense worst case — onto the GEMM
+    # plan), and the new operator families
     "j5_tfidf_topk_auto",
+    "w2_asof_join",
+    "w3_range_join",
+    "decontaminate_ngrams",
+    "pack_sequences",
 ]
 
 _SCALE_SNIPPET = r"""
