@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_train_order",
         "skew_key_histogram",
         "quality_repetition",
+        "quantize_embeddings",
+        "ann_quantized_recall",
         "j5_tfidf_topk_gemm",
         "dedup_simhash_pairs_capped",
         "f_redact_pii",

@@ -2691,3 +2691,84 @@ def quality_repetition(spark, sf):
         ).alias("rep_ratio"),
         "dup_word_frac",
     )
+
+
+# ---- int8 embedding quantization (ANN memory-scale path) --------------------
+
+_QUANT_SQL_BODY = """
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    m AS (SELECT vec_id, e,
+                 list_aggregate(list_transform(e, x -> abs(x)), 'max') AS maxabs
+          FROM v),
+    q AS (SELECT vec_id, round(maxabs / 127.0, 9) AS scale,
+                 CASE WHEN maxabs = 0 THEN list_transform(e, x -> 0)
+                      ELSE list_transform(e, x -> least(127, greatest(-127,
+                               CAST(floor(x / (maxabs / 127.0) + 0.5) AS INT))))
+                 END AS qvec
+          FROM m)"""
+
+
+@register(
+    "quantize_embeddings",
+    f"""
+    WITH {_QUANT_SQL_BODY}
+    SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec
+    FROM q
+    """,
+)
+def quantize_embeddings_query(spark, sf):
+    """Symmetric per-vector int8 scalar quantization
+    (operators/similarity.py quantize_embeddings): 4x less memory/IO than
+    float32 for the ANN corpus. Every quantized component is value-checked
+    (flattened to a comma-joined string — the driver canonicalizer cannot
+    sort array cells); the clamp at +/-127 and the zero-vector case are part
+    of the checked value."""
+    from entity_linkings_spark.operators import similarity as S
+
+    q = S.quantize_embeddings(_embeddings(spark, sf))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+            "qvec"
+        ),
+    )
+
+
+@register(
+    "ann_quantized_recall",
+    f"""
+    WITH {_QUANT_SQL_BODY},
+    qq AS (SELECT * FROM q WHERE vec_id % 25 = 0),
+    cand AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(CAST(list_dot_product(p.qvec, c.qvec) AS DOUBLE)
+                     / greatest(sqrt(CAST(list_dot_product(p.qvec, p.qvec) AS DOUBLE))
+                              * sqrt(CAST(list_dot_product(c.qvec, c.qvec) AS DOUBLE)),
+                              1e-300), 6) AS cos
+        FROM qq p, q c WHERE c.vec_id <> p.vec_id),
+    approx AS (SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM cand) WHERE rank <= 10),
+    exact AS ({_ANN_SQL}),
+    j AS (SELECT e.query_id, CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+          FROM exact e LEFT JOIN approx a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+    p AS (SELECT query_id, sum(hit)::DOUBLE / count(*) AS q_recall FROM j GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, round(avg(q_recall), 6) AS recall FROM p
+    """,
+)
+def ann_quantized_recall(spark, sf):
+    """Measured recall of int8-quantized brute-force cosine top-k against
+    the float top-k (operators/similarity.py quantized_topk): the
+    quantization error's ranking impact is a CHECKED value, not an
+    assumption. The integer dot products are exact (no accumulation-order
+    noise), so both engines agree bit-for-bit."""
+    from entity_linkings_spark.operators import similarity as S
+
+    emb = _embeddings(spark, sf)
+    qemb = S.quantize_embeddings(emb)
+    approx = S.quantized_topk(qemb, qemb.where(F.col("vec_id") % 25 == 0), k=10)
+    exact = S.brute_force_topk(emb, emb.where(F.col("vec_id") % 25 == 0), k=10)
+    return S.topk_recall(approx, exact)

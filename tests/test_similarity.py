@@ -140,3 +140,22 @@ def test_ivf_index_snapshot_load_if_exists(spark, emb, tmp_path):
     with _pytest.raises(ValueError, match="empty corpus"):
         SIM.ivf_topk(empty, q, k=10, num_centroids=32,
                      index_store=store, index_tag="corpus-v2").collect()
+
+
+def test_quantize_embeddings_contract(spark, emb):
+    q = SIM.quantize_embeddings(emb).collect()
+    for r in q:
+        assert all(-127 <= x <= 127 for x in r["qvec"])  # clamped (127.5 edge)
+        assert max(abs(x) for x in r["qvec"]) == 127 or r["scale"] == 0.0
+    z = spark.createDataFrame([(1, [0.0] * 4)], "vec_id long, embedding array<double>")
+    rz = SIM.quantize_embeddings(z).collect()[0]
+    assert rz["scale"] == 0.0 and rz["qvec"] == [0, 0, 0, 0]
+
+
+def test_quantized_topk_recall(emb):
+    q = SIM.quantize_embeddings(emb)
+    queries = q.where(F.col("vec_id") % 25 == 0)
+    approx = SIM.quantized_topk(q, queries, k=10)
+    exact = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") % 25 == 0), k=10)
+    r = SIM.topk_recall(approx, exact).collect()[0]
+    assert r["recall"] >= 0.95  # int8 error barely moves the ranking
