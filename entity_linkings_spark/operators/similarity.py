@@ -735,7 +735,7 @@ def quantized_topk(
         inorm(F.col("q_q")) * inorm(F.col("q_n")), F.lit(1e-300)
     )
     pairs = (
-        b.crossJoin(a)
+        a.crossJoin(F.broadcast(b))  # small query side broadcast, corpus scanned once
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round(cos, 6))
     )
