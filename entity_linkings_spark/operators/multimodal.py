@@ -8,6 +8,10 @@ to a marked deterministic fake):
   * image/BMP (24-bit BI_RGB): real decode/encode, pure struct+numpy
     (bottom-up and top-down rasters, row padding);
   * audio/WAV (RIFF/PCM): real decode via the stdlib ``wave`` module;
+  * video/AVI (RIFF, uncompressed 24-bit 'DIB ' frames): real container
+    walk + frame decode/encode, pure struct+numpy — frame sampling extracts
+    true frames re-encoded as standalone BMPs; compressed codecs (MJPG,
+    h264, ...) stay behind the loud boundary;
   * anything else: ``real_decode=True`` raises NotImplementedError at the
     exact point a production build would call PIL/torchaudio/ffmpeg;
     the default derives deterministic fake features from the payload bytes
@@ -184,6 +188,110 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return sr, x
 
 
+def encode_avi(frames: list[np.ndarray], fps: int = 1) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames -> RIFF/AVI bytes with
+    UNCOMPRESSED 'DIB ' video (bottom-up BGR, BMP-style 4-byte row stride) —
+    pure struct packing, stdlib only. Layout: RIFF('AVI ' LIST('hdrl' avih
+    LIST('strl' strh strf)) LIST('movi' '00db'...))."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_avi: need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("encode_avi: all frames must share one size")
+    stride = (w * 3 + 3) // 4 * 4
+    pad = b"\x00" * (stride - w * 3)
+    rasters = []
+    for f in frames:
+        bgr = f[:, :, ::-1].astype(np.uint8)
+        rasters.append(b"".join(bgr[y].tobytes() + pad for y in range(h - 1, -1, -1)))
+    frame_bytes = stride * h
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    us_per_frame = 1_000_000 // max(fps, 1)
+    avih = chunk(b"avih", struct.pack(
+        "<14I", us_per_frame, frame_bytes * fps, 0, 0, len(frames), 0, 1,
+        frame_bytes, w, h, 0, 0, 0, 0,
+    ))
+    strh = chunk(b"strh", struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        len(frames), frame_bytes, 0, 0, 0, 0, w, h,
+    ))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    ))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00db", r) for r in rasters))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(payload: bytes) -> tuple[int, list[np.ndarray]]:
+    """RIFF/AVI bytes -> (fps, [(h, w, 3) uint8 RGB frames]). Supports ONLY
+    the uncompressed 24-bit 'DIB '/BI_RGB layout encode_avi writes (the one
+    video format decodable without a codec library); compressed streams
+    (MJPG, h264, ...) raise ValueError — real_decode surfaces that loudly,
+    exactly where a production build swaps in ffmpeg."""
+    import struct
+
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    w = h = None
+    fps = 1
+    rasters: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal w, h, fps
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if fourcc == b"LIST":
+                walk(buf, body_start + 4, body_end)  # skip the list kind
+            elif fourcc == b"strh":
+                typ, handler = buf[body_start:body_start + 4], buf[body_start + 4:body_start + 8]
+                if typ == b"vids":
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                        raise ValueError(
+                            f"unsupported AVI video codec {handler!r} — only "
+                            "uncompressed 'DIB ' decodes without a codec library"
+                        )
+                    scale, rate = struct.unpack_from("<II", buf, body_start + 20)
+                    if scale:
+                        fps = max(rate // scale, 1)
+            elif fourcc == b"strf":
+                dib = struct.unpack_from("<IiiHHI", buf, body_start)
+                if dib[4] != 24 or dib[5] != 0:
+                    raise ValueError(
+                        f"unsupported AVI frame format (bpp={dib[4]}, "
+                        f"compression={dib[5]})"
+                    )
+                w, h = dib[1], abs(dib[2])
+            elif fourcc in (b"00db", b"00dc"):
+                rasters.append(buf[body_start:body_end])
+            pos = body_start + size + (size % 2)
+
+    walk(payload, 12, len(payload))
+    if w is None or not rasters:
+        raise ValueError("AVI payload has no decodable video frames")
+    stride = (w * 3 + 3) // 4 * 4
+    frames = []
+    for r in rasters:
+        if len(r) < stride * h:
+            raise ValueError("truncated AVI frame raster")
+        rows = np.frombuffer(r[: stride * h], dtype=np.uint8).reshape(h, stride)
+        frames.append(rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy())
+    return fps, frames
+
+
 def block_mean_resize(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Deterministic block-mean downsample of (h, w, 3) uint8 (area filter
     on integer-divisible grids; nearest-index grouping otherwise)."""
@@ -228,6 +336,29 @@ def _audio_features(sr: int, samples: np.ndarray) -> np.ndarray:
     return f
 
 
+def _video_features(fps: int, frames: list[np.ndarray]) -> np.ndarray:
+    f = np.empty(FEATURE_DIM, np.float32)
+    xs = [fr.astype(np.float32) / 255.0 for fr in frames]
+    f[0] = len(frames) / 64.0
+    f[1] = fps / 30.0
+    f[2] = xs[0].shape[1] / 1024.0
+    f[3] = xs[0].shape[0] / 1024.0
+    means = np.array([x.mean() for x in xs], np.float32)
+    f[4] = means.mean()
+    f[5] = means.std()
+    # mean absolute inter-frame difference (motion proxy)
+    f[6] = (
+        float(np.mean([np.abs(a - b).mean() for a, b in zip(xs[1:], xs[:-1])]))
+        if len(xs) > 1 else 0.0
+    )
+    f[7] = xs[0].std()
+    # 8-bin luminance histogram of the middle frame
+    gray = xs[len(xs) // 2].mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+    f[8:16] = hist / max(gray.size, 1)
+    return f
+
+
 def _fake_features(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for formats this container cannot decode."""
     h = hashlib.sha256(payload or b"").digest()
@@ -250,14 +381,16 @@ def _decode_one(kind: str, payload: bytes, real_decode: bool):
                 return "bmp", _image_features(decode_bmp(payload))
             if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
                 return "wav", _audio_features(*decode_wav(payload))
+            if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                return "avi", _video_features(*decode_avi(payload))
         except (ValueError, EOFError, wave.Error):
             if real_decode:
                 raise
     if real_decode:
         raise NotImplementedError(
             f"no codec for kind={kind!r} payload in this container — swap in "
-            "PIL/torchaudio/ffmpeg here for jpeg/png/mp4 assets (PPM, BMP "
-            "and WAV already decode for real above)"
+            "PIL/torchaudio/ffmpeg here for jpeg/png/mp4 assets (PPM, BMP, "
+            "WAV and uncompressed-DIB AVI already decode for real above)"
         )
     return "fake", _fake_features(payload or b"")
 
@@ -317,8 +450,13 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Expand video assets into frame rows (deterministic fake frame payloads
-    sliced from the source payload); non-video rows produce nothing."""
+    """Expand video assets into frame rows. AVI payloads (the one container
+    this sandbox can decode) are sampled FOR REAL: the frame nearest each
+    every_ms tick is extracted and re-encoded as a standalone BMP — a
+    decodable image any downstream stage (resize_images, extract_features)
+    consumes directly. Undecodable containers keep the deterministic fake
+    slices so the Spark plumbing is exercised regardless. Non-video rows
+    produce nothing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -329,13 +467,24 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 # (NaN for null) in pandas — normalize before range()
                 raw = row["meta"]["duration_ms"] if row["meta"] is not None else None
                 dur = 0 if raw is None or pd.isna(raw) else int(raw)
-                payload = row["payload"] or b""
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                frames = fps = None
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    try:
+                        fps, frames = decode_avi(payload)
+                    except ValueError:
+                        frames = None  # sniffed-but-undecodable: fake fallback
                 for k, t in enumerate(range(0, dur, every_ms)):
-                    lo = (k * 16) % max(len(payload), 1)
+                    if frames is not None:
+                        idx = min(t * fps // 1000, len(frames) - 1)
+                        fp = encode_bmp(frames[idx])
+                    else:
+                        lo = (k * 16) % max(len(payload), 1)
+                        fp = payload[lo : lo + 16]
                     out["asset_id"].append(row["asset_id"])
                     out["frame_idx"].append(k)
                     out["t_ms"].append(t)
-                    out["frame_payload"].append(payload[lo : lo + 16])
+                    out["frame_payload"].append(fp)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, FRAME_SCHEMA)
@@ -347,9 +496,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     """Deterministic fake assets: images alternate between REAL P6 PPMs and
-    REAL 24-bit BMPs, audio is REAL RIFF/PCM WAV (so every real decoder is
-    exercised end-to-end); video payloads are md5-stream bytes (no container
-    codec here by design)."""
+    REAL 24-bit BMPs, audio is REAL RIFF/PCM WAV, and videos alternate
+    between REAL uncompressed-DIB RIFF/AVI containers (4 frames, 1 fps) and
+    md5-stream bytes (so both the real-decode path and the fake fallback
+    stay exercised end-to-end)."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -370,9 +520,23 @@ def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
             payload = encode_wav(samples, sr)
             meta = {"width": None, "height": None, "sample_rate": sr, "duration_ms": dur_ms}
         else:
-            payload = b"".join(
-                hashlib.md5(f"{i}:{j}".encode()).digest() for j in range(8)
-            )
+            if (i // 3) % 2 == 0:
+                fw, fh = 16, 12
+                frames = [
+                    np.frombuffer(
+                        b"".join(
+                            hashlib.md5(f"vid:{i}:{k}:{j}".encode()).digest()
+                            for j in range(fw * fh * 3 // 16 + 1)
+                        ),
+                        dtype=np.uint8,
+                    )[: fw * fh * 3].reshape(fh, fw, 3)
+                    for k in range(4)
+                ]
+                payload = encode_avi(frames, fps=1)
+            else:
+                payload = b"".join(
+                    hashlib.md5(f"{i}:{j}".encode()).digest() for j in range(8)
+                )
             meta = {"width": None, "height": None, "sample_rate": None, "duration_ms": 4000}
         rows.append((f"asset-{i:04d}", kind, payload, meta))
     return spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -148,15 +148,16 @@ def test_real_decoders_and_stub_boundary(spark):
     by_kind: dict[str, set] = {}
     for r in feats.collect():
         by_kind.setdefault(r["kind"], set()).add(r["decoder"])
-    # stdlib-decodable formats decode FOR REAL (images alternate PPM/BMP);
-    # video falls back to the fake
-    assert by_kind == {"image": {"ppm", "bmp"}, "audio": {"wav"}, "video": {"fake"}}
-    # with real_decode=True the decodable kinds still succeed...
+    # stdlib-decodable formats decode FOR REAL (images alternate PPM/BMP,
+    # videos alternate real uncompressed-DIB AVI and the fake fallback)
+    assert by_kind == {"image": {"ppm", "bmp"}, "audio": {"wav"}, "video": {"avi", "fake"}}
+    # with real_decode=True every real container still succeeds...
     ok = M.extract_features(
         assets.where("kind != 'video'"), real_decode=True
     ).collect()
     assert {r["decoder"] for r in ok} == {"ppm", "bmp", "wav"}
-    # ...and the codec-less kind fails loudly at the marked swap-in site
+    # ...and the containerless payloads (the md5-stream videos) fail loudly
+    # at the marked swap-in site
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         M.extract_features(assets.where("kind = 'video'"), real_decode=True).collect()
 
@@ -355,3 +356,47 @@ def test_stream_dedup_exact_bounded_state(spark, tiny, tmp_path):
     )
     assert len(got) == distinct_texts     # one survivor per distinct text
     assert all(r["n"] == 1 for r in got)  # never a duplicate emission
+
+
+def test_avi_roundtrip_and_real_frame_sampling(spark):
+    """The RIFF/AVI container decodes FOR REAL (uncompressed DIB frames):
+    encode->decode is exact, sample_frames extracts the true frames
+    re-encoded as standalone BMPs, and compressed codecs stay behind the
+    loud boundary."""
+    import numpy as np
+
+    frames = [np.full((12, 16, 3), 17 * (k + 1), np.uint8) for k in range(4)]
+    payload = M.encode_avi(frames, fps=1)
+    fps, out = M.decode_avi(payload)
+    assert fps == 1 and len(out) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+    assets = spark.createDataFrame(
+        [("v0", "video", bytearray(payload),
+          {"width": None, "height": None, "sample_rate": None, "duration_ms": 4000})],
+        M.ASSET_SCHEMA,
+    )
+    sampled = M.sample_frames(assets, every_ms=1000).collect()
+    assert len(sampled) == 4
+    for r in sampled:
+        # each sampled frame is a REAL standalone BMP of the source frame
+        arr = M.decode_bmp(bytes(r["frame_payload"]))
+        assert np.array_equal(arr, frames[r["frame_idx"]])
+
+    # features flow through the real path
+    f = M.extract_features(assets, real_decode=True).collect()[0]
+    assert f["decoder"] == "avi" and len(f["features"]) == M.FEATURE_DIM
+
+    # a compressed-codec AVI is refused loudly under real_decode and falls
+    # back to the fake otherwise
+    mjpg = payload.replace(b"DIB ", b"MJPG", 1)
+    bad = spark.createDataFrame(
+        [("v1", "video", bytearray(mjpg),
+          {"width": None, "height": None, "sample_rate": None, "duration_ms": 1000})],
+        M.ASSET_SCHEMA,
+    )
+    assert M.extract_features(bad).collect()[0]["decoder"] == "fake"
+    with pytest.raises(Exception, match="unsupported AVI video codec"):
+        M.extract_features(bad, real_decode=True).collect()
+    # sniffed-but-undecodable also keeps the fake FRAME fallback
+    assert len(M.sample_frames(bad, every_ms=1000).collect()) == 1
