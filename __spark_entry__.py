@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition",
         "quantize_embeddings",
         "ann_quantized_recall",
+        "ann_ivf_sq8_topk",
+        "ann_ivf_sq8_recall",
         "j5_tfidf_topk_gemm",
         "dedup_simhash_pairs_capped",
         "f_redact_pii",

@@ -1065,6 +1065,76 @@ def ann_ivf_recall(spark, sf):
     return SIM.topk_recall(approx, exact)
 
 
+def _ivf_sq8_sql(
+    num_centroids: int = 200, nprobe: int = 28, assign_lists: int = 2, k: int = 10
+) -> str:
+    """SQL replica of IVF-SQ8: identical codebook/refinement/assignment CTEs
+    to _ivf_topk_sql (float index build), but candidates score through the
+    int8-quantized vectors with exact integer dot products (scales cancel
+    in cosine, so they never appear)."""
+    base = _ivf_topk_sql(num_centroids, nprobe, assign_lists, k)
+    old_cand = """cand AS (SELECT p.query_id, l.neighbor_id,
+                    min(round(list_cosine_similarity(p.qv, l.cv), 6)) AS cos
+             FROM lists l JOIN probes p ON p.list_id = l.list_id
+             WHERE l.neighbor_id <> p.query_id GROUP BY 1, 2),"""
+    new_cand = """qz AS (SELECT vec_id,
+                 CASE WHEN maxabs = 0 THEN list_transform(e, x -> 0)
+                      ELSE list_transform(e, x -> least(127, greatest(-127,
+                               CAST(floor(x / (maxabs / 127.0) + 0.5) AS INT))))
+                 END AS qvec
+          FROM (SELECT vec_id, e,
+                       list_aggregate(list_transform(e, x -> abs(x)), 'max') AS maxabs
+                FROM v)),
+    cand AS (SELECT p.query_id, l.neighbor_id,
+                    min(round(CAST(list_dot_product(pq.qvec, lq.qvec) AS DOUBLE)
+                        / greatest(sqrt(CAST(list_dot_product(pq.qvec, pq.qvec) AS DOUBLE))
+                                 * sqrt(CAST(list_dot_product(lq.qvec, lq.qvec) AS DOUBLE)),
+                                 1e-300), 6)) AS cos
+             FROM lists l JOIN probes p ON p.list_id = l.list_id
+             JOIN qz pq ON pq.vec_id = p.query_id
+             JOIN qz lq ON lq.vec_id = l.neighbor_id
+             WHERE l.neighbor_id <> p.query_id GROUP BY 1, 2),"""
+    assert old_cand in base, "IVF SQL template drifted — update _ivf_sq8_sql"
+    return base.replace(old_cand, new_cand)
+
+
+_IVF_SQ8_SQL = _ivf_sq8_sql(200, 28, 2, 10)
+
+
+@register("ann_ivf_sq8_topk", _IVF_SQ8_SQL)
+def ann_ivf_sq8_topk(spark, sf):
+    """IVF with int8-quantized list residents (operators/similarity.py
+    ivf_sq8_topk — the FAISS IVF+SQ8 analogue): float codebook/assignment,
+    4x-smaller int8 vectors in the probed lists, exact-integer cosine at
+    query time. The oracle replays the full algorithm including the
+    quantization."""
+    emb = _embeddings(spark, sf)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    return SIM.ivf_sq8_topk(emb, q, **_IVF_CFG, **_ivf_persist_kwargs(spark, sf))
+
+
+@register(
+    "ann_ivf_sq8_recall",
+    f"""
+    WITH exact AS ({_ANN_SQL}), approx AS ({_IVF_SQ8_SQL}),
+    j AS (SELECT e.query_id, CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+          FROM exact e LEFT JOIN approx a
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+    p AS (SELECT query_id, sum(hit)::DOUBLE / count(*) AS q_recall FROM j GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_queries, round(avg(q_recall), 6) AS recall FROM p
+    """,
+)
+def ann_ivf_sq8_recall(spark, sf):
+    """Measured recall of the int8-resident IVF against the FLOAT exact
+    top-k — the combined (probing + quantization) accuracy cost as a
+    checked value."""
+    emb = _embeddings(spark, sf)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    approx = SIM.ivf_sq8_topk(emb, q, **_IVF_CFG, **_ivf_persist_kwargs(spark, sf))
+    exact = SIM.brute_force_topk(emb, q, k=10)
+    return SIM.topk_recall(approx, exact)
+
+
 # ---- A3: recall@k / MRR over the ANN ranking --------------------------------
 
 @register(

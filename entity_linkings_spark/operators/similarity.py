@@ -699,6 +699,29 @@ def quantize_embeddings(
     )
 
 
+def int_cosine(a: Column, b: Column) -> Column:
+    """Cosine over two int-quantized vectors: the dot product and the
+    squared norms are EXACT integer sums (no accumulation-order noise;
+    cosine is scale-invariant, so the per-vector quantization scales cancel
+    and never enter), with one double division at the end."""
+    idot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def inorm(c: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("long") * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        )
+
+    return idot.cast("double") / F.greatest(inorm(a) * inorm(b), F.lit(1e-300))
+
+
 def quantized_topk(
     qcorpus: DataFrame,
     qqueries: DataFrame,
@@ -719,29 +742,77 @@ def quantized_topk(
         F.col("scale").alias("s_q"),
         F.col("qvec").alias("q_q"),
     )
-    idot = F.aggregate(
-        F.zip_with("q_q", "q_n", lambda x, y: x.cast("long") * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    inorm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("long") * x),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-    )
-    cos = idot.cast("double") / F.greatest(
-        inorm(F.col("q_q")) * inorm(F.col("q_n")), F.lit(1e-300)
-    )
     pairs = (
         a.crossJoin(F.broadcast(b))  # small query side broadcast, corpus scanned once
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cos, 6))
+        .withColumn("cos", F.round(int_cosine(F.col("q_q"), F.col("q_n")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
+    )
+
+
+def ivf_sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_centroids: int = 200,
+    nprobe: int = 28,
+    assign_lists: int = 2,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int = 65536,
+    index_store=None,
+    index_tag: str | None = None,
+) -> DataFrame:
+    """IVF with int8-quantized list residents — the FAISS IVFFlat+SQ8
+    analogue: the codebook and list ASSIGNMENT are built in float (index
+    build precision, snapshot-persistable exactly like ivf_topk), but the
+    vectors living in the inverted lists are the 4x-smaller int8 forms and
+    query-time scoring is the exact-integer cosine (int_cosine — scales
+    cancel, dots are exact integer sums). At 100 TB this is what makes the
+    probed lists fit executor memory; the accuracy cost is the quantization
+    error only, measured by ann_ivf_sq8_recall."""
+    if index_store is not None and index_tag is not None:
+        cent_ids, cmat, lists = ivf_index_snapshot(
+            corpus.sparkSession, index_store, index_tag, corpus,
+            num_centroids=num_centroids, assign_lists=assign_lists,
+            lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
+            max_centroids=max_centroids,
+        )
+    else:
+        cent_ids, cmat, lists = ivf_build(
+            corpus, num_centroids=num_centroids, assign_lists=assign_lists,
+            lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
+            max_centroids=max_centroids,
+        )
+    qc = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    lists_q = lists.select("list_id", "neighbor_id").join(
+        qc.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("qn")),
+        "neighbor_id",
+    )
+    probes = _ivf_assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id", "qv", nprobe, "list_id", cent_ids, cmat,
+    ).select("query_id", "list_id")
+    qq = quantize_embeddings(queries, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qq")
+    )
+    cand = (
+        lists_q.join(probes, "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(qq, "query_id")
+        .withColumn("cos", F.round(int_cosine(F.col("qq"), F.col("qn")), 6))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos")
     )

@@ -159,3 +159,15 @@ def test_quantized_topk_recall(emb):
     exact = SIM.brute_force_topk(emb, emb.where(F.col("vec_id") % 25 == 0), k=10)
     r = SIM.topk_recall(approx, exact).collect()[0]
     assert r["recall"] >= 0.95  # int8 error barely moves the ranking
+
+
+def test_ivf_sq8_matches_float_ivf_closely(emb):
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    sq8 = SIM.ivf_sq8_topk(emb, q, k=10, num_centroids=32)
+    flt = SIM.ivf_topk(emb, q, k=10, num_centroids=32)
+    r = SIM.topk_recall(sq8, flt).collect()[0]
+    assert r["recall"] >= 0.9  # int8 residents barely move the IVF ranking
+    per_q = {}
+    for x in sq8.collect():
+        per_q.setdefault(x["query_id"], []).append(x["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
