@@ -39,6 +39,10 @@ def test_topk_uses_window_group_limit(spark, name):
     [
         "dedup_embedding_neardup", "dedup_simhash_pairs", "dedup_minhash_lsh",
         "j5_tfidf_topk", "t4_top1_per_doc", "pipeline_linkage",
+        # round-4 operators: the decontamination equi-join, both temporal
+        # joins, and the SQ8 probe join must never degenerate to a product
+        "decontaminate_ngrams", "w2_asof_join", "w3_range_join",
+        "ann_ivf_sq8_topk",
     ],
 )
 def test_no_cartesian_products(spark, name):
