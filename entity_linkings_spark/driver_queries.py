@@ -1032,7 +1032,10 @@ def _ivf_persist_kwargs(spark, sf):
                      ".data", "ivf_index"),
     )
     tag = os.path.abspath(p) + "|" + "|".join(stats)
-    return {"index_store": SnapshotStore(spark, root), "index_tag": tag}
+    try:
+        return {"index_store": SnapshotStore(spark, root), "index_tag": tag}
+    except OSError:
+        return {}  # index dir not writable here: build in-session instead
 
 
 @register("ann_ivf_topk", _IVF_TOPK_SQL)
