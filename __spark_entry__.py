@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_recall",
         "ann_ivf_sq8_topk",
         "ann_ivf_sq8_recall",
+        "dedup_duplicate_spans",
+        "cc_size_histogram",
         "j5_tfidf_topk_gemm",
         "dedup_simhash_pairs_capped",
         "f_redact_pii",

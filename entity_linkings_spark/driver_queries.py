@@ -2845,3 +2845,62 @@ def ann_quantized_recall(spark, sf):
     approx = S.quantized_topk(qemb, qemb.where(F.col("vec_id") % 25 == 0), k=10)
     exact = S.brute_force_topk(emb, emb.where(F.col("vec_id") % 25 == 0), k=10)
     return S.topk_recall(approx, exact)
+
+
+# ---- LM-dataprep: within-corpus duplicated-span detection -------------------
+
+_SHINGLE50_SQL = """CASE WHEN len(ws) <= 50 THEN [array_to_string(ws, ' ')]
+              ELSE list_transform(generate_series(1, len(ws) - 49),
+                                  i -> array_to_string(ws[i:i+49], ' ')) END"""
+
+
+@register(
+    "dedup_duplicate_spans",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM
+             (SELECT doc_id, unnest({_SHINGLE50_SQL}) AS sh FROM w)),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams
+    FROM sh JOIN dup USING (h) GROUP BY doc_id
+    """,
+)
+def dedup_duplicate_spans(spark, sf):
+    """Exact-substring-dedup approximation (operators/dedup.py
+    duplicate_spans, Lee et al. 2022): every 50-token gram occurring in >= 2
+    documents flags its hosts — the span-level memorization signal the
+    document-level dedup family cannot see. One shingle pass + one
+    gram-hash aggregation + an equi-join back; no document self-join."""
+    return D.duplicate_spans(_docs(spark, sf), n=50)
+
+
+@register(
+    "cc_size_histogram",
+    f"""
+    WITH pairs AS ({_JACCARD_VERIFY_SQL}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs WHERE jaccard >= 0.5
+              UNION SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    rec AS (
+        WITH RECURSIVE reach(src, dst) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        ) SELECT * FROM reach),
+    cc AS (SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+           FROM nodes n LEFT JOIN rec r ON r.src = n.node GROUP BY n.node),
+    sz AS (SELECT cluster_id, count(*) AS bucket_size FROM cc GROUP BY 1)
+    SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_keys
+    FROM sz GROUP BY bucket_size
+    """,
+)
+def cc_size_histogram(spark, sf):
+    """Cluster-size distribution of the duplicate-cluster graph —
+    key_size_histogram composed over connected_components: the skew/
+    mega-cluster diagnostic an operator reads after every clustering run
+    (a fat tail here means a hub surface chained unrelated docs). Both
+    building blocks are independently oracled; this checks the
+    composition."""
+    from entity_linkings_spark.operators.blocking import key_size_histogram
+
+    return key_size_histogram(cc_components(spark, sf), ["cluster_id"])

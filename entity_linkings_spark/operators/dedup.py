@@ -296,3 +296,33 @@ def ngram_decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def duplicate_spans(
+    corpus: DataFrame,
+    n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-corpus duplicated-span detection — the k-gram approximation of
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": substrings repeated across documents are
+    memorization fuel; the suffix-array exact method approximates to
+    flagging every ``n``-token gram that occurs in >= 2 documents).
+
+    (id, n_dup_grams): per document, the number of DISTINCT n-grams it
+    shares with at least one OTHER document. Plan: shingle once, hash,
+    ONE aggregation keyed by gram hash counting distinct docs (map-side
+    combine), and an equi-join back — no self-join on documents, no pair
+    enumeration; cost is linear in total shingles at any corpus size."""
+    sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("sh"),
+    ).select(id_col, F.md5("sh").alias("h"))
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    return sh.join(dup, "h").groupBy(id_col).agg(F.count("*").alias("n_dup_grams"))

@@ -120,3 +120,21 @@ def test_ngram_decontaminate_short_docs_whole_text(spark):
     got = {r["doc_id"]: r["n_hits"] for r in
            ngram_decontaminate(corpus, benchmark, n=13).collect()}
     assert got == {1: 1}  # sub-n docs shingle to the whole text, both sides
+
+
+def test_duplicate_spans_flags_shared_50grams(spark):
+    from entity_linkings_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"t{i}" for i in range(60))
+    corpus = spark.createDataFrame(
+        [(1, shared + " tailA tailB"),
+         (2, "headX headY " + shared),
+         (3, " ".join(f"u{i}" for i in range(80)))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_dup_grams"] for r in
+           duplicate_spans(corpus, n=50).collect()}
+    # docs 1 and 2 share the 11 distinct 50-grams inside the 60-token block;
+    # doc 3 shares nothing and must be absent
+    assert set(got) == {1, 2}
+    assert got[1] == got[2] == 11
