@@ -72,6 +72,8 @@ HEADLINE = [
     "w3_range_join",
     "decontaminate_ngrams",
     "pack_sequences",
+    "dedup_duplicate_spans",
+    "ann_ivf_sq8_topk",
 ]
 
 _SCALE_SNIPPET = r"""
