@@ -659,26 +659,23 @@ def pairwise_cosine_gemm(
     )
 
 
-def quantize_embeddings(
-    emb: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Symmetric per-vector int8 scalar quantization: scale = max|x| / 127,
-    q[d] = round_half_up(x[d] / scale) in [-127, 127] — 4x less memory/IO
-    than float32 (the difference between an in-memory ANN corpus and a
-    spilled one at 100 TB). Pure Catalyst (aggregate for max|x|, transform
-    for the quantize), deterministic and engine-portable: the only rounding
-    is floor(v + 0.5) on a non-negative-shifted value, identical in DuckDB.
-    Zero vectors quantize to zeros with scale 0."""
-    v = F.col(vec_col)
-    maxabs = F.aggregate(
+def _vec_maxabs(v: Column) -> Column:
+    return F.aggregate(
         F.transform(v, lambda x: F.abs(x.cast("double"))),
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, x),
     )
+
+
+def quantize_vec(v: Column) -> Column:
+    """int8-quantized copy of a vector column (see quantize_embeddings for
+    the scheme). Usable directly on any array column — e.g. quantizing the
+    IVF lists' resident vectors in place, no join back to the corpus."""
+    maxabs = _vec_maxabs(v)
     scale = maxabs / F.lit(127.0)
-    q = F.when(maxabs == 0.0, F.transform(v, lambda x: F.lit(0).cast("int"))).otherwise(
+    return F.when(
+        maxabs == 0.0, F.transform(v, lambda x: F.lit(0).cast("int"))
+    ).otherwise(
         F.transform(
             v,
             # clamp: the max-magnitude element lands exactly on 127.5 after
@@ -692,9 +689,26 @@ def quantize_embeddings(
             ),
         )
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: scale = max|x| / 127,
+    q[d] = round_half_up(x[d] / scale) in [-127, 127] — 4x less memory/IO
+    than float32 (the difference between an in-memory ANN corpus and a
+    spilled one at 100 TB). Pure Catalyst (aggregate for max|x|, transform
+    for the quantize), deterministic and engine-portable: the only rounding
+    is floor(v + 0.5) on a non-negative-shifted value, identical in DuckDB.
+    Zero vectors quantize to zeros with scale 0."""
+    v = F.col(vec_col)
+    maxabs = _vec_maxabs(v)
+    q = quantize_vec(v)
     return emb.select(
         F.col(id_col),
-        F.round(scale, 9).alias("scale"),
+        F.round(maxabs / F.lit(127.0), 9).alias("scale"),
         q.alias("qvec"),
     )
 
@@ -790,10 +804,10 @@ def ivf_sq8_topk(
             lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
             max_centroids=max_centroids,
         )
-    qc = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
-    lists_q = lists.select("list_id", "neighbor_id").join(
-        qc.select(F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("qn")),
-        "neighbor_id",
+    # quantize the lists' resident vectors IN PLACE: no second corpus read,
+    # no join back — the int8 forms are a projection of the (persisted) lists
+    lists_q = lists.select(
+        "list_id", "neighbor_id", quantize_vec(F.col("cv")).alias("qn")
     )
     probes = _ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
