@@ -212,41 +212,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     qs["j8_blocking_pairs"] = j8_blocking_pairs
 
-    # Registration ORDER is the driver's check order, and round-3's driver
-    # truncated at 50 entries — silently skipping exactly the flagship and
-    # every round-3 addition. Put the flagship, the newest queries, and any
-    # previously-unchecked entries FIRST so a truncated window still covers
-    # them; long-green veterans absorb the truncation risk instead.
+    # Registration ORDER is the driver's check order, and the driver checks
+    # a 50-entry window. Round-5 rotation policy (VERDICT r4 #3): flagship
+    # first, then this round's NEW/CHANGED queries, then the 24 veterans
+    # whose last driver row is round 3 (their hard signal must not go >2
+    # rounds stale — a5_inkb_f1's implementation even changed in r4 while it
+    # sat outside the window), then round-4-fresh rows most worth
+    # re-checking. The ~26 round-4-green entries left outside the window
+    # rotate back in next round.
     priority = [
+        # flagship + round-5 new/changed (sq8 snapshot path, incremental CC,
+        # weighted mixing)
         "pipeline_linkage",
+        "cc_incremental",
+        "sample_weighted",
+        "ann_ivf_sq8_topk",
+        "ann_ivf_sq8_recall",
+        "ann_ivf_topk",
+        "ann_ivf_recall",
+        # the 24 round-3 veterans (CORRECTNESS_r03 \ r04)
+        "a2_prior_topk",
+        "a3_recall_mrr",
+        "a5_inkb_f1",
+        "a7_cost_estimate",
+        "dedup_embedding_neardup",
+        "f11_f12_softmax_spans",
+        "f8_hash_keys",
+        "f9_parse_choice",
+        "j10_inbatch_negatives",
+        "j5_tfidf_topk",
+        "j5_tfidf_topk_maxdf",
+        "j9_wikimap_chase",
+        "lang_id",
+        "p1_nil_filter",
+        "p8_extract_islands",
+        "s10_sqldump_roundtrip",
+        "s11_conll_roundtrip",
+        "s4_mention_counter_roundtrip",
+        "score_pairs",
+        "t3_k_clamp",
+        "t6_stable_order",
+        "u1_union_dedup",
+        "u3_anti_ignore",
+        "w1_sessionize",
+        # round-4-fresh rows worth re-checking (clustering module + dedup/
+        # ANN families touched or adjacent this round)
         "a4_top1_accuracy",
         "j8_blocking_pairs",
         "j5_tfidf_topk_auto",
-        "w2_asof_join",
-        "w3_range_join",
-        "decontaminate_ngrams",
-        "pack_sequences",
-        "vocab_topk",
-        "shuffle_train_order",
-        "skew_key_histogram",
-        "quality_repetition",
-        "quantize_embeddings",
-        "ann_quantized_recall",
-        "ann_ivf_sq8_topk",
-        "ann_ivf_sq8_recall",
-        "dedup_duplicate_spans",
-        "cc_size_histogram",
         "j5_tfidf_topk_gemm",
+        "cc_components",
+        "cc_size_histogram",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_pipeline",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
         "dedup_simhash_pairs_capped",
-        "f_redact_pii",
-        "split_train_val_test",
-        "sample_per_source",
-        "chunk_tokens",
-        "f4_word_tokens",
-        "f5_char_ngrams",
-        "j4_prior_cascade",
-        "ann_ivf_topk",
-        "ann_ivf_recall",
+        "dedup_duplicate_spans",
+        "decontaminate_ngrams",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "ann_lsh_recall",
+        "ann_quantized_recall",
     ]
     ordered = {name: qs[name] for name in priority if name in qs}
     ordered.update((name, fn) for name, fn in qs.items() if name not in ordered)

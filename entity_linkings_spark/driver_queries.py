@@ -568,7 +568,10 @@ def quality_gopher(spark, sf):
 
 from entity_linkings_spark.operators import dedup as D  # noqa: E402
 from entity_linkings_spark.operators import similarity as SIM  # noqa: E402
-from entity_linkings_spark.operators.clustering import connected_components  # noqa: E402
+from entity_linkings_spark.operators.clustering import (  # noqa: E402
+    connected_components,
+    incremental_components,
+)
 
 _P = MINHASH_PRIME
 _H1 = "CAST(('0x' || substr(md5('mh1:' || s), 1, 7)) AS BIGINT)"
@@ -739,6 +742,55 @@ def cc_components(spark, sf):
         .select(pad("id_a").alias("u"), pad("id_b").alias("v"))
     )
     out = connected_components(edges)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+@register(
+    "cc_incremental",
+    # oracle = the FULL recursive-CTE recompute over the unioned edge set:
+    # the incremental maintenance contract IS "identical to a full rerun"
+    f"""
+    WITH pairs AS ({_JACCARD_VERIFY_SQL}),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs WHERE jaccard >= 0.5
+              UNION SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    rec AS (
+        WITH RECURSIVE reach(src, dst) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        ) SELECT * FROM reach)
+    SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+    FROM nodes n LEFT JOIN rec r ON r.src = n.node
+    GROUP BY n.node
+    """,
+)
+def cc_incremental(spark, sf):
+    """Incremental CC maintenance (operators/clustering.py
+    incremental_components, VERDICT r4 #4): two thirds of the verified
+    near-dup edges are clustered up front, the remaining third arrives as an
+    edge DELTA and is applied to the existing labels via delta-sized
+    contraction — no full-graph recluster. The oracle recomputes connected
+    components over the WHOLE edge set, so a green row proves
+    incremental == full recompute end to end on real blocking output."""
+    docs = _docs(spark, sf)
+    bands = D.minhash_bands(docs, "doc_id", D.word_shingles("text", 5)).localCheckpoint()
+    cand = D.band_pairs(bands, "doc_id").select("id_a", "id_b")
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = (
+        D.shingle_jaccard(docs, cand, "doc_id", "text", 5)
+        .where(F.col("jaccard") >= 0.5)
+        .select(
+            pad("id_a").alias("u"), pad("id_b").alias("v"),
+            ((F.col("id_a") + F.col("id_b")) % 3 == 0).alias("late"),
+        )
+        .localCheckpoint()  # consumed twice (old + delta): cut the lineage
+    )
+    labels = connected_components(edges.where(~F.col("late")).select("u", "v"))
+    out = incremental_components(labels, edges.where(F.col("late")).select("u", "v"))
     return out.select(
         F.col("node").cast("long").alias("node"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -2499,6 +2551,41 @@ def sample_per_source(spark, sf):
     return sample_per_group(_docs(spark, sf), "source", 7, "doc_id").select(
         "source", "doc_id"
     )
+
+
+_MIX_RATES = {"src0": (3, 1), "src1": (5, 2), "src2": (1, 3), "src3": (0, 1)}
+_MIX_VALUES = ", ".join(f"('{s}', {p}, {q})" for s, (p, q) in _MIX_RATES.items())
+
+
+@register(
+    "sample_weighted",
+    f"""
+    WITH r(source, num, den) AS (SELECT * FROM (VALUES {_MIX_VALUES})),
+    d AS (SELECT doc_id, documents.source AS source,
+                 coalesce(num, 1) AS num, coalesce(den, 1) AS den,
+                 CAST(('0x' || substr(md5('mix:' || documents.source || ':'
+                      || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+          FROM documents LEFT JOIN r ON r.source = documents.source),
+    n AS (SELECT doc_id, source,
+                 num // den
+                   + CASE WHEN h % den < num % den THEN 1 ELSE 0 END AS n_copies
+          FROM d)
+    SELECT source, doc_id,
+           CAST(unnest(generate_series(0, n_copies - 1)) AS INT) AS copy_idx
+    FROM n WHERE n_copies >= 1
+    """,
+)
+def sample_weighted(spark, sf):
+    """Weighted source mixing (operators/sampling.py weighted_mix, VERDICT
+    r4 #5): rational per-source rates — x3 integer repetition, x5/2
+    fractional upsampling, x1/3 downsampling, x0 drop, x1 default — applied
+    as exact integer arithmetic on an md5 hash, so the mix is retry-stable
+    and the DuckDB oracle replays it bit-for-bit (no float pow/ln)."""
+    from entity_linkings_spark.operators.sampling import weighted_mix
+
+    return weighted_mix(
+        _docs(spark, sf).select("doc_id", "source"), "doc_id", _MIX_RATES
+    ).select("source", "doc_id", "copy_idx")
 
 
 @register(

@@ -64,6 +64,66 @@ def assign_splits(
     return df.withColumn(out, split_column(key, weights, salt))
 
 
+def weighted_mix(
+    df: DataFrame,
+    key_col: str,
+    rates: dict[str, tuple[int, int]],
+    source_col: str = "source",
+    default: tuple[int, int] = (1, 1),
+    salt: str = "mix",
+    out_col: str = "copy_idx",
+) -> DataFrame:
+    """Weighted source mixing — the LM-dataprep sampler that up/down-weights
+    corpora ("books x2.5, web x1/3") when assembling a training mix. Each
+    row is emitted ``num // den`` times, plus one extra copy iff
+    h60(salt:source:key) % den < num % den — so a source with rate p/q
+    contributes EXACTLY p/q of its rows in expectation, deterministically:
+    the same row always gets the same copy count under retries,
+    repartitioning, and engine changes (same md5 scheme as split_column; a
+    different ``salt`` re-rolls the fractional picks per epoch).
+
+    Rates are RATIONAL (integer num/den) by design: temperature-style
+    weights (count^t / sum) must be rationalized by the caller first —
+    float pow/ln differs in the last ulp across engines, which is exactly
+    the cross-engine drift a deterministic sampler exists to rule out.
+
+    Scale: a projection + explode — no shuffle, no window, nothing
+    collected; the when-chain is config-sized (one branch per configured
+    source). Output repeats the input columns with ``out_col`` making each
+    copy unique (0..n_copies-1)."""
+    for s, (p, q) in rates.items():
+        if not (isinstance(p, int) and isinstance(q, int)) or p < 0 or q < 1:
+            raise ValueError(f"rate for {s!r} must be ints num>=0/den>=1: {(p, q)}")
+    p0, q0 = default
+    if not (isinstance(p0, int) and isinstance(q0, int)) or p0 < 0 or q0 < 1:
+        raise ValueError(f"default rate must be ints num>=0/den>=1: {default}")
+    num: Column = F.lit(p0)
+    den: Column = F.lit(q0)
+    for s, (p, q) in rates.items():
+        num = F.when(F.col(source_col) == s, F.lit(p)).otherwise(num)
+        den = F.when(F.col(source_col) == s, F.lit(q)).otherwise(den)
+    h = h60(
+        F.concat(
+            F.lit(salt + ":"),
+            F.col(source_col).cast("string"),
+            F.lit(":"),
+            F.col(key_col).cast("string"),
+        )
+    )
+    # exact integer arithmetic end to end: base copies + the hash-selected
+    # fractional copy (h % den is uniform over [0, den))
+    n_copies = (
+        F.floor(num.cast("long") / den).cast("int")
+        + (h % den < num % den).cast("int")
+    )
+    return (
+        df.withColumn("_n_copies", n_copies)
+        .where(F.col("_n_copies") >= 1)  # also keeps sequence() ascending-safe
+        .withColumn(out_col, F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )
+
+
 def sample_per_group(
     df: DataFrame,
     group_col: str,

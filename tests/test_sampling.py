@@ -47,3 +47,45 @@ def test_sample_per_group_caps_and_determinism(spark):
 def test_split_weights_must_be_positive(spark):
     with pytest.raises(ValueError, match="positive"):
         assign_splits(spark.range(5), "id", {"a": 1.5, "b": -0.5})
+
+
+def test_weighted_mix_rates_and_determinism(spark):
+    from entity_linkings_spark.operators.sampling import weighted_mix
+
+    df = spark.range(3000).select(
+        (F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))).alias("source"),
+        "id",
+    )
+    rates = {"s0": (3, 1), "s1": (5, 2), "s2": (1, 4)}
+    out = weighted_mix(df, "id", rates).cache()
+    per_s = {r["source"]: r["n"]
+             for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_s["s0"] == 3000  # integer repeat: exactly 3x of 1000 rows
+    assert abs(per_s["s1"] - 2500) < 120  # 5/2 in expectation, hash-selected
+    assert abs(per_s["s2"] - 250) < 80    # 1/4 downsample
+    # copy indices are dense per row
+    mx = out.groupBy("source", "id").agg(F.count("*").alias("n"),
+                                         F.max("copy_idx").alias("m"))
+    assert mx.where(F.col("m") != F.col("n") - 1).count() == 0
+    # deterministic under repartition (retry stability)
+    out2 = weighted_mix(df.repartition(13), "id", rates)
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+
+
+def test_weighted_mix_drop_default_and_validation(spark):
+    import pytest as _pytest
+
+    from entity_linkings_spark.operators.sampling import weighted_mix
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3)], "source string, id long"
+    )
+    # x0 drops the source entirely; unconfigured sources pass through at 1x
+    out = weighted_mix(df, "id", {"a": (0, 1)}).collect()
+    assert {(r["source"], r["id"], r["copy_idx"]) for r in out} == {
+        ("b", 2, 0), ("b", 3, 0)
+    }
+    with _pytest.raises(ValueError, match="num>=0/den>=1"):
+        weighted_mix(df, "id", {"a": (1, 0)})
+    with _pytest.raises(ValueError, match="num>=0/den>=1"):
+        weighted_mix(df, "id", {"a": (2.5, 1)})
