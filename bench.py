@@ -78,6 +78,10 @@ HEADLINE = [
     "pack_sequences",
     "dedup_duplicate_spans",
     "ann_ivf_sq8_topk",
+    # round-5 additions: delta-sized clustering maintenance and the
+    # rational-rate source mixer
+    "cc_incremental",
+    "sample_weighted",
 ]
 
 _SCALE_SNIPPET = r"""

@@ -400,3 +400,119 @@ def test_avi_roundtrip_and_real_frame_sampling(spark):
         M.extract_features(bad, real_decode=True).collect()
     # sniffed-but-undecodable also keeps the fake FRAME fallback
     assert len(M.sample_frames(bad, every_ms=1000).collect()) == 1
+
+
+def test_cross_epoch_cluster_maintenance(spark, tmp_path):
+    """The streaming label table (apply_edge_epoch): edges folded in epoch
+    by epoch equal a full CC recompute over everything seen; replaying an
+    epoch is a no-op (idempotent under foreachBatch retry); the CURRENT
+    pointer always reads a committed table."""
+    from entity_linkings_spark.operators.clustering import connected_components
+    from entity_linkings_spark.streaming.incremental import (
+        apply_edge_epoch,
+        read_cluster_labels,
+    )
+
+    labels_dir = str(tmp_path / "labels")
+    assert read_cluster_labels(spark, labels_dir) is None
+
+    epochs = [
+        [("a", "b"), ("c", "d")],
+        [("b", "c"), ("x", "y")],          # merges {a,b} with {c,d}; fresh pair
+        [("d", "e"), ("x", "x2"), ("a", "b")],  # grow + grow + replayed edge
+    ]
+    for i, es in enumerate(epochs):
+        apply_edge_epoch(
+            labels_dir, spark.createDataFrame(es, "u string, v string"), i
+        )
+    got = {r["node"]: r["cluster_id"]
+           for r in read_cluster_labels(spark, labels_dir).collect()}
+    full = {r["node"]: r["cluster_id"] for r in connected_components(
+        spark.createDataFrame(
+            [e for es in epochs for e in es], "u string, v string"
+        )
+    ).collect()}
+    assert got == full == {
+        "a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+        "x": "x", "y": "x", "x2": "x",
+    }
+
+    # retry/replay of the last epoch AFTER commit: pure no-op
+    apply_edge_epoch(
+        labels_dir, spark.createDataFrame(epochs[-1], "u string, v string"), 2
+    )
+    again = {r["node"]: r["cluster_id"]
+             for r in read_cluster_labels(spark, labels_dir).collect()}
+    assert again == full
+    assert (tmp_path / "labels" / "CURRENT").read_text() == "epoch-2"
+
+    # crash-before-swap replay: epoch 3 lands, the pointer is rolled back to
+    # epoch-2 (simulating a crash between parquet write and commit), and the
+    # replayed epoch recomputes from epoch-2 to the same final labels
+    e3 = [("y", "z"), ("e", "f")]
+    apply_edge_epoch(labels_dir, spark.createDataFrame(e3, "u string, v string"), 3)
+    (tmp_path / "labels" / "CURRENT").write_text("epoch-2")
+    apply_edge_epoch(labels_dir, spark.createDataFrame(e3, "u string, v string"), 3)
+    final = {r["node"]: r["cluster_id"]
+             for r in read_cluster_labels(spark, labels_dir).collect()}
+    assert final == {r["node"]: r["cluster_id"] for r in connected_components(
+        spark.createDataFrame(
+            [e for es in epochs for e in es] + e3, "u string, v string"
+        )
+    ).collect()}
+    assert (tmp_path / "labels" / "CURRENT").read_text() == "epoch-3"
+
+
+def test_streaming_cluster_maintenance_end_to_end(spark, tiny, tmp_path):
+    """clustering_maintenance_processor as a real foreachBatch sink: the
+    cross-epoch label table folded micro-batch by micro-batch equals one
+    batch CC over every edge ever streamed — surfaces arriving in DIFFERENT
+    epochs still merge (via their shared normalized-form node), which the
+    old per-batch _trivial_clusters could never do."""
+    import glob
+    import shutil
+
+    from entity_linkings_spark.functions.strings import norm_alnum
+    from entity_linkings_spark.operators.clustering import connected_components
+    from entity_linkings_spark.streaming.incremental import (
+        clustering_maintenance_processor,
+        read_cluster_labels,
+        stream_transcripts,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    t = tiny["transcripts"]
+    t.where(F.col("conv_id") < "conv-000025").write.parquet(src + "/part1")
+    t.where(F.col("conv_id") >= "conv-000025").write.parquet(src + "/part2")
+    for i, f in enumerate(glob.glob(src + "/part*/*.parquet")):
+        shutil.move(f, src + f"/file{i}.parquet")
+    for d in glob.glob(src + "/part*"):
+        shutil.rmtree(d)
+
+    pipe = LinkagePipeline(tiny["dictionary"])
+
+    def edge_fn(batch):
+        surf = pipe.surfaces(pipe.mentions(batch))
+        return surf.select(
+            F.col("skey").alias("u"),
+            F.concat(F.lit("n:"), norm_alnum(F.col("surface"))).alias("v"),
+        )
+
+    labels_dir = str(tmp_path / "labels")
+    q = (
+        stream_transcripts(spark, src, max_files=1)
+        .writeStream.foreachBatch(
+            clustering_maintenance_processor(labels_dir, edge_fn)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {r["node"]: r["cluster_id"]
+           for r in read_cluster_labels(spark, labels_dir).collect()}
+    full = {r["node"]: r["cluster_id"]
+            for r in connected_components(edge_fn(t)).collect()}
+    assert got == full and len(got) > 0
