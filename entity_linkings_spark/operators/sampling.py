@@ -64,6 +64,40 @@ def assign_splits(
     return df.withColumn(out, split_column(key, weights, salt))
 
 
+def temperature_rates(
+    counts: dict[str, int],
+    tau: float,
+    max_den: int = 1000,
+) -> dict[str, tuple[int, int]]:
+    """Config-time bridge from temperature sampling to weighted_mix's
+    rational rates: with natural source shares p_s = c_s / sum(c) and
+    temperature-flattened targets q_s ∝ c_s^tau, the per-source
+    up/down-weighting factor is q_s / p_s — rationalized here
+    (Fraction.limit_denominator, deterministic stdlib) so the ENGINES only
+    ever see integer num/den. The float pow happens exactly once, on the
+    driver, over the config-sized counts dict; no per-row float crosses an
+    engine boundary, which is what keeps the mix bit-replayable in the
+    DuckDB oracle (VERDICT r4 #5).
+
+    tau=1 returns 1/1 for every source (natural mix); tau=0 equalizes
+    sources (rate ∝ 1/p_s, normalized so rates average to 1 over rows)."""
+    from fractions import Fraction
+
+    if not counts or any(c <= 0 for c in counts.values()):
+        raise ValueError(f"counts must be positive: {counts}")
+    if tau < 0:
+        raise ValueError(f"temperature must be >= 0: {tau}")
+    total = sum(counts.values())
+    qs = {s: c ** tau for s, c in counts.items()}
+    qtot = sum(qs.values())
+    out = {}
+    for s, c in counts.items():
+        rate = (qs[s] / qtot) / (c / total)
+        f = Fraction(rate).limit_denominator(max_den)
+        out[s] = (f.numerator, f.denominator)
+    return out
+
+
 def weighted_mix(
     df: DataFrame,
     key_col: str,

@@ -89,3 +89,34 @@ def test_weighted_mix_drop_default_and_validation(spark):
         weighted_mix(df, "id", {"a": (1, 0)})
     with _pytest.raises(ValueError, match="num>=0/den>=1"):
         weighted_mix(df, "id", {"a": (2.5, 1)})
+
+
+def test_temperature_rates_pure_config():
+    """No Spark involved: temperature flattening happens once at config
+    time; engines only ever see the rational output."""
+    from fractions import Fraction
+
+    from entity_linkings_spark.operators.sampling import temperature_rates
+
+    counts = {"big": 8000, "mid": 1500, "small": 500}
+    # tau=1: natural mix — every rate exactly 1/1
+    assert temperature_rates(counts, 1.0) == {s: (1, 1) for s in counts}
+    # tau=0: uniform target — rate_s = total / (K * c_s), exactly rational
+    r0 = temperature_rates(counts, 0.0)
+    total, k = 10000, 3
+    for s, c in counts.items():
+        assert Fraction(*r0[s]) == Fraction(total, k * c)
+    # tau in (0,1) flattens: small sources up-weighted, big down-weighted
+    r = temperature_rates(counts, 0.5)
+    assert Fraction(*r["small"]) > 1 > Fraction(*r["big"])
+    # expected row mass is preserved: sum(c_s * rate_s) == total (rates are
+    # q_s/p_s, and q sums to 1) — within the rationalization tolerance
+    approx = sum(c * Fraction(*r[s]) for s, c in counts.items())
+    assert abs(float(approx) - total) / total < 1e-3
+    # denominators respect the cap; validation errors are loud
+    assert all(den <= 1000 for _, den in r.values())
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        temperature_rates({"a": 0}, 0.5)
+    with _pytest.raises(ValueError, match=">= 0"):
+        temperature_rates(counts, -1.0)
