@@ -20,7 +20,7 @@ Two parts:
      the recorded number is the min of the two runs — on this
      hypervisor-steal VM noise only ever slows a run down.
   2. the north-rule scaling evidence: the pair-scoring stage (the Arrow/pandas
-     UDF hot path) on the SAME 8M-pair input at two parallelism levels per
+     UDF hot path) on the SAME 24M-pair input at two parallelism levels per
      pair (sandbox proxy for N vs 4N executors), reporting absolute pairs/sec
      at both levels and efficiency = (T_N/T_4N)/4. Each level runs in a fresh
      subprocess. DECLARED PRIMARY PAIR: local[4] -> local[16] — it leaves
@@ -78,10 +78,11 @@ HEADLINE = [
     "pack_sequences",
     "dedup_duplicate_spans",
     "ann_ivf_sq8_topk",
-    # round-5 additions: delta-sized clustering maintenance and the
-    # rational-rate source mixer
+    # round-5 additions: delta-sized clustering maintenance, the
+    # rational-rate source mixer, and the split-contamination audit
     "cc_incremental",
     "sample_weighted",
+    "split_leakage_audit",
 ]
 
 _SCALE_SNIPPET = r"""

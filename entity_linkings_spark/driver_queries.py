@@ -2553,6 +2553,110 @@ def sample_per_source(spark, sf):
     )
 
 
+def _split_case_sql(key_expr: str, weights: dict[str, float],
+                    salt: str = "split") -> str:
+    """The split_column CASE as a SQL EXPRESSION over an arbitrary key
+    expression (same float-accumulated thresholds as _split_sql — see its
+    docstring for why repr() of the running sum matters)."""
+    names = list(weights)
+    u = (f"CAST(('0x' || substr(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), "
+         f"1, 15)) AS BIGINT)::DOUBLE / 1152921504606846976")
+    case = ""
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        case += f"WHEN {u} < {cum!r} THEN '{name}' "
+    return f"CASE {case}ELSE '{names[-1]}' END"
+
+
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    rec AS (
+        WITH RECURSIVE reach(src, dst) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        ) SELECT * FROM reach),
+    labels AS MATERIALIZED (
+        SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+        FROM nodes n LEFT JOIN rec r ON r.src = n.node GROUP BY n.node),
+    spl AS MATERIALIZED (
+        SELECT d.doc_id,
+               {_split_case_sql("d.doc_id", _SPLIT_W)} AS naive_split,
+               {_split_case_sql("coalesce(l.cluster_id, d.doc_id)", _SPLIT_W)}
+                   AS safe_split
+        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(sum(CASE WHEN a.naive_split <> b.naive_split
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS leak_naive,
+           CAST(coalesce(sum(CASE WHEN a.safe_split <> b.safe_split
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS leak_grouped
+    FROM pairs p JOIN spl a ON a.doc_id = p.id_a JOIN spl b ON b.doc_id = p.id_b
+    """,
+)
+def split_leakage_audit(spark, sf):
+    """Split/dedup interaction audit — the contamination check a training
+    pipeline must run BEFORE shipping a split: a near-dup pair whose members
+    land in different splits leaks val/test content into train. Counts
+    straddling pairs under (a) the naive per-doc split and (b) the
+    GROUP-AWARE split keyed on the near-dup cluster id
+    (operators/sampling.py split_column over connected_components labels) —
+    the latter is zero BY CONSTRUCTION, and this query proves that end to
+    end on real blocking output (pairs -> CC -> split -> audit joins, every
+    stage already individually oracled). Scale: the audit is two equi-joins
+    of the (small) verified-pair set against the split projection."""
+    from entity_linkings_spark.operators.sampling import split_column
+
+    docs = _docs(spark, sf)
+    bands = D.minhash_bands(docs, "doc_id", D.word_shingles("text", 5)).localCheckpoint()
+    cand = D.band_pairs(bands, "doc_id").select("id_a", "id_b")
+    pairs = (
+        D.shingle_jaccard(docs, cand, "doc_id", "text", 5)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()  # consumed by the edge set AND the audit joins
+    )
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    labels = connected_components(
+        pairs.select(pad("id_a").alias("u"), pad("id_b").alias("v"))
+    ).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    spl = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            split_column("doc_id", _SPLIT_W).alias("naive_split"),
+            split_column(
+                F.coalesce("cluster_id", F.col("doc_id")), _SPLIT_W
+            ).alias("safe_split"),
+        )
+    )
+    a = spl.select(F.col("doc_id").alias("id_a"), F.col("naive_split").alias("na"),
+                   F.col("safe_split").alias("sa"))
+    b = spl.select(F.col("doc_id").alias("id_b"), F.col("naive_split").alias("nb"),
+                   F.col("safe_split").alias("sb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    return j.agg(
+        F.count("*").cast("long").alias("n_dup_pairs"),
+        F.coalesce(F.sum((F.col("na") != F.col("nb")).cast("int")), F.lit(0))
+        .cast("long").alias("leak_naive"),
+        F.coalesce(F.sum((F.col("sa") != F.col("sb")).cast("int")), F.lit(0))
+        .cast("long").alias("leak_grouped"),
+    )
+
+
 _MIX_RATES = {"src0": (3, 1), "src1": (5, 2), "src2": (1, 3), "src3": (0, 1)}
 _MIX_VALUES = ", ".join(f"('{s}', {p}, {q})" for s, (p, q) in _MIX_RATES.items())
 

@@ -43,6 +43,9 @@ def test_topk_uses_window_group_limit(spark, name):
         # joins, and the SQ8 probe join must never degenerate to a product
         "decontaminate_ngrams", "w2_asof_join", "w3_range_join",
         "ann_ivf_sq8_topk",
+        # round-5 operators: the incremental-CC relabel join and the mixer's
+        # projection+explode must never degenerate to a product
+        "cc_incremental", "sample_weighted",
     ],
 )
 def test_no_cartesian_products(spark, name):
