@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_sq8_recall",
         "ann_ivf_topk",
         "ann_ivf_recall",
+        "ann_ivf_append_topk",
         # the 24 round-3 veterans (CORRECTNESS_r03 \ r04)
         "a2_prior_topk",
         "a3_recall_mrr",
@@ -275,7 +276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams",
         "ann_cosine_topk",
         "ann_lsh_topk",
-        "ann_lsh_recall",
     ]
     ordered = {name: qs[name] for name in priority if name in qs}
     ordered.update((name, fn) for name, fn in qs.items() if name not in ordered)

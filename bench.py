@@ -79,10 +79,12 @@ HEADLINE = [
     "dedup_duplicate_spans",
     "ann_ivf_sq8_topk",
     # round-5 additions: delta-sized clustering maintenance, the
-    # rational-rate source mixer, and the split-contamination audit
+    # rational-rate source mixer, the split-contamination audit, and
+    # incremental index maintenance
     "cc_incremental",
     "sample_weighted",
     "split_leakage_audit",
+    "ann_ivf_append_topk",
 ]
 
 _SCALE_SNIPPET = r"""

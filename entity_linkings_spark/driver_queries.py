@@ -991,22 +991,30 @@ def ann_lsh_recall(spark, sf):
 
 
 def _ivf_topk_sql(
-    num_centroids: int = 200, nprobe: int = 28, assign_lists: int = 2, k: int = 10
+    num_centroids: int = 200, nprobe: int = 28, assign_lists: int = 2, k: int = 10,
+    codebook_where: str = "",
 ) -> str:
     """SQL replica of IVF-flat with the bounded md5-seeded codebook, one
     Lloyd refinement iteration (decimal-exact per-dim sums, see
     operators/similarity.py ivf_topk for why decimal), soft corpus
-    assignment, same probes, same re-rank."""
+    assignment, same probes, same re-rank.
+
+    ``codebook_where``: optional predicate restricting the CODEBOOK
+    training corpus (seeds + Lloyd) to a base subset while the LISTS are
+    still assigned over the full corpus — the append-maintenance contract
+    (ann_ivf_append_topk): appending a delta to a base-built index must
+    equal one assignment pass of base+delta against the base codebook."""
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    seeds AS (SELECT vec_id AS cent_id, e AS ce FROM v
+    vb AS (SELECT * FROM v {codebook_where}),
+    seeds AS (SELECT vec_id AS cent_id, e AS ce FROM vb
               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {num_centroids}),
     a0 AS (SELECT vec_id, e, cent_id FROM (
              SELECT c.vec_id, c.e, s.cent_id,
                     row_number() OVER (PARTITION BY c.vec_id
                         ORDER BY round(list_cosine_similarity(c.e, s.ce), 6) DESC,
                                  s.cent_id ASC) AS rnk
-             FROM v c, seeds s) WHERE rnk = 1),
+             FROM vb c, seeds s) WHERE rnk = 1),
     expl AS (SELECT cent_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val,
                     greatest(sqrt(list_aggregate(list_transform(e, x -> x*x),
                                                  'sum')), 1e-300) AS nn
@@ -1188,6 +1196,40 @@ def ann_ivf_sq8_recall(spark, sf):
     approx = SIM.ivf_sq8_topk(emb, q, **_IVF_CFG, **_ivf_persist_kwargs(spark, sf))
     exact = SIM.brute_force_topk(emb, q, k=10)
     return SIM.topk_recall(approx, exact)
+
+
+_IVF_APPEND_SQL = _ivf_topk_sql(200, 28, 2, 10,
+                                codebook_where="WHERE vec_id % 10 <> 0")
+
+
+@register("ann_ivf_append_topk", _IVF_APPEND_SQL)
+def ann_ivf_append_topk(spark, sf):
+    """Incremental INDEX maintenance (operators/similarity.py ivf_append /
+    ivf_append_snapshot): the index is built on 90% of the corpus, the
+    remaining 10% arrives later and is assigned to the EXISTING codebook's
+    lists — no Lloyd rerun, no resident re-read; O(delta) instead of
+    O(corpus) per arrival batch. The oracle assigns base+delta against the
+    base-trained codebook in one pass, so a green row proves append ==
+    rebuild-with-same-codebook end to end through search results. The grown
+    lists (and their int8 projection) commit as a lifecycle snapshot keyed
+    by (base tag, delta tag)."""
+    emb = _embeddings(spark, sf)
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    cfg = dict(num_centroids=200, assign_lists=2, lloyd_iters=1)
+    kw = _ivf_persist_kwargs(spark, sf)
+    if kw:
+        cent_ids, cmat, lists = SIM.ivf_append_snapshot(
+            kw["index_store"],
+            (kw["index_tag"] + "|base:vec_id%10!=0",
+             kw["index_tag"] + "|delta:vec_id%10==0"),
+            delta, corpus=base, **cfg,
+        )
+    else:
+        cent_ids, cmat, lists = SIM.ivf_build(base, **cfg)
+        lists = SIM.ivf_append(cent_ids, cmat, lists, delta, assign_lists=2)
+    return SIM.ivf_search(q, cent_ids, cmat, lists, k=10, nprobe=28)
 
 
 # ---- A3: recall@k / MRR over the ANN ranking --------------------------------

@@ -491,6 +491,99 @@ def ivf_index_snapshot(
     return _with_q(cent_ids, cmat, lists)
 
 
+def ivf_append(
+    cent_ids,
+    cmat,
+    lists: DataFrame,
+    delta: DataFrame,
+    assign_lists: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental INDEX maintenance: assign newly-arrived vectors to the
+    EXISTING codebook's inverted lists and union them in — no Lloyd rerun,
+    no touch of the resident vectors. Because list assignment is a
+    deterministic function of (vector, codebook), the appended lists are
+    IDENTICAL to what a single assignment pass over base+delta against the
+    same codebook would produce — the ann_ivf_append_topk oracle proves
+    that end to end through search results.
+
+    This is the index-side analogue of incremental_components: at 100 TB,
+    daily arrivals must not re-train the coarse quantizer or re-read the
+    resident corpus (re-build cost is O(corpus), append cost is O(delta)).
+    Codebook drift under a materially shifted distribution is a REBUILD
+    decision, made by comparing list-size histograms (key_size_histogram),
+    not something an append should silently paper over."""
+    new_lists = _ivf_assign(
+        delta.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id", "cv", assign_lists, "list_id", cent_ids, cmat,
+    )
+    return lists.unionByName(new_lists.select(*lists.columns))
+
+
+def ivf_append_snapshot(
+    store,
+    base_sid_tag: tuple[str, str],
+    delta: DataFrame,
+    num_centroids: int = 200,
+    assign_lists: int = 2,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
+):
+    """Append a delta to a PERSISTED IVF index: load the base snapshot
+    (building it from ``corpus`` if absent), assign the delta to its
+    codebook, and commit the grown lists (plus their int8 projection) under
+    a new snapshot id keyed by (base tag, delta tag) — the codebook is
+    SHARED with the base snapshot, never retrained. Load-if-exists like
+    every lifecycle artifact: a replayed append call reads the committed
+    result. Returns (cent_ids, cmat, lists).
+
+    ``base_sid_tag`` = (base_tag, delta_tag) — the same corpus-fingerprint
+    discipline as ivf_index_snapshot (a changed delta is a new snapshot,
+    a stale read is impossible)."""
+    import numpy as np
+
+    from entity_linkings_spark.plans.lifecycle import _fingerprint
+
+    base_tag, delta_tag = base_sid_tag
+    cfg = f"nc={num_centroids}|al={assign_lists}|li={lloyd_iters}"
+    app_sid = _fingerprint("ivf_append", base_tag, delta_tag, cfg)
+    spark = delta.sparkSession
+
+    if corpus is None:
+        # base must already be committed in this mode
+        base_sid = _fingerprint("ivf", base_tag, cfg)
+        if not (store.committed("ivf_codebook", base_sid)
+                and store.committed("ivf_lists", base_sid)):
+            raise ValueError(
+                "ivf_append_snapshot: base snapshot not committed and no "
+                "corpus given to build it from"
+            )
+        crows = sorted(store.read("ivf_codebook", base_sid).collect(),
+                       key=lambda r: r["cid"])
+        cent_ids = np.array([r["cid"] for r in crows])
+        cmat = np.array([r["centroid"] for r in crows], dtype=np.float64)
+        base_lists = store.read("ivf_lists", base_sid)
+    else:
+        cent_ids, cmat, base_lists = ivf_index_snapshot(
+            spark, store, base_tag, corpus, num_centroids=num_centroids,
+            assign_lists=assign_lists, lloyd_iters=lloyd_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    if store.committed("ivf_lists", app_sid):
+        return cent_ids, cmat, store.read("ivf_lists", app_sid)
+    grown = ivf_append(cent_ids, cmat, base_lists, delta,
+                       assign_lists=assign_lists, id_col=id_col, vec_col=vec_col)
+    # int8 projection first: committed(ivf_lists) is the visibility gate, so
+    # it must commit LAST (a crash in between leaves only a rebuildable
+    # partial, and sq8 readers never see lists without their int8 twin)
+    store.write("ivf_lists_q", app_sid, _quantize_lists(grown))
+    store.write("ivf_lists", app_sid, grown)
+    return cent_ids, cmat, store.read("ivf_lists", app_sid)
+
+
 def ivf_search(
     queries: DataFrame,
     cent_ids,

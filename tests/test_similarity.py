@@ -217,3 +217,55 @@ def test_ivf_sq8_residents_persisted_in_snapshot(spark, emb, tmp_path):
                                 index_store=store, index_tag="corpus-v1")
     assert {tuple(r) for r in upgraded.collect()} == {tuple(r) for r in fresh.collect()}
     assert store.committed("ivf_lists_q", sid)
+
+
+def test_ivf_append_equals_full_assignment(spark, emb):
+    """Appending a delta to a base-built index == one assignment pass of
+    base+delta against the base codebook (determinism of _ivf_assign), and
+    search results are identical — the maintenance contract."""
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    cent_ids, cmat, base_lists = SIM.ivf_build(base, num_centroids=32)
+    grown = SIM.ivf_append(cent_ids, cmat, base_lists, delta)
+    # full assignment against the SAME codebook (ivf_append of everything
+    # onto empty lists)
+    empty = base_lists.where(F.lit(False))
+    full = SIM.ivf_append(cent_ids, cmat, empty, emb)
+    key = lambda r: (r["list_id"], r["neighbor_id"], tuple(r["cv"]))  # noqa: E731
+    assert {key(r) for r in grown.collect()} == {key(r) for r in full.collect()}
+    g = {tuple(r) for r in SIM.ivf_search(q, cent_ids, cmat, grown).collect()}
+    f = {tuple(r) for r in SIM.ivf_search(q, cent_ids, cmat, full).collect()}
+    assert g == f and len(g) > 0
+
+
+def test_ivf_append_snapshot_lifecycle(spark, emb, tmp_path):
+    """ivf_append_snapshot: grown lists commit under a (base, delta)-keyed
+    snapshot; a second call LOADS (poisoned-delta proof); the base codebook
+    is shared, never retrained; missing base without a corpus is a loud
+    error."""
+    import pytest as _pytest
+
+    from entity_linkings_spark.plans.lifecycle import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "ivf"))
+    base = emb.where(F.col("vec_id") % 10 != 0)
+    delta = emb.where(F.col("vec_id") % 10 == 0)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    cfg = dict(num_centroids=32, assign_lists=2, lloyd_iters=1)
+
+    cent_ids, cmat, lists = SIM.ivf_append_snapshot(
+        store, ("base-v1", "delta-v1"), delta, corpus=base, **cfg)
+    want = {tuple(r) for r in SIM.ivf_search(q, cent_ids, cmat, lists).collect()}
+
+    # replay with a poisoned delta: must LOAD the committed append, and the
+    # base snapshot must satisfy it without the corpus
+    poisoned = delta.where(F.lit(False))
+    c2, m2, l2 = SIM.ivf_append_snapshot(
+        store, ("base-v1", "delta-v1"), poisoned, **cfg)
+    got = {tuple(r) for r in SIM.ivf_search(q, c2, m2, l2).collect()}
+    assert got == want and (c2 == cent_ids).all()
+
+    # a new delta tag against a missing base and no corpus: loud error
+    with _pytest.raises(ValueError, match="base snapshot not committed"):
+        SIM.ivf_append_snapshot(store, ("base-v9", "delta-v1"), delta, **cfg)
