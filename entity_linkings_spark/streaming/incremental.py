@@ -260,6 +260,81 @@ def clustering_maintenance_processor(labels_dir: str, edge_fn):
     return process
 
 
+def apply_vector_epoch(
+    index_dir: str,
+    delta: DataFrame,
+    epoch_id: int,
+    num_centroids: int = 200,
+    assign_lists: int = 2,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Maintain a growing ANN index across streaming epochs — the
+    index-side twin of apply_edge_epoch: the FIRST epoch trains the
+    codebook (ivf_build) and commits codebook + lists; every later epoch
+    assigns its arrivals to the FROZEN codebook (ivf_append) and commits
+    the grown lists — O(delta) per epoch, no Lloyd rerun, no resident
+    re-read. Same commit protocol as the label table: the epoch's lists
+    land in ``epoch-<id>/`` and the CURRENT pointer swaps atomically; a
+    replay after commit short-circuits, a crash before the swap leaves the
+    previous epoch visible and the replay recomputes from it (appending
+    the same vectors twice would duplicate them — the short-circuit is
+    what makes replay safe, exactly foreachBatch's contract of one commit
+    per epoch id). Returns (cent_ids, cmat, lists).
+
+    Codebook drift under a materially shifted arrival distribution is a
+    REBUILD decision (compare list-size histograms), not something the
+    epoch path papers over — the reference's build/search split applied
+    to a stream (dualencoder/indexer.py:61-64)."""
+    import os
+
+    import numpy as np
+
+    from entity_linkings_spark.operators.similarity import ivf_append, ivf_build
+
+    spark = delta.sparkSession
+    os.makedirs(index_dir, exist_ok=True)
+    name = f"epoch-{epoch_id}"
+    out_dir = os.path.join(index_dir, name)
+    cb_dir = os.path.join(index_dir, "codebook")
+    ptr = os.path.join(index_dir, "CURRENT")
+
+    def load_codebook():
+        crows = sorted(spark.read.parquet(cb_dir).collect(),
+                       key=lambda r: r["cid"])  # bounded: <= num_centroids
+        return (np.array([r["cid"] for r in crows]),
+                np.array([r["centroid"] for r in crows], dtype=np.float64))
+
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            cur_name = f.read().strip()
+        cent_ids, cmat = load_codebook()
+        if cur_name == name:  # replay after commit: pure no-op
+            return cent_ids, cmat, spark.read.parquet(out_dir)
+        lists = ivf_append(
+            cent_ids, cmat, spark.read.parquet(os.path.join(index_dir, cur_name)),
+            delta, assign_lists=assign_lists, id_col=id_col, vec_col=vec_col,
+        )
+    else:  # first epoch: train the codebook once, on the first arrivals
+        cent_ids, cmat, lists = ivf_build(
+            delta, num_centroids=num_centroids, assign_lists=assign_lists,
+            lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
+        )
+        cb = spark.createDataFrame(
+            [(int(cid), [float(x) for x in cmat[j]])
+             for j, cid in enumerate(cent_ids)],
+            "cid long, centroid array<double>",
+        )
+        cb.write.mode("overwrite").parquet(cb_dir)  # frozen before epoch 0 commits
+    lists.write.mode("overwrite").parquet(out_dir)
+    ptr_tmp = ptr + ".tmp"
+    with open(ptr_tmp, "w") as f:
+        f.write(name)
+    os.replace(ptr_tmp, ptr)  # atomic commit
+    return cent_ids, cmat, spark.read.parquet(out_dir)
+
+
 def windowed_mention_counts(
     stream: DataFrame,
     extract: Callable[[DataFrame], DataFrame] | None,

@@ -150,3 +150,79 @@ def test_round_half_up_matches_duckdb(x):
     eng = float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
     duck = duckdb.sql("SELECT round(?::DOUBLE, 6)", params=[x]).fetchone()[0]
     assert eng == duck
+
+
+def _uf_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent.setdefault(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ms) for ms in comp.values() for n in ms}
+
+
+def _inc_model(labels, delta):
+    """Pure-python mirror of incremental_components' composition: map delta
+    endpoints through old labels, solve the contracted graph, compose."""
+    mapped = [(labels.get(u, u), labels.get(v, v)) for u, v in delta]
+    merged = _uf_labels([(a, b) for a, b in mapped if a != b])
+    out = {n: merged.get(lbl, lbl) for n, lbl in labels.items()}
+    out.update({n: c for n, c in merged.items() if n not in labels})
+    return out
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)), max_size=50),
+    st.integers(0, 100),
+)
+def test_incremental_cc_composition_invariant(edges_raw, split_pct):
+    """The mathematical contract incremental_components rests on (its Spark
+    form is tested against union-find separately): for ANY split of an edge
+    set into old/delta, composing the delta through the old min-labels
+    equals a full solve — because old labels are cluster minima, so the
+    contracted component's min representative IS the global min."""
+    edges = [(f"n{a:02d}", f"n{b:02d}") for a, b in edges_raw if a != b]
+    cut = len(edges) * split_pct // 100
+    old, delta = edges[:cut], edges[cut:]
+    assert _inc_model(_uf_labels(old), delta) == _uf_labels(edges)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d", "e"]),
+        st.integers(1, 1_000_000),
+        min_size=1,
+        max_size=5,
+    ),
+    st.floats(0.0, 1.0, allow_nan=False),
+)
+def test_temperature_rates_invariants(counts, tau):
+    """temperature_rates: expected row mass is preserved (rates are q_s/p_s
+    with q summing to 1) and flattening never up-weights a LARGER source
+    above a smaller one for tau <= 1."""
+    from fractions import Fraction
+
+    from entity_linkings_spark.operators.sampling import temperature_rates
+
+    r = temperature_rates(counts, tau, max_den=1_000_000)
+    total = sum(counts.values())
+    approx = sum(c * Fraction(*r[s]) for s, c in counts.items())
+    assert abs(float(approx) - total) / total < 1e-3
+    by_count = sorted(counts.items(), key=lambda kv: kv[1])
+    fr = [Fraction(*r[s]) for s, _ in by_count]
+    eps = Fraction(1, 100_000)
+    for lo, hi in zip(fr, fr[1:]):
+        assert lo >= hi - eps  # smaller source never below a bigger one

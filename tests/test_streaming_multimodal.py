@@ -516,3 +516,30 @@ def test_streaming_cluster_maintenance_end_to_end(spark, tiny, tmp_path):
     full = {r["node"]: r["cluster_id"]
             for r in connected_components(edge_fn(t)).collect()}
     assert got == full and len(got) > 0
+
+
+def test_vector_epoch_index_maintenance(spark, tmp_path):
+    """apply_vector_epoch: an ANN index grown epoch by epoch (codebook
+    frozen at epoch 0, arrivals appended) searches identically to one
+    assignment pass of every vector against that same codebook; a replayed
+    epoch is a no-op, so no vector is ever double-appended."""
+    import pyspark.sql.functions as FF
+
+    from entity_linkings_spark.operators.similarity import ivf_append, ivf_search
+    from entity_linkings_spark.streaming.incremental import apply_vector_epoch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    epochs = [emb.where(FF.col("vec_id") % 3 == i) for i in range(3)]
+    idx = str(tmp_path / "ann")
+    for i, d in enumerate(epochs):
+        cent_ids, cmat, lists = apply_vector_epoch(idx, d, i, num_centroids=16)
+    # replay the last epoch: must short-circuit (no duplicate residents)
+    c2, m2, lists = apply_vector_epoch(idx, epochs[-1], 2, num_centroids=16)
+    assert lists.groupBy("list_id", "neighbor_id").count().where(
+        FF.col("count") > 1).count() == 0
+    # full assignment of everything against the SAME (epoch-0) codebook
+    full = ivf_append(cent_ids, cmat, lists.where(FF.lit(False)), emb)
+    q = emb.where(FF.col("vec_id") % 25 == 0)
+    got = {tuple(r) for r in ivf_search(q, c2, m2, lists, k=5).collect()}
+    want = {tuple(r) for r in ivf_search(q, cent_ids, cmat, full, k=5).collect()}
+    assert got == want and len(got) > 0
