@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental",
         "sample_weighted",
         "split_leakage_audit",
+        "dedup_url",
         "ann_ivf_sq8_topk",
         "ann_ivf_sq8_recall",
         "ann_ivf_topk",
@@ -275,7 +276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_duplicate_spans",
         "decontaminate_ngrams",
         "ann_cosine_topk",
-        "ann_lsh_topk",
     ]
     ordered = {name: qs[name] for name in priority if name in qs}
     ordered.update((name, fn) for name, fn in qs.items() if name not in ordered)

@@ -85,6 +85,7 @@ HEADLINE = [
     "sample_weighted",
     "split_leakage_audit",
     "ann_ivf_append_topk",
+    "dedup_url",
 ]
 
 _SCALE_SNIPPET = r"""

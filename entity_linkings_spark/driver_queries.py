@@ -2595,6 +2595,70 @@ def sample_per_source(spark, sf):
     )
 
 
+@register(
+    "dedup_url",
+    """
+    WITH u AS (SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+        || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        || 'Example' || CAST(doc_id % 40 AS VARCHAR) || '.COM'
+        || '/p/' || CAST(doc_id % 25 AS VARCHAR)
+        || (CASE WHEN doc_id % 20 = 0 THEN '/' ELSE '' END)
+        || (CASE doc_id % 4
+                WHEN 1 THEN '?utm_source=news&utm_medium=em'
+                WHEN 2 THEN '?ref=tw&x=' || CAST(doc_id % 5 AS VARCHAR)
+                WHEN 3 THEN '#sec-' || CAST(doc_id % 7 AS VARCHAR)
+                ELSE '' END) AS url
+        FROM documents),
+    s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS x FROM u),
+    s2 AS (SELECT doc_id, regexp_replace(x, '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS x FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(x, '^[Ww][Ww][Ww]\\.', '') AS x FROM s2),
+    s4 AS (SELECT doc_id,
+                  lower(regexp_extract(x, '^([^/?]*)', 1))
+                  || substr(x, length(regexp_extract(x, '^([^/?]*)', 1)) + 1) AS x
+           FROM s3),
+    s5 AS (SELECT doc_id,
+                  regexp_replace(x, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g') AS x
+           FROM s4),
+    s6 AS (SELECT doc_id, regexp_replace(x, '\\?&', '?', 'g') AS x FROM s5),
+    s7 AS (SELECT doc_id, regexp_replace(x, '[?&]+$', '') AS x FROM s6),
+    c AS (SELECT doc_id, regexp_replace(x, '/+$', '') AS curl FROM s7)
+    SELECT curl AS url, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_doc
+    FROM c GROUP BY 1
+    """,
+)
+def dedup_url(spark, sf):
+    """URL-key dedup (functions/strings.py canonicalize_url): deterministic
+    dirty URLs are planted per doc (scheme/WWW case variants, mixed-case
+    hosts, utm/ref tracking params, fragments, trailing slashes) and
+    grouped by their canonical form with a min-doc keeper — the standard
+    pretrain-crawl dedup key. One projection + one hash aggregate: the
+    canonicalizer is a Catalyst regexp chain, so at 100 TB this is a single
+    shuffle on the canonical key with map-side combine."""
+    from entity_linkings_spark.functions.strings import canonicalize_url
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Example"), (d % 40).cast("string"), F.lit(".COM"),
+        F.lit("/p/"), (d % 25).cast("string"),
+        F.when(d % 20 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 1, F.lit("?utm_source=news&utm_medium=em"))
+        .when(d % 4 == 2, F.concat(F.lit("?ref=tw&x="), (d % 5).cast("string")))
+        .when(d % 4 == 3, F.concat(F.lit("#sec-"), (d % 7).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    return (
+        _docs(spark, sf)
+        .select("doc_id", canonicalize_url(url).alias("url"))
+        .groupBy("url")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.min("doc_id").alias("keeper_doc"))
+    )
+
+
 def _split_case_sql(key_expr: str, weights: dict[str, float],
                     salt: str = "split") -> str:
     """The split_column CASE as a SQL EXPRESSION over an arbitrary key

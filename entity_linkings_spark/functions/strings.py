@@ -105,3 +105,28 @@ def redact_pii(col: Column | str) -> Column:
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """URL canonicalization for pretrain-corpus dedup: two fetches of the
+    same page must collapse to ONE key however they were linked. Drops the
+    fragment, the http/https scheme, and a leading www.; lowercases the
+    HOST only (paths/queries are case-significant); strips tracking
+    parameters (utm_*, fbclid, gclid, ref) and any query/slash debris they
+    leave behind. Pure Catalyst regexp chain, dialect-portable — the
+    DuckDB oracle applies the literal same patterns (with the 'g' flag
+    where Spark's replace-all is DuckDB's replace-first).
+
+    Deliberately NOT full RFC 3986 normalization (percent-encoding
+    equivalence, default ports, path dot-segments): those need a real URL
+    parser; this is the deterministic 99%-case key a dedup stage wants."""
+    u = _c(col)
+    u = F.regexp_replace(u, r"#.*$", "")                  # fragment
+    u = F.regexp_replace(u, r"^[Hh][Tt][Tt][Pp][Ss]?://", "")  # scheme
+    u = F.regexp_replace(u, r"^[Ww][Ww][Ww]\.", "")       # www.
+    host = F.lower(F.regexp_extract(u, r"^([^/?]*)", 1))
+    u = F.concat(host, u.substr(F.length(host) + 1, F.length(u)))
+    u = F.regexp_replace(u, r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"\?&", "?")                  # '?&x' -> '?x'
+    u = F.regexp_replace(u, r"[?&]+$", "")                # dangling '?'/'&'
+    return F.regexp_replace(u, r"/+$", "")                # trailing slash

@@ -124,3 +124,24 @@ def test_redact_pii(spark):
     assert got["c"] == "host <IP> card <CARD> ok"
     assert got["d"] == "clean text stays clean"
     assert got["e"] == "year 2024 and 12345 stay (too short for <CARD>)"
+
+
+def test_canonicalize_url(spark):
+    from entity_linkings_spark.functions.strings import canonicalize_url
+
+    cases = {
+        "HTTPS://WWW.Example.COM/p/1?utm_source=x&utm_medium=y": "example.com/p/1",
+        "http://example.com/p/1": "example.com/p/1",
+        "example.com/p/1/": "example.com/p/1",
+        "https://Example.com/p/1#frag": "example.com/p/1",
+        "https://example.com/p/1?ref=tw&x=2": "example.com/p/1?x=2",
+        # path/query case is PRESERVED; only the host lowers
+        "https://example.com/P/Case?x=2&utm_a=1": "example.com/P/Case?x=2",
+        "https://example.com/?utm_x=1": "example.com",
+        # www in the middle of a host must survive
+        "https://news.www-ish.com/a": "news.www-ish.com/a",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {r["u"]: r["c"] for r in
+           df.select("u", canonicalize_url("u").alias("c")).collect()}
+    assert got == cases
