@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted",
         "split_leakage_audit",
         "dedup_url",
+        "dedup_boilerplate_lines",
         "ann_ivf_sq8_topk",
         "ann_ivf_sq8_recall",
         "ann_ivf_topk",
@@ -275,7 +276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs_capped",
         "dedup_duplicate_spans",
         "decontaminate_ngrams",
-        "ann_cosine_topk",
     ]
     ordered = {name: qs[name] for name in priority if name in qs}
     ordered.update((name, fn) for name, fn in qs.items() if name not in ordered)

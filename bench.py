@@ -86,6 +86,7 @@ HEADLINE = [
     "split_leakage_audit",
     "ann_ivf_append_topk",
     "dedup_url",
+    "dedup_boilerplate_lines",
 ]
 
 _SCALE_SNIPPET = r"""

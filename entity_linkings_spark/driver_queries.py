@@ -2596,6 +2596,50 @@ def sample_per_source(spark, sf):
 
 
 @register(
+    "dedup_boilerplate_lines",
+    """
+    WITH t AS (SELECT doc_id,
+        text || chr(10) || 'Subscribe to our newsletter'
+             || chr(10) || 'Copyright ' || CAST(doc_id % 3 AS VARCHAR)
+             || chr(10) || 'token-' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents),
+    l AS (SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS line,
+                 generate_subscripts(string_split(text, chr(10)), 1) AS pos
+          FROM t),
+    lk AS (SELECT doc_id, pos, line, trim(line) AS lkey FROM l),
+    freq AS (SELECT lkey FROM lk GROUP BY lkey
+             HAVING count(DISTINCT doc_id) >= 30),
+    kept AS (SELECT doc_id, pos, line FROM lk
+             WHERE lkey NOT IN (SELECT lkey FROM freq))
+    SELECT doc_id, string_agg(line, chr(1) ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def dedup_boilerplate_lines(spark, sf):
+    """Line-level boilerplate removal (operators/dedup.py
+    remove_boilerplate_lines — the C4/RefinedWeb cleaning step): two
+    boilerplate lines are planted in every document (one corpus-wide, one
+    in a third of the corpus) next to the document's own prose and a
+    unique token line; lines in >= 30 distinct docs are dropped and each
+    document reassembles in original order (deterministic (pos, line)
+    sort, never bare collect_list). Output lines joined by chr(1) — the
+    driver canonicalizer contract for multi-part scalars."""
+    from entity_linkings_spark.operators.dedup import remove_boilerplate_lines
+
+    d = F.col("doc_id")
+    dirty = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\nSubscribe to our newsletter"),
+            F.lit("\nCopyright "), (d % 3).cast("string"),
+            F.lit("\ntoken-"), d.cast("string"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(dirty, min_docs=30, out_sep="\x01")
+
+
+@register(
     "dedup_url",
     """
     WITH u AS (SELECT doc_id,

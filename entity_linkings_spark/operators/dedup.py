@@ -326,3 +326,45 @@ def duplicate_spans(
         .select("h")
     )
     return sh.join(dup, "h").groupBy(id_col).agg(F.count("*").alias("n_dup_grams"))
+
+
+def remove_boilerplate_lines(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    out_sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal (the C4/RefinedWeb cleaning step:
+    navigation chrome, cookie banners, copyright footers repeat across
+    pages; lines appearing in >= ``min_docs`` DISTINCT documents are
+    dropped, document-unique prose survives). Returns (id, text) with the
+    surviving lines rejoined by ``out_sep`` in their ORIGINAL order.
+
+    Plan shape at 100 TB: one posexplode, ONE aggregation keyed by the
+    trimmed line (countDistinct doc with map-side partial), one equi-join
+    back (never a doc x doc comparison), and a per-doc reassembly whose
+    ordering is deterministic BY CONSTRUCTION — collect_list order is not
+    guaranteed under retries/merges, so lines are collected as (pos, line)
+    structs and array_sort'ed before joining; cost is linear in total
+    lines."""
+    lines = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lkey", F.trim("line"))
+    frequent = (
+        lines.groupBy("lkey")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("lkey")
+    )
+    kept = lines.join(frequent, "lkey", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            out_sep,
+        ).alias("text")
+    )

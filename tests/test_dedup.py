@@ -138,3 +138,28 @@ def test_duplicate_spans_flags_shared_50grams(spark):
     # doc 3 shares nothing and must be absent
     assert set(got) == {1, 2}
     assert got[1] == got[2] == 11
+
+
+def test_remove_boilerplate_lines_order_and_threshold(spark):
+    from entity_linkings_spark.operators.dedup import remove_boilerplate_lines
+
+    rows = [
+        (1, "unique one\nSUBSCRIBE NOW\nalpha 1"),
+        (2, "unique two\nSUBSCRIBE NOW\nalpha 2"),
+        (3, "unique three\nSUBSCRIBE NOW\nalpha 3"),
+        # trimming unifies the key: padded variant still counts as the same line
+        (4, "unique four\n  SUBSCRIBE NOW  \nalpha 4"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate_lines(df, min_docs=3).collect()}
+    assert out == {
+        1: "unique one\nalpha 1",
+        2: "unique two\nalpha 2",
+        3: "unique three\nalpha 3",
+        4: "unique four\nalpha 4",
+    }
+    # below threshold nothing is removed, order preserved under repartition
+    out2 = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(
+        df.repartition(5), min_docs=5).collect()}
+    assert out2 == {i: t for i, t in rows}
