@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_audit",
         "dedup_url",
         "dedup_boilerplate_lines",
+        "dedup_keeper_quality",
         "ann_ivf_sq8_topk",
         "ann_ivf_sq8_recall",
         "ann_ivf_topk",
@@ -275,7 +276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs",
         "dedup_simhash_pairs_capped",
         "dedup_duplicate_spans",
-        "decontaminate_ngrams",
     ]
     ordered = {name: qs[name] for name in priority if name in qs}
     ordered.update((name, fn) for name, fn in qs.items() if name not in ordered)

@@ -797,6 +797,72 @@ def cc_incremental(spark, sf):
     )
 
 
+@register(
+    "dedup_keeper_quality",
+    f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    rec AS (
+        WITH RECURSIVE reach(src, dst) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        ) SELECT * FROM reach),
+    labels AS (SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+               FROM nodes n LEFT JOIN rec r ON r.src = n.node GROUP BY n.node),
+    scored AS (SELECT l.cluster_id, l.node, d.n_chars,
+                      row_number() OVER (PARTITION BY l.cluster_id
+                          ORDER BY d.n_chars DESC, l.node ASC) AS rnk
+               FROM labels l JOIN documents d ON d.doc_id = l.node)
+    SELECT cluster_id, node AS keeper_doc, CAST(n_chars AS BIGINT) AS keeper_chars,
+           (SELECT CAST(count(*) AS BIGINT) FROM labels x
+            WHERE x.cluster_id = s.cluster_id) AS n_members
+    FROM scored s WHERE rnk = 1
+    """,
+)
+def dedup_keeper_quality(spark, sf):
+    """Quality-preferring dedup keeper: within each near-dup cluster keep
+    the BEST member (here: max n_chars, ties to min id), not the min id —
+    what a training pipeline actually wants when duplicates differ in
+    extraction quality. A window argmax over the (cluster, score) join —
+    any score column plugs in (e.g. the Gopher composite from
+    quality_gopher); one shuffle on cluster_id, WindowGroupLimit-prunable.
+    Every stage (pairs, CC, the window-top1 family) is independently
+    oracled; this row proves the composition."""
+    docs = _docs(spark, sf)
+    bands = D.minhash_bands(docs, "doc_id", D.word_shingles("text", 5)).localCheckpoint()
+    cand = D.band_pairs(bands, "doc_id").select("id_a", "id_b")
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = (
+        D.shingle_jaccard(docs, cand, "doc_id", "text", 5)
+        .where(F.col("jaccard") >= 0.5)
+        .select(pad("id_a").alias("u"), pad("id_b").alias("v"))
+    )
+    labels = connected_components(edges).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+    j = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_doc"),
+            F.col("n_chars").cast("long").alias("keeper_chars"),
+            "n_members",
+        )
+    )
+
+
 _SHINGLE13_SQL = """CASE WHEN len(ws) <= 13 THEN [array_to_string(ws, ' ')]
               ELSE list_transform(generate_series(1, len(ws) - 12),
                                   i -> array_to_string(ws[i:i+12], ' ')) END"""

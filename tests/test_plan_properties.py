@@ -27,7 +27,8 @@ def test_scan_pushdown_and_pruning(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["t4_top1_per_doc", "a2_prior_topk", "ann_cosine_topk", "j5_tfidf_topk"],
+    ["t4_top1_per_doc", "a2_prior_topk", "ann_cosine_topk", "j5_tfidf_topk",
+     "dedup_keeper_quality"],
 )
 def test_topk_uses_window_group_limit(spark, name):
     # row_number <= k must push below the sort (never full per-partition sorts)
@@ -45,7 +46,7 @@ def test_topk_uses_window_group_limit(spark, name):
         "ann_ivf_sq8_topk",
         # round-5 operators: the incremental-CC relabel join and the mixer's
         # projection+explode must never degenerate to a product
-        "cc_incremental", "sample_weighted",
+        "cc_incremental", "sample_weighted", "dedup_keeper_quality",
     ],
 )
 def test_no_cartesian_products(spark, name):
