@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk",
         "ann_ivf_recall",
         "ann_ivf_append_topk",
+        "ivf_list_histogram",
         # the 24 round-3 veterans (CORRECTNESS_r03 \ r04)
         "a2_prior_topk",
         "a3_recall_mrr",
@@ -275,7 +276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash",
         "dedup_simhash_pairs",
         "dedup_simhash_pairs_capped",
-        "dedup_duplicate_spans",
     ]
     ordered = {name: qs[name] for name in priority if name in qs}
     ordered.update((name, fn) for name, fn in qs.items() if name not in ordered)

@@ -1267,6 +1267,41 @@ def ann_ivf_sq8_recall(spark, sf):
 _IVF_APPEND_SQL = _ivf_topk_sql(200, 28, 2, 10,
                                 codebook_where="WHERE vec_id % 10 <> 0")
 
+_IVF_BASE_SQL = _ivf_topk_sql(200, 28, 2, 10)
+assert ",\n    probes AS" in _IVF_BASE_SQL, "IVF SQL template drifted"
+_IVF_LIST_HIST_SQL = (
+    _IVF_BASE_SQL[: _IVF_BASE_SQL.index(",\n    probes AS")]
+    + """
+    SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_keys FROM (
+        SELECT list_id, count(*) AS bucket_size FROM lists GROUP BY 1)
+    GROUP BY bucket_size
+    """
+)
+
+
+@register("ivf_list_histogram", _IVF_LIST_HIST_SQL)
+def ivf_list_histogram(spark, sf):
+    """Inverted-list size histogram — the REBUILD-vs-append decision input
+    the maintenance docstrings point at (ivf_append, apply_vector_epoch):
+    a fat tail here means the frozen codebook no longer partitions the
+    corpus and probing degenerates toward a scan. Composition of the
+    persisted index (load-if-exists) with key_size_histogram — two
+    map-side-combining aggregations over the lists, output bounded by the
+    number of distinct sizes; the oracle replays the full index build and
+    sizes the same lists."""
+    from entity_linkings_spark.operators.blocking import key_size_histogram
+
+    emb = _embeddings(spark, sf)
+    kw = _ivf_persist_kwargs(spark, sf)
+    cfg = dict(num_centroids=200, assign_lists=2, lloyd_iters=1)
+    if kw:
+        _cids, _cmat, lists = SIM.ivf_index_snapshot(
+            spark, kw["index_store"], kw["index_tag"], emb, **cfg
+        )
+    else:
+        _cids, _cmat, lists = SIM.ivf_build(emb, **cfg)
+    return key_size_histogram(lists, ["list_id"])
+
 
 @register("ann_ivf_append_topk", _IVF_APPEND_SQL)
 def ann_ivf_append_topk(spark, sf):

@@ -260,6 +260,27 @@ def clustering_maintenance_processor(labels_dir: str, edge_fn):
     return process
 
 
+def read_vector_index(index_dir: str, spark: SparkSession):
+    """Current (cent_ids, cmat, lists) committed by apply_vector_epoch, or
+    None before the first epoch — what a search path loads to probe the
+    streaming-maintained index (ivf_search(queries, *read_vector_index(...)
+    [:3]) modulo argument order)."""
+    import os
+
+    import numpy as np
+
+    ptr = os.path.join(index_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    crows = sorted(spark.read.parquet(os.path.join(index_dir, "codebook")).collect(),
+                   key=lambda r: r["cid"])
+    cent_ids = np.array([r["cid"] for r in crows])
+    cmat = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    return cent_ids, cmat, spark.read.parquet(os.path.join(index_dir, name))
+
+
 def apply_vector_epoch(
     index_dir: str,
     delta: DataFrame,

@@ -543,3 +543,65 @@ def test_vector_epoch_index_maintenance(spark, tmp_path):
     got = {tuple(r) for r in ivf_search(q, c2, m2, lists, k=5).collect()}
     want = {tuple(r) for r in ivf_search(q, cent_ids, cmat, full, k=5).collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_index_epochs_end_to_end(spark, tmp_path):
+    """apply_vector_epoch behind a REAL StreamingQuery: embedding files
+    arrive one per micro-batch, the index grows epoch by epoch, and the
+    final committed index equals one assignment pass of every vector
+    against the frozen epoch-0 codebook; a checkpointed restart with no
+    new files changes nothing."""
+    import glob
+    import shutil
+
+    import pyspark.sql.functions as FF
+
+    from entity_linkings_spark.operators.similarity import ivf_append, ivf_search
+    from entity_linkings_spark.streaming.incremental import (
+        apply_vector_epoch,
+        read_vector_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    emb.where(FF.col("vec_id") % 2 == 0).coalesce(1).write.parquet(src + "/a")
+    emb.where(FF.col("vec_id") % 2 == 1).coalesce(1).write.parquet(src + "/b")
+    for i, f in enumerate(sorted(glob.glob(src + "/[ab]/*.parquet"))):
+        shutil.move(f, src + f"/file{i}.parquet")
+    for d in (src + "/a", src + "/b"):
+        shutil.rmtree(d)
+
+    idx = str(tmp_path / "ann")
+
+    def process(batch, epoch_id):
+        if batch.isEmpty():
+            return
+        apply_vector_epoch(idx, batch, epoch_id, num_centroids=16)
+
+    def run_stream():
+        return (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(process)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run_stream().awaitTermination(300)
+    cent_ids, cmat, lists = read_vector_index(idx, spark)
+    n1 = lists.count()
+    assert lists.groupBy("list_id", "neighbor_id").count().where(
+        FF.col("count") > 1).count() == 0
+    full = ivf_append(cent_ids, cmat, lists.where(FF.lit(False)), emb)
+    q = emb.where(FF.col("vec_id") % 25 == 0)
+    got = {tuple(r) for r in ivf_search(q, cent_ids, cmat, lists, k=5).collect()}
+    want = {tuple(r) for r in ivf_search(q, cent_ids, cmat, full, k=5).collect()}
+    assert got == want and len(got) > 0
+
+    # restart with nothing new: checkpoint prevents re-processing
+    run_stream().awaitTermination(120)
+    _, _, lists2 = read_vector_index(idx, spark)
+    assert lists2.count() == n1
