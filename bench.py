@@ -306,7 +306,11 @@ def run_scaling() -> dict:
         "protocol": "r5: 24M pairs/leg, 5 primary + 3 secondary alternating "
                     "sweeps, median of calibration-surviving ratios",
         "calibration_sec": cals,
-        "cal_fallback": p_fb or s_fb,
+        # VERDICT r5 #1b: one flag per pair — in the driver's r5 run the
+        # gate-bearing primary median was fallback-free while the saturated
+        # secondary fell back, and a single merged boolean hid that
+        "cal_fallback_primary": p_fb,
+        "cal_fallback_secondary": s_fb,
         "discarded_sweeps": sum(s["discarded"] for s in sweeps),
         "sweeps": sweeps,
     }
@@ -315,16 +319,44 @@ def run_scaling() -> dict:
 def main():
     queries = run_headline()
     scaling = run_scaling()
+    # VERDICT r5 #1a: the driver captures only the last ~2000 chars of
+    # stdout and parses the FINAL line as the record. r5's single line
+    # (per-query map + full 8-sweep scaling forensics) outgrew that window
+    # -> "parsed": null. So: the full detail goes on its OWN earlier line,
+    # and the final line is a compact summary guaranteed to fit — scaling
+    # forensics reduced to the decision numbers, per-query secs at 2dp.
+    detail = {
+        "record": "bench_detail",
+        "queries_full": queries,
+        "pairs_scored_per_sec": scaling,
+    }
+    print(json.dumps(detail))
+    compact_scaling = {
+        k: scaling[k]
+        for k in (
+            "primary_pair", "scaling_efficiency", "scaling_efficiency_8_32",
+            "cal_fallback_primary", "cal_fallback_secondary",
+            "discarded_sweeps", "pairs",
+        )
+    }
+    compact_scaling.update(
+        (k, v) for k, v in scaling.items() if k.startswith("local")
+    )
     result = {
         "metric": "total_wall_sec",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
-        "queries": queries,
+        "queries": {k: round(v, 2) for k, v in queries.items()},
         "sf": SF_DIR,
-        "protocol": "per-query subprocess, generic warmup, min of 2 runs",
-        "pairs_scored_per_sec": scaling,
+        "protocol": "per-query subprocess, min of 2 runs; detail on prior line",
+        "pairs_scored_per_sec": compact_scaling,
     }
-    print(json.dumps(result))
+    line = json.dumps(result)
+    if len(line) > 1500:  # never regress the driver's tail capture again
+        result.pop("queries")
+        result["queries_on_detail_line"] = True
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":

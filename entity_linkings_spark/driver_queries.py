@@ -2700,9 +2700,13 @@ def sample_per_source(spark, sf):
     "dedup_boilerplate_lines",
     """
     WITH t AS (SELECT doc_id,
-        text || chr(10) || 'Subscribe to our newsletter'
-             || chr(10) || 'Copyright ' || CAST(doc_id % 3 AS VARCHAR)
-             || chr(10) || 'token-' || CAST(doc_id AS VARCHAR) AS text
+        CASE WHEN doc_id % 10 = 0
+             THEN 'Subscribe to our newsletter'
+                  || chr(10) || 'Copyright ' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE text || chr(10) || 'Subscribe to our newsletter'
+                  || chr(10) || 'Copyright ' || CAST(doc_id % 3 AS VARCHAR)
+                  || chr(10) || 'token-' || CAST(doc_id AS VARCHAR)
+        END AS text
         FROM documents),
     l AS (SELECT doc_id,
                  unnest(string_split(text, chr(10))) AS line,
@@ -2712,9 +2716,11 @@ def sample_per_source(spark, sf):
     freq AS (SELECT lkey FROM lk GROUP BY lkey
              HAVING count(DISTINCT doc_id) >= 30),
     kept AS (SELECT doc_id, pos, line FROM lk
-             WHERE lkey NOT IN (SELECT lkey FROM freq))
-    SELECT doc_id, string_agg(line, chr(1) ORDER BY pos) AS text
-    FROM kept GROUP BY doc_id
+             WHERE lkey NOT IN (SELECT lkey FROM freq)),
+    re AS (SELECT doc_id, string_agg(line, chr(1) ORDER BY pos) AS text
+           FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, coalesce(re.text, '') AS text
+    FROM t LEFT JOIN re ON re.doc_id = t.doc_id
     """,
 )
 def dedup_boilerplate_lines(spark, sf):
@@ -2722,19 +2728,29 @@ def dedup_boilerplate_lines(spark, sf):
     remove_boilerplate_lines — the C4/RefinedWeb cleaning step): two
     boilerplate lines are planted in every document (one corpus-wide, one
     in a third of the corpus) next to the document's own prose and a
-    unique token line; lines in >= 30 distinct docs are dropped and each
-    document reassembles in original order (deterministic (pos, line)
-    sort, never bare collect_list). Output lines joined by chr(1) — the
-    driver canonicalizer contract for multi-part scalars."""
+    unique token line — EXCEPT every tenth document, which is planted as
+    pure boilerplate and must come back as ``text = ''`` rather than
+    vanish (ADVICE r5: the all-boilerplate docs are left-joined back so
+    downstream joins keep their rows). Lines in >= 30 distinct docs are
+    dropped and each document reassembles in original order
+    (deterministic (pos, line) sort, never bare collect_list). Output
+    lines joined by chr(1) — the driver canonicalizer contract for
+    multi-part scalars."""
     from entity_linkings_spark.operators.dedup import remove_boilerplate_lines
 
     d = F.col("doc_id")
     dirty = _docs(spark, sf).select(
         "doc_id",
-        F.concat(
-            F.col("text"), F.lit("\nSubscribe to our newsletter"),
-            F.lit("\nCopyright "), (d % 3).cast("string"),
-            F.lit("\ntoken-"), d.cast("string"),
+        F.when(
+            d % 10 == 0,
+            F.concat(F.lit("Subscribe to our newsletter\nCopyright "),
+                     (d % 3).cast("string")),
+        ).otherwise(
+            F.concat(
+                F.col("text"), F.lit("\nSubscribe to our newsletter"),
+                F.lit("\nCopyright "), (d % 3).cast("string"),
+                F.lit("\ntoken-"), d.cast("string"),
+            )
         ).alias("text"),
     )
     return remove_boilerplate_lines(dirty, min_docs=30, out_sep="\x01")
@@ -2763,9 +2779,11 @@ def dedup_boilerplate_lines(spark, sf):
                   || substr(x, length(regexp_extract(x, '^([^/?]*)', 1)) + 1) AS x
            FROM s3),
     s5 AS (SELECT doc_id,
-                  regexp_replace(x, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?', '', 'g') AS x
+                  regexp_replace(x, '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*',
+                                 '\\1', 'g') AS x
            FROM s4),
-    s6 AS (SELECT doc_id, regexp_replace(x, '\\?&', '?', 'g') AS x FROM s5),
+    s5b AS (SELECT doc_id, regexp_replace(x, '&&+', '&', 'g') AS x FROM s5),
+    s6 AS (SELECT doc_id, regexp_replace(x, '\\?&', '?', 'g') AS x FROM s5b),
     s7 AS (SELECT doc_id, regexp_replace(x, '[?&]+$', '') AS x FROM s6),
     c AS (SELECT doc_id, regexp_replace(x, '/+$', '') AS curl FROM s7)
     SELECT curl AS url, CAST(count(*) AS BIGINT) AS n_docs,

@@ -126,7 +126,13 @@ def canonicalize_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"^[Ww][Ww][Ww]\.", "")       # www.
     host = F.lower(F.regexp_extract(u, r"^([^/?]*)", 1))
     u = F.concat(host, u.substr(F.length(host) + 1, F.length(u)))
-    u = F.regexp_replace(u, r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&?", "")
+    # tracking params: anchored to the preceding separator so 'href=' /
+    # 'pref=' / 'foo_utm_source=' never match (an unanchored pattern
+    # collapsed distinct ?href=... URLs to one key — silent doc loss); the
+    # trailing '&' is NOT consumed so back-to-back tracking params each
+    # match in the same left-to-right scan, separator debris cleaned after
+    u = F.regexp_replace(u, r"([?&])(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "$1")
+    u = F.regexp_replace(u, r"&&+", "&")                  # 'a=1&&b=2' -> '&'
     u = F.regexp_replace(u, r"\?&", "?")                  # '?&x' -> '?x'
     u = F.regexp_replace(u, r"[?&]+$", "")                # dangling '?'/'&'
     return F.regexp_replace(u, r"/+$", "")                # trailing slash

@@ -347,7 +347,15 @@ def remove_boilerplate_lines(
     ordering is deterministic BY CONSTRUCTION — collect_list order is not
     guaranteed under retries/merges, so lines are collected as (pos, line)
     structs and array_sort'ed before joining; cost is linear in total
-    lines."""
+    lines.
+
+    Documents whose EVERY line is boilerplate are returned with
+    ``text = ''`` rather than silently dropped (ADVICE r5): the final
+    groupBy only emits docs with a surviving line, so the survivors are
+    left-joined back onto the input id set — downstream joins keep their
+    rows and an explicit emptiness filter stays the caller's choice. The
+    extra join is on the same key as the reassembly groupBy (equi-join,
+    partial-agg friendly), not a new shuffle shape."""
     lines = corpus.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -359,7 +367,7 @@ def remove_boilerplate_lines(
         .select("lkey")
     )
     kept = lines.join(frequent, "lkey", "left_anti")
-    return kept.groupBy(id_col).agg(
+    reassembled = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
@@ -367,4 +375,9 @@ def remove_boilerplate_lines(
             ),
             out_sep,
         ).alias("text")
+    )
+    return (
+        corpus.select(id_col)
+        .join(reassembled, id_col, "left")
+        .select(id_col, F.coalesce("text", F.lit("")).alias("text"))
     )

@@ -202,7 +202,9 @@ def _ngram_scores(A, la, B, lb, idf_codes, idf_weights, need_cos: bool = True):
     inter = has.sum(axis=1).astype(np.float64)
     ca, cb = va.sum(axis=1), vb.sum(axis=1)
     union = ca + cb - inter
-    jac = np.where(union > 0, inter / union, 0.0)
+    # masked divide (np.where evaluates inter/union BEFORE masking, emitting
+    # RuntimeWarning on the union==0 lanes even though they are discarded)
+    jac = np.divide(inter, union, out=np.zeros_like(inter), where=union > 0)
     if not need_cos:
         # cosine weight is 0 and no IDF table: skip the argmax gather +
         # weighting passes entirely (the combined blend is unchanged because

@@ -331,8 +331,16 @@ def apply_vector_epoch(
         with open(ptr) as f:
             cur_name = f.read().strip()
         cent_ids, cmat = load_codebook()
-        if cur_name == name:  # replay after commit: pure no-op
-            return cent_ids, cmat, spark.read.parquet(out_dir)
+        # Replay guard (ADVICE r5): ANY epoch at or below CURRENT is a
+        # replay and must no-op on the committed table — unlike the edge
+        # epoch (re-adding edges is idempotent), re-appending vectors
+        # silently DUPLICATES residents. foreachBatch only ever replays
+        # the last epoch, but the guard must not depend on that.
+        cur_epoch = int(cur_name.rsplit("-", 1)[1])
+        if epoch_id <= cur_epoch:
+            return cent_ids, cmat, spark.read.parquet(
+                os.path.join(index_dir, cur_name)
+            )
         lists = ivf_append(
             cent_ids, cmat, spark.read.parquet(os.path.join(index_dir, cur_name)),
             delta, assign_lists=assign_lists, id_col=id_col, vec_col=vec_col,

@@ -149,6 +149,8 @@ def test_remove_boilerplate_lines_order_and_threshold(spark):
         (3, "unique three\nSUBSCRIBE NOW\nalpha 3"),
         # trimming unifies the key: padded variant still counts as the same line
         (4, "unique four\n  SUBSCRIBE NOW  \nalpha 4"),
+        # entirely boilerplate: must come back EMPTY, not vanish (ADVICE r5)
+        (5, "SUBSCRIBE NOW"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["text"]
@@ -158,8 +160,10 @@ def test_remove_boilerplate_lines_order_and_threshold(spark):
         2: "unique two\nalpha 2",
         3: "unique three\nalpha 3",
         4: "unique four\nalpha 4",
+        5: "",
     }
     # below threshold nothing is removed, order preserved under repartition
+    # (SUBSCRIBE NOW is in 5 distinct docs: min_docs=6 keeps it)
     out2 = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(
-        df.repartition(5), min_docs=5).collect()}
+        df.repartition(5), min_docs=6).collect()}
     assert out2 == {i: t for i, t in rows}

@@ -140,6 +140,20 @@ def test_canonicalize_url(spark):
         "https://example.com/?utm_x=1": "example.com",
         # www in the middle of a host must survive
         "https://news.www-ish.com/a": "news.www-ish.com/a",
+        # ADVICE r5: param names that merely CONTAIN a tracking name must
+        # survive — an unanchored pattern collapsed distinct href= targets
+        # to one dedup key (silent doc loss)
+        "https://example.com/a?href=https://other.com/x":
+            "example.com/a?href=https://other.com/x",
+        "https://example.com/a?href=https://else.com/y":
+            "example.com/a?href=https://else.com/y",
+        "https://example.com/a?pref=dark": "example.com/a?pref=dark",
+        "https://example.com/a?foo_utm_source=x&b=2":
+            "example.com/a?foo_utm_source=x&b=2",
+        # back-to-back tracking params sandwiched between real ones
+        "https://example.com/a?a=1&utm_s=x&utm_m=y&b=2":
+            "example.com/a?a=1&b=2",
+        "https://example.com/a?ref=x&gclid=y": "example.com/a",
     }
     df = spark.createDataFrame([(k,) for k in cases], "u string")
     got = {r["u"]: r["c"] for r in

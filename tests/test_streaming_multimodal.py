@@ -537,6 +537,14 @@ def test_vector_epoch_index_maintenance(spark, tmp_path):
     c2, m2, lists = apply_vector_epoch(idx, epochs[-1], 2, num_centroids=16)
     assert lists.groupBy("list_id", "neighbor_id").count().where(
         FF.col("count") > 1).count() == 0
+    # replay of an OLDER epoch must ALSO no-op on the committed table
+    # (ADVICE r5: re-appending epoch 1's vectors onto the grown lists
+    # would silently duplicate residents)
+    n_before = lists.count()
+    _, _, lists_old = apply_vector_epoch(idx, epochs[1], 1, num_centroids=16)
+    assert lists_old.count() == n_before
+    assert lists_old.groupBy("list_id", "neighbor_id").count().where(
+        FF.col("count") > 1).count() == 0
     # full assignment of everything against the SAME (epoch-0) codebook
     full = ivf_append(cent_ids, cmat, lists.where(FF.lit(False)), emb)
     q = emb.where(FF.col("vec_id") % 25 == 0)
