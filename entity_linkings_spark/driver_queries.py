@@ -578,20 +578,23 @@ _H1 = "CAST(('0x' || substr(md5('mh1:' || s), 1, 7)) AS BIGINT)"
 _H2 = "CAST(('0x' || substr(md5('mh2:' || s), 1, 7)) AS BIGINT)"
 
 
-def _shingle_sql(n: int) -> str:
-    """DuckDB word-shingle CTE body over documents -> (doc_id, s)."""
+def _shingle_sql(n: int, src: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB word-shingle CTE body over ``src`` -> (id, s). Parameterized
+    over source/id so the SAME shingle pipeline replays at paragraph
+    granularity (dedup_paragraphs) as at document granularity."""
     return f"""
-    SELECT doc_id, unnest(
+    SELECT {id_col}, unnest(
         CASE WHEN len(w) <= {n} THEN [text]
              ELSE list_transform(generate_series(1, len(w) - {n - 1}),
                                  i -> array_to_string(w[i:i+{n - 1}], ' '))
         END) AS s
-    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    FROM (SELECT {id_col}, text, string_split(text, ' ') AS w FROM {src})
     """
 
 
-def _minhash_bands_sql(num_bands: int = 12, rows_per_band: int = 2) -> str:
-    """DuckDB CTEs: shingles -> signatures -> (doc_id, band_idx, band_hash)."""
+def _minhash_bands_sql(num_bands: int = 12, rows_per_band: int = 2,
+                       src: str = "documents", id_col: str = "doc_id") -> str:
+    """DuckDB CTEs: shingles -> signatures -> (id, band_idx, band_hash)."""
     k = num_bands * rows_per_band
     sig_cols = ",\n           ".join(
         f"min((h1 + {i} * h2) % {_P}) AS s{i}" for i in range(k)
@@ -606,10 +609,10 @@ def _minhash_bands_sql(num_bands: int = 12, rows_per_band: int = 2) -> str:
         for b in range(num_bands)
     )
     return f"""
-    sh AS ({_shingle_sql(5)}),
-    hashes AS (SELECT doc_id, {_H1} AS h1, {_H2} AS h2 FROM sh),
-    sigs AS (SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id),
-    bands AS (SELECT doc_id, band_idx,
+    sh AS ({_shingle_sql(5, src, id_col)}),
+    hashes AS (SELECT {id_col}, {_H1} AS h1, {_H2} AS h2 FROM sh),
+    sigs AS (SELECT {id_col}, {sig_cols} FROM hashes GROUP BY {id_col}),
+    bands AS (SELECT {id_col}, band_idx,
                      CASE band_idx {band_cases} END AS band_hash
               FROM sigs, (SELECT unnest(generate_series(0, {num_bands - 1})) AS band_idx))
     """
@@ -1301,6 +1304,141 @@ def ivf_list_histogram(spark, sf):
     else:
         _cids, _cmat, lists = SIM.ivf_build(emb, **cfg)
     return key_size_histogram(lists, ["list_id"])
+
+
+def _ivf_rebalance_sql(
+    num_centroids: int = 32, nprobe: int = 12, assign_lists: int = 2, k: int = 10,
+    max_list: int = 40, target: int = 20,
+) -> str:
+    """SQL replica of append-then-rebalance (operators/similarity.py
+    ivf_rebalance): a skewed delta (vec_id%3==1 planted at
+    0.95*anchor + 0.05*own) is assigned against the BASE-trained codebook
+    (the append contract), oversized lists split into resident-seeded
+    sub-lists (same (md5,id) seed ordering as the main codebook, sub ids =
+    2^40 + parent*1024 + sub_idx), residents remapped to their nearest
+    sub-centroid within the parent, and search probes the merged codebook.
+    Same seeds/Lloyd/round-6 parity machinery as _ivf_topk_sql."""
+    sub_base = 1 << 40
+    return f"""
+    WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    anchor AS (SELECT e AS ae FROM v0 ORDER BY vec_id LIMIT 1),
+    v AS MATERIALIZED (
+        SELECT vec_id,
+               CASE WHEN vec_id % 3 = 1
+                    THEN list_transform(list_zip(ae, e),
+                                        x -> x[1] * 0.95 + x[2] * 0.05)
+                    ELSE e END AS e
+        FROM v0, anchor),
+    vb AS (SELECT * FROM v WHERE vec_id % 3 <> 1),
+    seeds AS (SELECT vec_id AS cent_id, e AS ce FROM vb
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {num_centroids}),
+    a0 AS (SELECT vec_id, e, cent_id FROM (
+             SELECT c.vec_id, c.e, s.cent_id,
+                    row_number() OVER (PARTITION BY c.vec_id
+                        ORDER BY round(list_cosine_similarity(c.e, s.ce), 6) DESC,
+                                 s.cent_id ASC) AS rnk
+             FROM vb c, seeds s) WHERE rnk = 1),
+    expl AS (SELECT cent_id, generate_subscripts(e, 1) AS dim, unnest(e) AS val,
+                    greatest(sqrt(list_aggregate(list_transform(e, x -> x*x),
+                                                 'sum')), 1e-300) AS nn
+             FROM a0),
+    sums AS (SELECT cent_id, dim,
+                    sum(CAST(round(val / nn, 9) AS DECIMAL(38,9))) AS s,
+                    count(*) AS cnt
+             FROM expl GROUP BY 1, 2),
+    refined AS (SELECT cent_id, list(round(s::DOUBLE / cnt, 6) ORDER BY dim) AS ce
+                FROM sums GROUP BY 1),
+    cents AS MATERIALIZED (
+        SELECT s.cent_id, coalesce(r.ce, s.ce) AS ce
+        FROM seeds s LEFT JOIN refined r USING (cent_id)),
+    lists AS MATERIALIZED (
+        SELECT neighbor_id, cv, cent_id AS list_id FROM (
+        SELECT c.vec_id AS neighbor_id, c.e AS cv, ct.cent_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round(list_cosine_similarity(c.e, ct.ce), 6) DESC,
+                            ct.cent_id ASC) AS crank
+        FROM v c, cents ct) WHERE crank <= {assign_lists}),
+    over_ AS MATERIALIZED (
+        SELECT list_id, (n + {target - 1}) // {target} AS n_splits
+        FROM (SELECT list_id, count(*) AS n FROM lists GROUP BY 1)
+        WHERE n > {max_list}),
+    ranked AS (SELECT l.list_id, l.neighbor_id, l.cv, o.n_splits,
+                      row_number() OVER (PARTITION BY l.list_id
+                          ORDER BY md5(CAST(l.neighbor_id AS VARCHAR)),
+                                   l.neighbor_id) AS rn
+               FROM lists l JOIN over_ o USING (list_id)),
+    subseeds AS MATERIALIZED (
+        SELECT list_id AS parent,
+               {sub_base} + list_id * 1024 + (rn - 1) AS sub_id,
+               cv AS ce
+        FROM ranked WHERE rn <= n_splits),
+    remap AS (SELECT neighbor_id, cv, sub_id AS list_id FROM (
+        SELECT r.neighbor_id, r.cv, s.sub_id,
+               row_number() OVER (PARTITION BY r.list_id, r.neighbor_id
+                   ORDER BY round(list_cosine_similarity(r.cv, s.ce), 6) DESC,
+                            s.sub_id ASC) AS rnk
+        FROM ranked r JOIN subseeds s ON s.parent = r.list_id) WHERE rnk = 1),
+    lists2 AS MATERIALIZED (
+        SELECT l.neighbor_id, l.cv, l.list_id
+        FROM lists l LEFT JOIN over_ o USING (list_id) WHERE o.list_id IS NULL
+        UNION ALL SELECT neighbor_id, cv, list_id FROM remap),
+    cents2 AS MATERIALIZED (
+        SELECT c.cent_id, c.ce FROM cents c
+        LEFT JOIN over_ o ON o.list_id = c.cent_id WHERE o.list_id IS NULL
+        UNION ALL SELECT sub_id AS cent_id, ce FROM subseeds),
+    probes AS (SELECT query_id, qv, cent_id AS list_id FROM (
+        SELECT q.vec_id AS query_id, q.e AS qv, ct.cent_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(q.e, ct.ce), 6) DESC,
+                            ct.cent_id ASC) AS crank
+        FROM v q, cents2 ct WHERE q.vec_id % 25 = 0) WHERE crank <= {nprobe}),
+    cand AS (SELECT p.query_id, l.neighbor_id,
+                    min(round(list_cosine_similarity(p.qv, l.cv), 6)) AS cos
+             FROM lists2 l JOIN probes p ON p.list_id = l.list_id
+             WHERE l.neighbor_id <> p.query_id GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM cand)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM r WHERE rank <= {k}
+"""
+
+
+@register("ann_ivf_rebalance_topk", _ivf_rebalance_sql())
+def ann_ivf_rebalance_topk(spark, sf):
+    """Index REPAIR after skewed growth (operators/similarity.py
+    ivf_rebalance — VERDICT r5 #3): a delta planted at 0.95*anchor +
+    0.05*own is appended to a base-built index (frozen codebook), piling
+    ~a third of the corpus into the anchor-nearest lists; ivf_rebalance
+    splits every list over 40 residents into resident-seeded sub-lists of
+    ~20 (O(oversized lists), not O(corpus)) and search probes the merged
+    codebook. The oracle replays plant -> base codebook -> append ->
+    split -> remap -> search end to end. Companion evidence in
+    tests/test_similarity.py: the repair restores the bounded-probe
+    invariant and dominates the cost/recall frontier (0.835 recall @ 6498
+    scanned before, 0.875 @ 5455 after)."""
+    emb = _embeddings(spark, sf)
+    anchor = emb.orderBy("vec_id").first()["embedding"]
+    anchor_lit = F.array(*[F.lit(float(x)) for x in anchor])
+    planted = emb.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 3 == 1,
+            F.zip_with(anchor_lit, "embedding",
+                       lambda a, b: a * 0.95 + b * 0.05),
+        ).otherwise(F.col("embedding")).alias("embedding"),
+    ).localCheckpoint()
+    base = planted.where(F.col("vec_id") % 3 != 1)
+    delta = planted.where(F.col("vec_id") % 3 == 1)
+    cent_ids, cmat, base_lists = SIM.ivf_build(
+        base, num_centroids=32, assign_lists=2, lloyd_iters=1
+    )
+    grown = SIM.ivf_append(cent_ids, cmat, base_lists, delta, assign_lists=2)
+    c2, m2, lists2 = SIM.ivf_rebalance(
+        cent_ids, cmat, grown, max_list_size=40, target_list_size=20
+    )
+    q = planted.where(F.col("vec_id") % 25 == 0)
+    return SIM.ivf_search(q, c2, m2, lists2, k=10, nprobe=12)
 
 
 @register("ann_ivf_append_topk", _IVF_APPEND_SQL)
@@ -2820,6 +2958,166 @@ def dedup_url(spark, sf):
         .agg(F.count("*").cast("long").alias("n_docs"),
              F.min("doc_id").alias("keeper_doc"))
     )
+
+
+# One template, rendered into BOTH engines: a shared paragraph whose variant
+# token <K> is interleaved through every 5-word window (so different-K
+# paragraphs share ZERO shingles — without that, any two variants would
+# still be ~0.7-Jaccard similar and the whole corpus would collapse into
+# one near-dup blob) and whose <S> token creates the NEAR-dup axis: same-K
+# different-S paragraphs differ in exactly the 5 shingles that cover it
+# (Jaccard 15/25 = 0.6, above the 0.5 verify threshold; same-K same-S
+# pairs are exact, Jaccard 1.0).
+_PARA_TEMPLATE = (
+    "shared <K> passage <K> body <K> keeps <K> going <K> marker <S> tail <K> "
+    "closing <K> words <K> plus <K> filler <K> done <K>"
+).split(" ")
+_PARA_MAX = 1_000_000  # explode_paragraphs pid multiplier
+
+
+def _para_shared_sql() -> str:
+    parts = []
+    for w in _PARA_TEMPLATE:
+        if w == "<K>":
+            parts.append("CAST(doc_id % 29 AS VARCHAR)")
+        elif w == "<S>":
+            parts.append("CAST(doc_id % 2 AS VARCHAR)")
+        else:
+            parts.append(f"'{w}'")
+    return "concat_ws(' ', " + ", ".join(parts) + ")"
+
+
+@register(
+    "dedup_paragraphs",
+    f"""
+    WITH dirty AS (SELECT doc_id,
+            text || chr(10) || chr(10) || {_para_shared_sql()} AS text
+        FROM documents),
+    praw AS (SELECT doc_id,
+                unnest(string_split(text, chr(10) || chr(10))) AS p,
+                generate_subscripts(string_split(text, chr(10) || chr(10)), 1) AS pos
+             FROM dirty),
+    paras AS (SELECT doc_id * {_PARA_MAX} + (pos - 1) AS pid, p AS text
+              FROM praw WHERE trim(p) <> ''),
+    {_minhash_bands_sql(src="paras", id_col="pid")},
+    cand AS (SELECT a.pid AS id_a, b.pid AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.pid < b.pid
+             GROUP BY 1, 2),
+    shs AS (SELECT pid, list_distinct(list(s)) AS sh
+            FROM ({_shingle_sql(5, "paras", "pid")}) GROUP BY pid),
+    v AS (SELECT c.id_a, c.id_b,
+                 round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                       / greatest(len(x.sh) + len(y.sh)
+                                  - len(list_intersect(x.sh, y.sh)), 1),
+                       6) AS jaccard
+          FROM cand c JOIN shs x ON x.pid = c.id_a JOIN shs y ON y.pid = c.id_b)
+    SELECT id_a // {_PARA_MAX} AS doc_a, id_a % {_PARA_MAX} AS para_a,
+           id_b // {_PARA_MAX} AS doc_b, id_b % {_PARA_MAX} AS para_b, jaccard
+    FROM v
+    WHERE jaccard >= 0.5 AND id_a // {_PARA_MAX} <> id_b // {_PARA_MAX}
+    """,
+)
+def dedup_paragraphs(spark, sf):
+    """Paragraph-level near-dedup (VERDICT r5 #5 — the RefinedWeb middle
+    granularity between line-level boilerplate removal and whole-document
+    MinHash): documents are exploded into paragraphs
+    (operators/dedup.py explode_paragraphs) and the UNCHANGED generic
+    (id, text) machinery — minhash_bands -> band_pairs ->
+    shingle_jaccard — runs over the paragraph table; verified cross-doc
+    pairs at Jaccard >= 0.5 come back decoded to (doc, para_idx) keys.
+    A shared template paragraph is planted per document (exact dups
+    within a (K, S) cell, 0.6-Jaccard near dups across the S axis of a
+    K group — see _PARA_TEMPLATE). Scale: identical shuffle shape to the
+    document-level band join — explode adds a row multiplier, never a
+    new join; pid arithmetic keeps the pair canonicalization a plain
+    long comparison."""
+    docs = _docs(spark, sf)
+    d = F.col("doc_id")
+    parts = []
+    for w in _PARA_TEMPLATE:
+        if w == "<K>":
+            parts.append((d % 29).cast("string"))
+        elif w == "<S>":
+            parts.append((d % 2).cast("string"))
+        else:
+            parts.append(F.lit(w))
+    dirty = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n\n"), F.concat_ws(" ", *parts)).alias("text"),
+    )
+    paras = D.explode_paragraphs(dirty, max_paras=_PARA_MAX).localCheckpoint()
+    bands = D.minhash_bands(paras, "pid", D.word_shingles("text", 5)).localCheckpoint()
+    cand = D.band_pairs(bands, "pid").select("id_a", "id_b")
+    v = D.shingle_jaccard(paras, cand, id_col="pid", text_col="text", n=5)
+    doc_of = lambda c: F.floor(F.col(c) / _PARA_MAX).cast("long")  # noqa: E731
+    return (
+        v.where(F.col("jaccard") >= 0.5)
+        .where(doc_of("id_a") != doc_of("id_b"))
+        .select(
+            doc_of("id_a").alias("doc_a"),
+            (F.col("id_a") % _PARA_MAX).alias("para_a"),
+            doc_of("id_b").alias("doc_b"),
+            (F.col("id_b") % _PARA_MAX).alias("para_b"),
+            "jaccard",
+        )
+    )
+
+
+_BLOCK_RULES = ["example3.com", "example1.com", "tracker.example7.com"]
+
+
+@register(
+    "filter_blocked_domains",
+    f"""
+    WITH u AS (SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+        || (CASE doc_id % 3 WHEN 1 THEN 'cdn.' WHEN 2 THEN 'ads.tracker.'
+                 ELSE '' END)
+        || 'Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
+        || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url
+        FROM documents),
+    h AS (SELECT doc_id,
+                 lower(regexp_extract(
+                     regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+                     '^([^/?]*)', 1)) AS host
+          FROM u),
+    bl(rule) AS (VALUES {", ".join(f"('{r}')" for r in _BLOCK_RULES)})
+    SELECT doc_id, host FROM h
+    WHERE NOT EXISTS (SELECT 1 FROM bl
+                      WHERE h.host = bl.rule OR h.host LIKE '%.' || bl.rule)
+    """,
+)
+def filter_blocked_domains_q(spark, sf):
+    """Host blocklist filtering (VERDICT r5 #6 — the crawl-prep companion
+    of canonicalize_url): deterministic URLs with subdomain prefixes are
+    planted, their hosts extracted (functions/strings.py url_host), and
+    rows whose host matches a blocklist rule under SUFFIX semantics are
+    dropped (operators/sampling.py filter_blocked_domains: label-suffix
+    explode + broadcast equi-join — never a LIKE nested-loop). The oracle
+    states the semantics INDEPENDENTLY as NOT EXISTS(= OR LIKE '%.'||rule)
+    — two formulations, one contract. The planted corpus exercises the
+    label boundary: rule 'example1.com' must not catch 'example12.com',
+    and 'tracker.example7.com' must catch only the 'ads.tracker.'-
+    prefixed members of the %20==7 family (prefix keyed on %3, coprime
+    with the family key, so the family splits into blocked and surviving
+    hosts)."""
+    from entity_linkings_spark.functions.strings import url_host
+    from entity_linkings_spark.operators.sampling import filter_blocked_domains
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(d % 3 == 1, F.lit("cdn."))
+        .when(d % 3 == 2, F.lit("ads.tracker."))
+        .otherwise(F.lit("")),
+        F.lit("Example"), (d % 20).cast("string"), F.lit(".COM"),
+        F.lit("/p/"), (d % 7).cast("string"),
+    )
+    rows = _docs(spark, sf).select("doc_id", url_host(url).alias("host"))
+    bl = spark.createDataFrame([(r,) for r in _BLOCK_RULES], "rule string")
+    return filter_blocked_domains(rows, bl)
 
 
 def _split_case_sql(key_expr: str, weights: dict[str, float],

@@ -136,3 +136,28 @@ def canonicalize_url(col: Column | str) -> Column:
     u = F.regexp_replace(u, r"\?&", "?")                  # '?&x' -> '?x'
     u = F.regexp_replace(u, r"[?&]+$", "")                # dangling '?'/'&'
     return F.regexp_replace(u, r"/+$", "")                # trailing slash
+
+
+def url_host(col: Column | str) -> Column:
+    """The lowercased host of a URL (scheme optional, www KEPT — blocklist
+    suffix rules catch 'www.x.com' via 'x.com' anyway, and stripping here
+    would mis-key rules that deliberately target the www host). The same
+    regex steps canonicalize_url applies, minus the path/query work."""
+    u = _c(col)
+    u = F.regexp_replace(u, r"^[Hh][Tt][Tt][Pp][Ss]?://", "")
+    return F.lower(F.regexp_extract(u, r"^([^/?]*)", 1))
+
+
+def host_suffixes(col: Column | str) -> Column:
+    """Every label suffix of a dotted host: 'a.b.example.com' ->
+    ['a.b.example.com', 'b.example.com', 'example.com', 'com'] — the
+    expansion that turns blocklist SUFFIX matching into a plain equi-join
+    (explode + join on the suffix) instead of a non-equi LIKE join, which
+    Spark could only execute as a nested-loop. Fan-out is bounded by the
+    host's label count (~4-6), never by data volume."""
+    h = _c(col)
+    parts = F.split(h, r"\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )

@@ -381,3 +381,35 @@ def remove_boilerplate_lines(
         .join(reassembled, id_col, "left")
         .select(id_col, F.coalesce("text", F.lit("")).alias("text"))
     )
+
+
+def explode_paragraphs(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    max_paras: int = 1_000_000,
+) -> DataFrame:
+    """Documents exploded into non-empty paragraphs, keyed so the GENERIC
+    (id, text) dedup machinery (minhash_bands / band_pairs /
+    shingle_jaccard / simhash) applies unchanged at paragraph granularity —
+    the RefinedWeb-style middle ground between line-level boilerplate
+    removal and whole-document near-dedup.
+
+    Returns (pid, <id_col>, para_idx, <text_col>) where
+    ``pid = id * max_paras + para_idx`` — a dense LONG key whose arithmetic
+    both Spark and the DuckDB oracle replay exactly, and whose ordering
+    makes banded pair canonicalization (pid_a < pid_b) well defined.
+    Paragraphs beyond ``max_paras`` per document would collide and are
+    guarded with a filter (not silently folded); blank paragraphs (split
+    debris) are dropped here so they never enter a band bucket."""
+    paras = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "_ptext"),
+    ).where((F.trim("_ptext") != "") & (F.col("para_idx") < max_paras))
+    return paras.select(
+        (F.col(id_col).cast("long") * max_paras + F.col("para_idx")).alias("pid"),
+        id_col,
+        "para_idx",
+        F.col("_ptext").alias(text_col),
+    )

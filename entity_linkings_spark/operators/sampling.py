@@ -177,3 +177,47 @@ def sample_per_group(
         .where(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def blocked_host_set(
+    hosts: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    rule_col: str = "rule",
+) -> DataFrame:
+    """The distinct hosts matched by a domain blocklist under SUFFIX
+    semantics (rule 'example.com' blocks 'example.com' and any
+    '*.example.com', but never 'notexample.com'): each host explodes into
+    its label suffixes (functions/strings.py host_suffixes, fan-out = label
+    count) and semi-joins the broadcast rule dimension on the suffix — a
+    plain equi-join, where the naive LIKE-suffix formulation would be a
+    nested-loop join Spark cannot shuffle."""
+    from entity_linkings_spark.functions.strings import host_suffixes
+
+    sufs = hosts.select(
+        F.col(host_col),
+        F.explode(host_suffixes(F.col(host_col))).alias("_suf"),
+    )
+    rules = blocklist.select(F.col(rule_col).alias("_suf"))
+    return (
+        sufs.join(F.broadcast(rules), "_suf", "left_semi")
+        .select(host_col)
+        .distinct()
+    )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    rule_col: str = "rule",
+) -> DataFrame:
+    """Drop every row whose host is caught by the blocklist (suffix
+    semantics — see blocked_host_set): the standard crawl-prep companion of
+    canonicalize_url. Two joins, both cheap at 100 TB: the suffix semi-join
+    runs over DISTINCT hosts (web corpora have ~1e6-1e7 hosts, orders of
+    magnitude below row count), and the final anti-join keys on the host
+    with the small blocked set on the build side (AQE broadcasts it)."""
+    hosts = df.select(host_col).distinct()
+    bad = blocked_host_set(hosts, blocklist, host_col, rule_col)
+    return df.join(bad, host_col, "left_anti")

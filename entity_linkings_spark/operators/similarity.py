@@ -584,6 +584,150 @@ def ivf_append_snapshot(
     return cent_ids, cmat, store.read("ivf_lists", app_sid)
 
 
+# Sub-list ids live far above any vector-id-derived centroid id, and encode
+# (parent, sub_idx) so two parents can never mint the same id however many
+# splits they take (sub_idx is capped at _MAX_SPLITS_PER_LIST).
+_SUB_OFFSET = 1 << 40
+_MAX_SPLITS_PER_LIST = 1024
+
+
+def ivf_rebalance(
+    cent_ids,
+    cmat,
+    lists: DataFrame,
+    max_list_size: int,
+    target_list_size: int | None = None,
+    max_new_lists: int = 65536,
+):
+    """REPAIR a skewed IVF index by splitting its oversized inverted lists —
+    the action the ivf_list_histogram decision input points at (VERDICT r5
+    #3): after appends from a shifted distribution, a frozen codebook's
+    nearest lists absorb the arrivals and probing degenerates toward a
+    scan. A full rebuild re-reads and re-trains over the whole corpus
+    (O(corpus)); this splits ONLY the lists whose size exceeds
+    ``max_list_size``, touching nothing else — O(sum of oversized lists),
+    the same delta-cost philosophy as ivf_append.
+
+    Per oversized list of n residents: S = ceil(n / target) sub-centroids
+    are chosen from the list's OWN residents by the same (md5(id), id)
+    ordering the main codebook seeds with, and each resident row is
+    remapped to its nearest sub-centroid (round-6 cosine, ties by sub id
+    asc) — a Voronoi partition of the dense region trained on the list's
+    residents only. The split list's centroid leaves the codebook; the
+    sub-centroids join it, so query probes see the finer structure
+    directly. Row count is preserved exactly (each (list, resident) row
+    maps to exactly one sub-list), and the whole construction is
+    deterministic, so the driver's DuckDB oracle replays it end to end
+    through search results (ann_ivf_rebalance_topk).
+
+    Bounded driver state: the size scan collects at most one row per list
+    (codebook-bounded) and the seed collect is guarded by
+    ``max_new_lists``. Returns (cent_ids, cmat, lists) like ivf_build."""
+    import math
+
+    import numpy as np
+
+    spark = lists.sparkSession
+    target = target_list_size or max_list_size
+    over_rows = (
+        lists.groupBy("list_id").agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_list_size)
+        .collect()  # bounded: one row per oversized list <= codebook size
+    )
+    if not over_rows:
+        return cent_ids, cmat, lists
+    splits = {int(r["list_id"]): math.ceil(r["n"] / target) for r in over_rows}
+    if any(s > _MAX_SPLITS_PER_LIST for s in splits.values()):
+        raise ValueError(
+            f"ivf_rebalance: a list wants more than {_MAX_SPLITS_PER_LIST} "
+            "splits; raise target_list_size (the sub-id scheme caps sub_idx)"
+        )
+    if sum(splits.values()) > max_new_lists:
+        raise ValueError(
+            f"ivf_rebalance: {sum(splits.values())} sub-lists exceed "
+            f"max_new_lists={max_new_lists}; raise target_list_size or the cap"
+        )
+    over_df = spark.createDataFrame(
+        [(lid, s) for lid, s in splits.items()], "list_id long, n_splits int"
+    )
+    tagged = lists.join(F.broadcast(over_df), "list_id", "left")
+    keep = tagged.where(F.col("n_splits").isNull()).select(*lists.columns)
+    res = tagged.where(F.col("n_splits").isNotNull()).select(*lists.columns)
+    w = Window.partitionBy("list_id").orderBy(
+        F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id")
+    )
+    # seeds: the first n_splits residents of each parent in (md5, id) order;
+    # the collect is bounded by the max_new_lists guard above (rows beyond a
+    # parent's own split count are trimmed driver-side below)
+    seed_rows = (
+        res.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max(splits.values()))
+        .collect()
+    )
+    subs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for parent in splits:
+        rows = sorted(
+            (r for r in seed_rows
+             if int(r["list_id"]) == parent and r["rn"] <= splits[parent]),
+            key=lambda r: r["rn"],
+        )
+        sub_ids = np.array(
+            [_SUB_OFFSET + parent * _MAX_SPLITS_PER_LIST + (r["rn"] - 1)
+             for r in rows]
+        )
+        submat = np.array([r["cv"] for r in rows], dtype=np.float64)
+        subs[parent] = (sub_ids, submat)
+    remapped = _ivf_assign_within(res, subs)
+    new_lists = keep.unionByName(remapped)
+    survivors = [j for j, cid in enumerate(cent_ids) if int(cid) not in splits]
+    all_ids = [int(cent_ids[j]) for j in survivors] + [
+        int(i) for p in subs for i in subs[p][0]
+    ]
+    all_vecs = [cmat[j] for j in survivors] + [
+        v for p in subs for v in subs[p][1]
+    ]
+    order = np.argsort(np.array(all_ids))
+    cent_ids2 = np.array(all_ids)[order]
+    cmat2 = np.array(all_vecs, dtype=np.float64)[order]
+    return cent_ids2, cmat2, new_lists
+
+
+def _ivf_assign_within(res: DataFrame, subs) -> DataFrame:
+    """Remap each (list_id, neighbor_id, cv) row of an oversized list to its
+    nearest sub-centroid OF THAT LIST (round-6 cosine, ties by sub id asc —
+    sub ids are minted in sub_idx order, so a stable argsort is exactly
+    that). The per-parent sub-codebooks ride into the Arrow batches as a
+    closure — bounded by the max_new_lists guard in ivf_rebalance."""
+    import numpy as np
+    import pandas as pd
+
+    normed = {
+        p: (ids, m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300))
+        for p, (ids, m) in subs.items()
+    }
+    schema = res.schema
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_ids = np.empty(len(pdf), dtype=np.int64)
+            v = np.array([np.asarray(x) for x in pdf["cv"]], dtype=np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+            parents = pdf["list_id"].to_numpy()
+            for p in np.unique(parents):
+                ids, cn = normed[int(p)]
+                sel = parents == p
+                cd = _round6_half_up(v[sel] @ cn.T)
+                best = np.argmax(cd == cd.max(axis=1, keepdims=True), axis=1)
+                out_ids[sel] = ids[best]
+            out = pdf.copy()
+            out["list_id"] = out_ids
+            yield out
+
+    return res.mapInPandas(run, schema)
+
+
 def ivf_search(
     queries: DataFrame,
     cent_ids,

@@ -167,3 +167,35 @@ def test_remove_boilerplate_lines_order_and_threshold(spark):
     out2 = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(
         df.repartition(5), min_docs=6).collect()}
     assert out2 == {i: t for i, t in rows}
+
+
+def test_explode_paragraphs_and_paragraph_near_dups(spark):
+    from entity_linkings_spark.operators.dedup import (
+        band_pairs,
+        explode_paragraphs,
+        minhash_bands,
+        shingle_jaccard,
+        word_shingles,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"{base} one\n\nunique prose of document one"),
+        (2, f"{base} two\n\nother prose entirely different here"),
+        (3, "\n\nlonely paragraph after blank"),  # leading blank is dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    paras = explode_paragraphs(df)
+    got = {(r["doc_id"], r["para_idx"]): r["text"] for r in paras.collect()}
+    # blank paragraphs never get a row; indices keep their original slot
+    assert (3, 0) not in got and got[(3, 1)] == "lonely paragraph after blank"
+    assert got[(1, 0)].startswith("alpha") and got[(2, 1)].startswith("other")
+    # pid arithmetic: doc_id * 1_000_000 + para_idx
+    assert {r["pid"] for r in paras.where("doc_id = 1").collect()} == {1_000_000, 1_000_001}
+    # the generic band machinery finds the near-dup paragraph pair (docs 1/2
+    # share 10 of 11 words in paragraph 0) and nothing else cross-doc
+    bands = minhash_bands(paras, "pid", word_shingles("text", 5)).localCheckpoint()
+    cand = band_pairs(bands, "pid").select("id_a", "id_b")
+    v = shingle_jaccard(paras, cand, id_col="pid", text_col="text", n=5)
+    hits = {(r["id_a"], r["id_b"]) for r in v.where("jaccard >= 0.5").collect()}
+    assert hits == {(1_000_000, 2_000_000)}

@@ -120,3 +120,29 @@ def test_temperature_rates_pure_config():
         temperature_rates({"a": 0}, 0.5)
     with _pytest.raises(ValueError, match=">= 0"):
         temperature_rates(counts, -1.0)
+
+
+def test_filter_blocked_domains_suffix_semantics(spark):
+    from entity_linkings_spark.operators.sampling import (
+        blocked_host_set,
+        filter_blocked_domains,
+    )
+
+    rows = [
+        (1, "example.com"),          # exact rule hit
+        (2, "www.example.com"),      # subdomain of a rule
+        (3, "a.b.example.com"),      # deep subdomain
+        (4, "notexample.com"),       # suffix STRING but not label suffix
+        (5, "example.com.evil.org"), # rule in the middle: not a suffix
+        (6, "clean.org"),
+        (7, "ads.tracker.net"),      # multi-label rule
+        (8, "tracker.net"),          # the rule host itself
+        (9, "other.net"),
+    ]
+    bl = spark.createDataFrame([("example.com",), ("tracker.net",)], "rule string")
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    kept = {r["doc_id"] for r in filter_blocked_domains(df, bl).collect()}
+    assert kept == {4, 5, 6, 9}
+    bad = {r["host"] for r in blocked_host_set(df.select("host"), bl).collect()}
+    assert bad == {"example.com", "www.example.com", "a.b.example.com",
+                   "ads.tracker.net", "tracker.net"}
