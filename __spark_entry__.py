@@ -213,69 +213,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["j8_blocking_pairs"] = j8_blocking_pairs
 
     # Registration ORDER is the driver's check order, and the driver checks
-    # a 50-entry window. Round-5 rotation policy (VERDICT r4 #3): flagship
-    # first, then this round's NEW/CHANGED queries, then the 24 veterans
-    # whose last driver row is round 3 (their hard signal must not go >2
-    # rounds stale — a5_inkb_f1's implementation even changed in r4 while it
-    # sat outside the window), then round-4-fresh rows most worth
-    # re-checking. The ~26 round-4-green entries left outside the window
-    # rotate back in next round.
+    # a 50-entry window. Round-6 rotation policy (VERDICT r5 #2, the
+    # fresh-within-2-rounds invariant): flagships + this round's NEW
+    # queries + queries whose IMPLEMENTATION changed this round first, then
+    # ALL 32 queries whose last driver row is round 4 (r5's out-of-window
+    # set — they must not go 3 rounds stale), then fill slots for the
+    # stages the new dataprep_pipeline composes and the IVF-maintenance
+    # family the new rebalance extends. The r5-green rows left outside
+    # rotate back in round 7.
     priority = [
-        # flagship + round-5 new/changed (sq8 snapshot path, incremental CC,
-        # weighted mixing)
+        # flagships + round-6 new (paragraph dedup, blocklist filter, IVF
+        # rebalance, composed dataprep) / changed (URL canonicalizer
+        # anchor fix, boilerplate left-join, incremental-CC fresh-node
+        # derivation, scorer masked divide)
         "pipeline_linkage",
-        "cc_incremental",
-        "sample_weighted",
-        "split_leakage_audit",
+        "dataprep_pipeline",
+        "dedup_paragraphs",
+        "filter_blocked_domains",
+        "ann_ivf_rebalance_topk",
         "dedup_url",
         "dedup_boilerplate_lines",
+        "cc_incremental",
+        "score_pairs",
+        # the 32 round-4-fresh rows (CORRECTNESS_r04 \ r05)
+        "s1_scan_documents",
+        "p2_flatten_tokens",
+        "p3_mention_window",
+        "p4p7_context_ops",
+        "f_normalize_tiers",
+        "j1_dict_lookup_nil",
+        "t4_top1_per_doc",
+        "token_count",
+        "doc_fingerprint",
+        "text_quality",
+        "quality_gopher",
+        "decontaminate_ngrams",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "ann_lsh_recall",
+        "j4_prior_cascade",
+        "w2_asof_join",
+        "w3_range_join",
+        "f4_word_tokens",
+        "f5_char_ngrams",
+        "f_redact_pii",
+        "split_train_val_test",
+        "sample_per_source",
+        "chunk_tokens",
+        "vocab_topk",
+        "shuffle_train_order",
+        "pack_sequences",
+        "skew_key_histogram",
+        "quality_repetition",
+        "quantize_embeddings",
+        "ann_quantized_recall",
+        "dedup_duplicate_spans",
+        # fill: dataprep_pipeline's stage queries + the IVF family around
+        # the new rebalance op
+        "a4_top1_accuracy",
+        "j8_blocking_pairs",
         "dedup_keeper_quality",
-        "ann_ivf_sq8_topk",
-        "ann_ivf_sq8_recall",
+        "split_leakage_audit",
+        "sample_weighted",
         "ann_ivf_topk",
         "ann_ivf_recall",
         "ann_ivf_append_topk",
         "ivf_list_histogram",
-        # the 24 round-3 veterans (CORRECTNESS_r03 \ r04)
-        "a2_prior_topk",
-        "a3_recall_mrr",
-        "a5_inkb_f1",
-        "a7_cost_estimate",
-        "dedup_embedding_neardup",
-        "f11_f12_softmax_spans",
-        "f8_hash_keys",
-        "f9_parse_choice",
-        "j10_inbatch_negatives",
-        "j5_tfidf_topk",
-        "j5_tfidf_topk_maxdf",
-        "j9_wikimap_chase",
-        "lang_id",
-        "p1_nil_filter",
-        "p8_extract_islands",
-        "s10_sqldump_roundtrip",
-        "s11_conll_roundtrip",
-        "s4_mention_counter_roundtrip",
-        "score_pairs",
-        "t3_k_clamp",
-        "t6_stable_order",
-        "u1_union_dedup",
-        "u3_anti_ignore",
-        "w1_sessionize",
-        # round-4-fresh rows worth re-checking (clustering module + dedup/
-        # ANN families touched or adjacent this round)
-        "a4_top1_accuracy",
-        "j8_blocking_pairs",
-        "j5_tfidf_topk_auto",
-        "j5_tfidf_topk_gemm",
-        "cc_components",
-        "cc_size_histogram",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_pipeline",
-        "dedup_simhash",
-        "dedup_simhash_pairs",
-        "dedup_simhash_pairs_capped",
     ]
     ordered = {name: qs[name] for name in priority if name in qs}
     ordered.update((name, fn) for name, fn in qs.items() if name not in ordered)

@@ -87,6 +87,12 @@ HEADLINE = [
     "ann_ivf_append_topk",
     "dedup_url",
     "dedup_boilerplate_lines",
+    # round-6 additions: the composed crawl-to-batch dataprep flagship and
+    # the new maintenance/filter operators
+    "dataprep_pipeline",
+    "dedup_paragraphs",
+    "filter_blocked_domains",
+    "ann_ivf_rebalance_topk",
 ]
 
 _SCALE_SNIPPET = r"""

@@ -3662,3 +3662,286 @@ def cc_size_histogram(spark, sf):
     from entity_linkings_spark.operators.blocking import key_size_histogram
 
     return key_size_histogram(cc_components(spark, sf), ["cluster_id"])
+
+
+# ---- the LM-dataprep flagship: the whole cleaning pipeline, composed --------
+
+_DATAPREP_SQL = f"""
+    WITH RECURSIVE bl(rule) AS (VALUES {", ".join(f"('{r}')" for r in _BLOCK_RULES)}),
+    -- stage 1 ground truth: the planted URLs collapse to the canonical key
+    -- (host, path, surviving x= param), stated ARITHMETICALLY instead of
+    -- replaying the regex chain (dedup_url already proves the chain): two
+    -- docs share a canonical URL iff doc_id agrees mod 40 and mod 25, and
+    -- on the ?x= param kept only by the %4==2 variant (ref= strips, x=
+    -- survives)
+    u AS MATERIALIZED (
+        SELECT doc_id, source, text FROM (
+            SELECT d.*,
+                   min(doc_id) OVER (PARTITION BY doc_id % 40, doc_id % 25,
+                       CASE WHEN doc_id % 4 = 2 THEN doc_id % 5 ELSE -1 END)
+                       AS kmin
+            FROM documents d)
+        WHERE doc_id = kmin),
+    -- stage 2: host blocklist, suffix semantics stated via NOT EXISTS
+    unblocked AS MATERIALIZED (
+        SELECT doc_id, source, text FROM u
+        WHERE NOT EXISTS (SELECT 1 FROM bl
+            WHERE 'example' || CAST(u.doc_id % 40 AS VARCHAR) || '.com' = bl.rule
+               OR 'example' || CAST(u.doc_id % 40 AS VARCHAR) || '.com'
+                  LIKE '%.' || bl.rule)),
+    -- stage 3 ground truth: boilerplate removal restores the ORIGINAL text
+    -- (the plant adds only lines that the >=30-distinct-doc threshold
+    -- removes, and no original text repeats 30x in this corpus), so
+    -- stages 4+ read documents.text directly
+    -- stage 4: quality gate (text_quality's quality_ok predicate)
+    qual AS MATERIALIZED (
+        SELECT doc_id, source, text FROM unblocked
+        WHERE len(string_split(text, ' ')) BETWEEN 25 AND 90
+          AND length(replace(text, ' ', ''))
+              / len(string_split(text, ' ')) >= 4.0),
+    -- stage 5: near-dup dedup with quality-preferring keeper
+    {_minhash_bands_sql(src="qual", id_col="doc_id")},
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    shs AS MATERIALIZED (
+        SELECT doc_id, list_distinct(list(s)) AS sh
+        FROM ({_shingle_sql(5, "qual", "doc_id")}) GROUP BY doc_id),
+    pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM (
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                         / greatest(len(x.sh) + len(y.sh)
+                                    - len(list_intersect(x.sh, y.sh)), 1),
+                         6) AS j
+            FROM cand c JOIN shs x ON x.doc_id = c.id_a
+                        JOIN shs y ON y.doc_id = c.id_b)
+        WHERE j >= 0.5),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    rec AS (
+        WITH RECURSIVE reach(src, dst) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        ) SELECT * FROM reach),
+    labels AS MATERIALIZED (
+        SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+        FROM nodes n LEFT JOIN rec r ON r.src = n.node GROUP BY n.node),
+    keepers AS (SELECT node FROM (
+        SELECT l.node,
+               row_number() OVER (PARTITION BY l.cluster_id
+                   ORDER BY length(q.text) DESC, l.node ASC) AS rnk
+        FROM labels l JOIN qual q ON q.doc_id = l.node) WHERE rnk = 1),
+    deduped AS MATERIALIZED (
+        SELECT q.doc_id, q.source, q.text, l.cluster_id
+        FROM qual q LEFT JOIN labels l ON l.node = q.doc_id
+        WHERE l.node IS NULL OR q.doc_id IN (SELECT node FROM keepers)),
+    -- stage 6: benchmark decontamination (13-gram hash join, same plant as
+    -- decontaminate_ngrams: 40-word excerpts of every 29th ORIGINAL doc)
+    bm0 AS (SELECT string_split(array_to_string(
+                string_split(text, ' ')[1:40], ' '), ' ') AS ws
+            FROM documents WHERE doc_id % 29 = 0),
+    bm AS (SELECT DISTINCT md5(sh) AS h FROM
+             (SELECT unnest({_SHINGLE13_SQL}) AS sh FROM bm0)),
+    ds AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM
+             (SELECT doc_id, unnest({_SHINGLE13_SQL}) AS sh FROM
+                (SELECT doc_id, string_split(text, ' ') AS ws FROM deduped))),
+    contaminated AS (SELECT DISTINCT doc_id FROM ds JOIN bm USING (h)),
+    -- stage 7: group-aware split keyed on the near-dup cluster, train kept
+    train AS MATERIALIZED (
+        SELECT doc_id, source, text FROM deduped
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+          AND ({_split_case_sql("coalesce(cluster_id, doc_id)", _SPLIT_W)})
+              = 'train'),
+    -- stage 8: weighted source mixing (rational rates, exact arithmetic)
+    r(source, num, den) AS (SELECT * FROM (VALUES {_MIX_VALUES})),
+    mx AS (SELECT t.doc_id, t.source, t.text,
+                  coalesce(num, 1) AS num, coalesce(den, 1) AS den,
+                  CAST(('0x' || substr(md5('mix:' || t.source || ':'
+                       || CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM train t LEFT JOIN r ON r.source = t.source),
+    copies AS MATERIALIZED (
+        SELECT doc_id, source, text,
+               CAST(unnest(generate_series(0,
+                   num // den + CASE WHEN h % den < num % den
+                                     THEN 1 ELSE 0 END - 1)) AS INT) AS copy_idx
+        FROM mx
+        WHERE num // den + CASE WHEN h % den < num % den THEN 1 ELSE 0 END >= 1),
+    -- stage 9: chunk to 64 tokens and greedily pack into 256-token bins
+    ch AS (SELECT source, doc_id, copy_idx,
+                  unnest(generate_series(0, CAST((n - 1) // 64 AS INT)))
+                      AS chunk_idx, n
+           FROM (SELECT source, doc_id, copy_idx,
+                        len(regexp_extract_all(lower(text), '[\\w#]+')) AS n
+                 FROM copies)
+           WHERE n > 0),
+    rn AS MATERIALIZED (
+        SELECT source, doc_id, copy_idx, chunk_idx,
+               CAST(least(64, n - chunk_idx * 64) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY doc_id, copy_idx, chunk_idx) AS rn
+        FROM ch),
+    p AS (
+        SELECT source, doc_id, copy_idx, chunk_idx, n_tokens, rn,
+               CAST(0 AS BIGINT) AS bin_idx, n_tokens AS bin_fill
+        FROM rn WHERE rn = 1
+        UNION ALL
+        SELECT c.source, c.doc_id, c.copy_idx, c.chunk_idx, c.n_tokens, c.rn,
+               CASE WHEN p.bin_fill + c.n_tokens > 256 THEN p.bin_idx + 1
+                    ELSE p.bin_idx END,
+               CASE WHEN p.bin_fill + c.n_tokens > 256 THEN c.n_tokens
+                    ELSE p.bin_fill + c.n_tokens END
+        FROM rn c JOIN p ON c.source = p.source AND c.rn = p.rn + 1)
+    SELECT source, doc_id, copy_idx, CAST(chunk_idx AS INT) AS chunk_idx,
+           n_tokens, bin_idx, bin_fill
+    FROM p
+"""
+
+
+@register("dataprep_pipeline", _DATAPREP_SQL)
+def dataprep_pipeline(spark, sf):
+    """The second flagship (VERDICT r5 #4): the ENTIRE crawl-to-training-
+    batch dataprep pipeline as one composed job — URL canonicalize +
+    URL-key dedup (min-doc keeper) -> host blocklist filter -> line-level
+    boilerplate removal -> quality gate -> MinHash near-dup dedup with the
+    quality-preferring keeper -> benchmark decontamination -> group-aware
+    train/val/test split (keyed on the near-dup cluster so no pair
+    straddles splits) -> weighted source mixing on the train split ->
+    64-token chunking greedily packed into 256-token bins. Every stage is
+    an individually-oracled operator (dedup_url, filter_blocked_domains,
+    dedup_boilerplate_lines, text_quality, dedup_keeper_quality,
+    decontaminate_ngrams, split_leakage_audit, sample_weighted,
+    pack_sequences); this row proves the COMPOSITION end to end — the
+    final packed stream is sensitive to any wrong survivor at any stage.
+
+    The oracle restates stages 1-4 as ground truth (arithmetic canonical
+    key; cleaned == original text because the plant only adds
+    above-threshold lines) and replays stages 5-9 — two independent
+    formulations of the same contract wherever ground truth is statable.
+
+    Scale shape: each stage is the already-audited plan (hash-agg URL
+    keeper, suffix-explode broadcast blocklist join, linear boilerplate
+    pass, projection quality gate, bucketed band join + CC, distinct-
+    shingle equi-join decontamination, projection split/mix, per-source
+    applyInPandas packing) — no new shuffle topology is introduced by
+    composing them."""
+    from entity_linkings_spark.functions.strings import canonicalize_url, tokenize
+    from entity_linkings_spark.operators.batching import pack_sequences
+    from entity_linkings_spark.operators.dedup import remove_boilerplate_lines
+    from entity_linkings_spark.operators.sampling import (
+        filter_blocked_domains,
+        split_column,
+        weighted_mix,
+    )
+
+    docs = _docs(spark, sf)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Example"), (d % 40).cast("string"), F.lit(".COM"),
+        F.lit("/p/"), (d % 25).cast("string"),
+        F.when(d % 20 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 1, F.lit("?utm_source=news&utm_medium=em"))
+        .when(d % 4 == 2, F.concat(F.lit("?ref=tw&x="), (d % 5).cast("string")))
+        .when(d % 4 == 3, F.concat(F.lit("#sec-"), (d % 7).cast("string")))
+        .otherwise(F.lit("")),
+    )
+    dirty = docs.select(
+        "doc_id", "source",
+        canonicalize_url(url).alias("curl"),
+        F.concat(
+            F.col("text"), F.lit("\nSubscribe to our newsletter"),
+            F.lit("\nCopyright "), (d % 3).cast("string"),
+        ).alias("text"),
+    )
+    wmin = Window.partitionBy("curl")
+    url_kept = (
+        dirty.withColumn("_kmin", F.min("doc_id").over(wmin))
+        .where(F.col("doc_id") == F.col("_kmin"))
+        .drop("_kmin")
+    )
+    hosted = url_kept.withColumn(
+        "host", F.regexp_extract("curl", r"^([^/?]*)", 1)
+    )
+    bl = spark.createDataFrame([(r,) for r in _BLOCK_RULES], "rule string")
+    unblocked = filter_blocked_domains(hosted, bl)
+    cleaned = remove_boilerplate_lines(
+        unblocked.select("doc_id", "text"), min_docs=30, out_sep="\n"
+    ).join(unblocked.select("doc_id", "source"), "doc_id")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    nospace = F.length(F.regexp_replace("text", " ", ""))
+    # tightened vs text_quality's permissive defaults so the gate has
+    # bite on this corpus (tokens 10-99, ratio 3.7-5.3: the 25..90 / >=4.0
+    # bounds drop the short/long tails and the low-density fifth)
+    qual = cleaned.where(
+        n_tok.between(25, 90) & (nospace / n_tok >= 4.0)
+    ).localCheckpoint()
+    bands = D.minhash_bands(qual, "doc_id", D.word_shingles("text", 5)).localCheckpoint()
+    cand = D.band_pairs(bands, "doc_id").select("id_a", "id_b")
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    edges = (
+        D.shingle_jaccard(qual, cand, "doc_id", "text", 5)
+        .where(F.col("jaccard") >= 0.5)
+        .select(pad("id_a").alias("u"), pad("id_b").alias("v"))
+    )
+    labels = connected_components(edges).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    ).localCheckpoint()
+    scored = labels.join(
+        qual.select("doc_id", F.length("text").alias("_q")), "doc_id"
+    )
+    wq = Window.partitionBy("cluster_id").orderBy(F.desc("_q"), F.asc("doc_id"))
+    keepers = (
+        scored.withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") == 1)
+        .select("doc_id")
+    )
+    losers = labels.join(keepers, "doc_id", "left_anti").select("doc_id")
+    deduped = (
+        qual.join(labels, "doc_id", "left")
+        .join(losers, "doc_id", "left_anti")
+    )
+    benchmark = docs.where(d % 29 == 0).select(
+        F.array_join(F.slice(F.split("text", " "), 1, 40), " ").alias("text")
+    )
+    hits = D.ngram_decontaminate(deduped, benchmark, n=13).select("doc_id")
+    decon = deduped.join(hits, "doc_id", "left_anti")
+    train = decon.where(
+        split_column(F.coalesce("cluster_id", F.col("doc_id")), _SPLIT_W)
+        == "train"
+    )
+    mixed = weighted_mix(
+        train.select("doc_id", "source", "text"), "doc_id", _MIX_RATES
+    )
+    n = F.size(tokenize("text"))
+    chunks = (
+        mixed.select("source", "doc_id", "copy_idx", n.alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            "source", "doc_id", "copy_idx",
+            F.explode(
+                F.sequence(F.lit(0), ((F.col("n") - 1) / 64).cast("int"))
+            ).alias("chunk_idx"),
+            "n",
+        )
+        .select(
+            "source", "doc_id", "copy_idx", "chunk_idx",
+            F.least(F.lit(64), F.col("n") - F.col("chunk_idx") * 64)
+            .cast("long").alias("n_tokens"),
+        )
+    )
+    return pack_sequences(
+        chunks, capacity=256, group_col="source",
+        order_cols=["doc_id", "copy_idx", "chunk_idx"],
+    ).select(
+        "source", "doc_id", "copy_idx",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "n_tokens", "bin_idx", "bin_fill",
+    )
