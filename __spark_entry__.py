@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs",
         "filter_blocked_domains",
         "ann_ivf_rebalance_topk",
+        "sample_domain_quota",
         "dedup_url",
         "dedup_boilerplate_lines",
         "cc_incremental",
@@ -278,7 +279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk",
         "ann_ivf_recall",
         "ann_ivf_append_topk",
-        "ivf_list_histogram",
     ]
     ordered = {name: qs[name] for name in priority if name in qs}
     ordered.update((name, fn) for name, fn in qs.items() if name not in ordered)

@@ -3120,6 +3120,55 @@ def filter_blocked_domains_q(spark, sf):
     return filter_blocked_domains(rows, bl)
 
 
+@register(
+    "sample_domain_quota",
+    """
+    WITH u AS (SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+        || (CASE doc_id % 3 WHEN 1 THEN 'cdn.' WHEN 2 THEN 'ads.tracker.'
+                 ELSE '' END)
+        || 'Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
+        || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url
+        FROM documents),
+    h AS (SELECT doc_id,
+                 lower(regexp_extract(
+                     regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
+                     '^([^/?]*)', 1)) AS host
+          FROM u),
+    r AS (SELECT doc_id, host,
+                 row_number() OVER (PARTITION BY host
+                     ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) AS rn
+          FROM h)
+    SELECT host, doc_id FROM r WHERE rn <= 5
+    """,
+)
+def sample_domain_quota(spark, sf):
+    """Per-domain quota sampling — the crawl-politeness twin of the
+    blocklist filter: no single host may contribute more than n documents
+    to the corpus (the standard anti-SEO-farm / anti-mirror cap in crawl
+    prep). Pure composition of two already-oracled pieces: url_host
+    extraction + sample_per_group's deterministic md5-order stratified
+    pick keyed on the host — one window over the host key, the same
+    shuffle any per-group top-k costs, retry-stable by construction. The
+    planted corpus (~55 hosts x ~9 docs) forces every host to actually
+    clip at the quota of 5."""
+    from entity_linkings_spark.functions.strings import url_host
+    from entity_linkings_spark.operators.sampling import sample_per_group
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(d % 3 == 1, F.lit("cdn."))
+        .when(d % 3 == 2, F.lit("ads.tracker."))
+        .otherwise(F.lit("")),
+        F.lit("Example"), (d % 20).cast("string"), F.lit(".COM"),
+        F.lit("/p/"), (d % 7).cast("string"),
+    )
+    rows = _docs(spark, sf).select("doc_id", url_host(url).alias("host"))
+    return sample_per_group(rows, "host", 5, "doc_id").select("host", "doc_id")
+
+
 def _split_case_sql(key_expr: str, weights: dict[str, float],
                     salt: str = "split") -> str:
     """The split_column CASE as a SQL EXPRESSION over an arbitrary key
@@ -3869,7 +3918,11 @@ def dataprep_pipeline(spark, sf):
         "host", F.regexp_extract("curl", r"^([^/?]*)", 1)
     )
     bl = spark.createDataFrame([(r,) for r in _BLOCK_RULES], "rule string")
-    unblocked = filter_blocked_domains(hosted, bl)
+    # materialized once: remove_boilerplate_lines consumes its corpus three
+    # times (line explode, frequency agg, id left-join) and the source
+    # rejoin reads it a fourth — without this the URL window + blocklist
+    # joins above re-execute per consumer
+    unblocked = filter_blocked_domains(hosted, bl).localCheckpoint()
     cleaned = remove_boilerplate_lines(
         unblocked.select("doc_id", "text"), min_docs=30, out_sep="\n"
     ).join(unblocked.select("doc_id", "source"), "doc_id")

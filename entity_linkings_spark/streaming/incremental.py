@@ -260,24 +260,39 @@ def clustering_maintenance_processor(labels_dir: str, edge_fn):
     return process
 
 
+def _load_epoch_codebook(index_dir: str, spark: SparkSession, epoch_name: str | None):
+    """(cent_ids, cmat) for an epoch: a rebalance epoch commits its updated
+    codebook under ``codebook-<epoch>`` BEFORE the CURRENT swap, overriding
+    the frozen base ``codebook`` from that epoch on; append-only epochs
+    keep reading the base. Collect bounded by codebook size, as ever."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(index_dir, "codebook")
+    if epoch_name:
+        override = os.path.join(index_dir, f"codebook-{epoch_name}")
+        if os.path.isdir(override):
+            path = override
+    crows = sorted(spark.read.parquet(path).collect(), key=lambda r: r["cid"])
+    return (np.array([r["cid"] for r in crows]),
+            np.array([r["centroid"] for r in crows], dtype=np.float64))
+
+
 def read_vector_index(index_dir: str, spark: SparkSession):
     """Current (cent_ids, cmat, lists) committed by apply_vector_epoch, or
     None before the first epoch — what a search path loads to probe the
     streaming-maintained index (ivf_search(queries, *read_vector_index(...)
-    [:3]) modulo argument order)."""
+    [:3]) modulo argument order). Resolves the rebalanced codebook when the
+    CURRENT epoch committed one."""
     import os
-
-    import numpy as np
 
     ptr = os.path.join(index_dir, "CURRENT")
     if not os.path.exists(ptr):
         return None
     with open(ptr) as f:
         name = f.read().strip()
-    crows = sorted(spark.read.parquet(os.path.join(index_dir, "codebook")).collect(),
-                   key=lambda r: r["cid"])
-    cent_ids = np.array([r["cid"] for r in crows])
-    cmat = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    cent_ids, cmat = _load_epoch_codebook(index_dir, spark, name)
     return cent_ids, cmat, spark.read.parquet(os.path.join(index_dir, name))
 
 
@@ -290,6 +305,8 @@ def apply_vector_epoch(
     lloyd_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_list_size: int | None = None,
+    target_list_size: int | None = None,
 ):
     """Maintain a growing ANN index across streaming epochs — the
     index-side twin of apply_edge_epoch: the FIRST epoch trains the
@@ -304,15 +321,24 @@ def apply_vector_epoch(
     what makes replay safe, exactly foreachBatch's contract of one commit
     per epoch id). Returns (cent_ids, cmat, lists).
 
-    Codebook drift under a materially shifted arrival distribution is a
-    REBUILD decision (compare list-size histograms), not something the
-    epoch path papers over — the reference's build/search split applied
-    to a stream (dualencoder/indexer.py:61-64)."""
+    Codebook drift under a materially shifted arrival distribution: with
+    ``max_list_size`` set, each epoch checks the grown lists' sizes and —
+    when the frozen codebook has stopped partitioning the arrivals — runs
+    ivf_rebalance on exactly the oversized lists BEFORE committing,
+    writing the updated codebook under ``codebook-<epoch>`` ahead of the
+    CURRENT swap (later epochs and read_vector_index resolve the override;
+    a crash in between leaves an orphan codebook dir and the previous
+    epoch visible — the replay recomputes and overwrites it). Without the
+    knob, drift remains a full-REBUILD decision made by comparing
+    list-size histograms — the reference's build/search split applied to
+    a stream (dualencoder/indexer.py:61-64)."""
     import os
 
-    import numpy as np
-
-    from entity_linkings_spark.operators.similarity import ivf_append, ivf_build
+    from entity_linkings_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+        ivf_rebalance,
+    )
 
     spark = delta.sparkSession
     os.makedirs(index_dir, exist_ok=True)
@@ -321,16 +347,17 @@ def apply_vector_epoch(
     cb_dir = os.path.join(index_dir, "codebook")
     ptr = os.path.join(index_dir, "CURRENT")
 
-    def load_codebook():
-        crows = sorted(spark.read.parquet(cb_dir).collect(),
-                       key=lambda r: r["cid"])  # bounded: <= num_centroids
-        return (np.array([r["cid"] for r in crows]),
-                np.array([r["centroid"] for r in crows], dtype=np.float64))
+    def write_codebook(path, cent_ids, cmat):
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in cmat[j]])
+             for j, cid in enumerate(cent_ids)],
+            "cid long, centroid array<double>",
+        ).write.mode("overwrite").parquet(path)
 
     if os.path.exists(ptr):
         with open(ptr) as f:
             cur_name = f.read().strip()
-        cent_ids, cmat = load_codebook()
+        cent_ids, cmat = _load_epoch_codebook(index_dir, spark, cur_name)
         # Replay guard (ADVICE r5): ANY epoch at or below CURRENT is a
         # replay and must no-op on the committed table — unlike the edge
         # epoch (re-adding edges is idempotent), re-appending vectors
@@ -350,12 +377,18 @@ def apply_vector_epoch(
             delta, num_centroids=num_centroids, assign_lists=assign_lists,
             lloyd_iters=lloyd_iters, id_col=id_col, vec_col=vec_col,
         )
-        cb = spark.createDataFrame(
-            [(int(cid), [float(x) for x in cmat[j]])
-             for j, cid in enumerate(cent_ids)],
-            "cid long, centroid array<double>",
+        write_codebook(cb_dir, cent_ids, cmat)  # frozen before epoch 0 commits
+    if max_list_size is not None:
+        c2, m2, l2 = ivf_rebalance(
+            cent_ids, cmat, lists, max_list_size, target_list_size
         )
-        cb.write.mode("overwrite").parquet(cb_dir)  # frozen before epoch 0 commits
+        if l2 is not lists:  # the repair actually split something
+            cent_ids, cmat, lists = c2, m2, l2
+            # the override must be durable BEFORE the CURRENT swap: a
+            # reader of the committed epoch must never pair rebalanced
+            # lists with the stale codebook
+            write_codebook(os.path.join(index_dir, f"codebook-{name}"),
+                           cent_ids, cmat)
     lists.write.mode("overwrite").parquet(out_dir)
     ptr_tmp = ptr + ".tmp"
     with open(ptr_tmp, "w") as f:

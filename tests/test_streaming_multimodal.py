@@ -613,3 +613,58 @@ def test_streaming_index_epochs_end_to_end(spark, tmp_path):
     run_stream().awaitTermination(120)
     _, _, lists2 = read_vector_index(idx, spark)
     assert lists2.count() == n1
+
+
+def test_vector_epoch_histogram_triggered_rebalance(spark, tmp_path):
+    """apply_vector_epoch with max_list_size: a skewed arrival epoch fattens
+    the anchor-nearest lists past the cap, the epoch runs ivf_rebalance
+    BEFORE committing, the updated codebook lands under codebook-<epoch>
+    ahead of the CURRENT swap, and every later consumer — replay,
+    read_vector_index, the next epoch's append — resolves the override."""
+    import os
+
+    import pyspark.sql.functions as FF
+
+    from entity_linkings_spark.streaming.incremental import (
+        apply_vector_epoch,
+        read_vector_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(FF.col("vec_id") % 3 == 0)
+    anchor = emb.orderBy("vec_id").first()["embedding"]
+    alit = FF.array(*[FF.lit(float(x)) for x in anchor])
+    skew = emb.where(FF.col("vec_id") % 3 == 1).select(
+        "vec_id",
+        FF.zip_with(alit, "embedding", lambda a, b: a * 0.95 + b * 0.05)
+        .alias("embedding"),
+    )
+    tail = emb.where(FF.col("vec_id") % 3 == 2)
+    idx = str(tmp_path / "ann")
+    kw = dict(num_centroids=16, max_list_size=40, target_list_size=20)
+    c0, m0, l0 = apply_vector_epoch(idx, base, 0, **kw)
+    assert not os.path.isdir(os.path.join(idx, "codebook-epoch-0"))  # no skew yet
+    c1, m1, l1 = apply_vector_epoch(idx, skew, 1, **kw)
+    # the skewed epoch split: override committed, cap restored, no rows lost
+    assert os.path.isdir(os.path.join(idx, "codebook-epoch-1"))
+    sizes = {r["list_id"]: r["n"] for r in
+             l1.groupBy("list_id").agg(FF.count("*").alias("n")).collect()}
+    assert max(sizes.values()) <= 40
+    assert l1.count() == l0.count() + 2 * skew.count()  # assign_lists=2
+    assert len(c1) > len(c0)  # sub-centroids joined the codebook
+    # replay of the rebalanced epoch returns the REBALANCED codebook
+    cr, mr, lr = apply_vector_epoch(idx, skew, 1, **kw)
+    assert list(cr) == list(c1) and lr.count() == l1.count()
+    # read_vector_index resolves the override too
+    ci, mi, li = read_vector_index(idx, spark)
+    assert list(ci) == list(c1)
+    # the next epoch appends against the rebalanced codebook — and the
+    # size invariant HOLDS ACROSS EPOCHS: any list the new arrivals push
+    # past the cap is split again before that epoch commits
+    c2, m2, l2 = apply_vector_epoch(idx, tail, 2, **kw)
+    assert l2.count() == l1.count() + 2 * tail.count()
+    sizes2 = {r["list_id"]: r["n"] for r in
+              l2.groupBy("list_id").agg(FF.count("*").alias("n")).collect()}
+    assert max(sizes2.values()) <= 40
+    assert set(int(x) for x in l2.select("list_id").distinct().toPandas()
+               ["list_id"]) <= set(int(x) for x in c2)
