@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_blocked_domains",
         "ann_ivf_rebalance_topk",
         "sample_domain_quota",
+        "quality_surprisal",
         "dedup_url",
         "dedup_boilerplate_lines",
         "cc_incremental",
@@ -277,7 +278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_audit",
         "sample_weighted",
         "ann_ivf_topk",
-        "ann_ivf_recall",
         "ann_ivf_append_topk",
     ]
     ordered = {name: qs[name] for name in priority if name in qs}

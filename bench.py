@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "filter_blocked_domains",
     "ann_ivf_rebalance_topk",
+    "quality_surprisal",
 ]
 
 _SCALE_SNIPPET = r"""

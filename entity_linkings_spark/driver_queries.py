@@ -2910,8 +2910,9 @@ def dedup_boilerplate_lines(spark, sf):
                 ELSE '' END) AS url
         FROM documents),
     s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS x FROM u),
-    s2 AS (SELECT doc_id, regexp_replace(x, '^[Hh][Tt][Tt][Pp][Ss]?://', '') AS x FROM s1),
-    s3 AS (SELECT doc_id, regexp_replace(x, '^[Ww][Ww][Ww]\\.', '') AS x FROM s2),
+    s3 AS (SELECT doc_id,
+                  regexp_replace(x, '^(?:[Hh][Tt][Tt][Pp][Ss]?://|[Ww][Ww][Ww]\\.)+', '') AS x
+           FROM s1),
     s4 AS (SELECT doc_id,
                   lower(regexp_extract(x, '^([^/?]*)', 1))
                   || substr(x, length(regexp_extract(x, '^([^/?]*)', 1)) + 1) AS x
@@ -3118,6 +3119,96 @@ def filter_blocked_domains_q(spark, sf):
     rows = _docs(spark, sf).select("doc_id", url_host(url).alias("host"))
     bl = spark.createDataFrame([(r,) for r in _BLOCK_RULES], "rule string")
     return filter_blocked_domains(rows, bl)
+
+
+@register(
+    "quality_surprisal",
+    """
+    WITH dirty AS (SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 7 = 0
+                    THEN ' ' || array_to_string(list_transform(
+                         generate_series(1, 20),
+                         i -> 'zz' || CAST(doc_id AS VARCHAR) || 'x'
+                              || CAST(i AS VARCHAR)), ' ')
+                    ELSE '' END
+            || CASE WHEN doc_id % 7 = 1
+                    THEN ' ' || array_to_string(list_transform(
+                         generate_series(1, 40), i -> 'commonfiller'), ' ')
+                    ELSE ' commonfiller commonfiller commonfiller' END
+            AS text
+        FROM documents),
+    t AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[\\w#]+')) AS tok
+          FROM dirty),
+    v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM v),
+    r AS (SELECT tok, length(bin(total // cnt)) - 1 AS rarity FROM v, tot)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           round(avg(r.rarity), 6) AS surprisal,
+           CASE WHEN avg(r.rarity) BETWEEN 3.8 AND 6.0 THEN 1 ELSE 0 END AS ok
+    FROM t JOIN r USING (tok) GROUP BY t.doc_id
+    """,
+)
+def quality_surprisal(spark, sf):
+    """Unigram-surprisal quality filter — the deterministic stand-in for
+    the CCNet/RedPajama LM-perplexity gate: gibberish (all-rare tokens)
+    scores high, keyword/template spam (all-common tokens) scores low,
+    and both tails are cut. rarity(tok) is the INTEGER log2 of the
+    inverse corpus frequency — ``length(bin(total // count)) - 1`` — so
+    every engine computes the identical value: a float ln() here would
+    make the oracle hash flip on last-ulp libm differences, exactly the
+    cross-engine drift a correctness gate cannot carry (same reasoning
+    as weighted_mix's rational rates). Surprisal sums are integers under
+    2^53, so the one avg division is bit-identical too.
+
+    Planted tails: every 7th doc gains 20 unique gibberish tokens (rarity
+    ~= log2(corpus tokens)); the next residue gains 40 copies of a
+    corpus-wide filler token (rarity ~= 3); everyone else gets 3 filler
+    copies so the filler is frequent. Scale: one token explode, one
+    vocab aggregate (map-side combine), a broadcastable vocab join (or a
+    shuffle join at web scale — vocab is Zipf-bounded), one per-doc agg."""
+    from entity_linkings_spark.functions.strings import tokenize
+
+    d = F.col("doc_id")
+    gib = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(20)),
+            lambda i: F.concat(F.lit("zz"), d.cast("string"), F.lit("x"),
+                               i.cast("string")),
+        ),
+        " ",
+    )
+    spam = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.lit(40)), lambda i: F.lit("commonfiller")),
+        " ",
+    )
+    dirty = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0, F.concat(F.lit(" "), gib)).otherwise(F.lit("")),
+            F.when(d % 7 == 1, F.concat(F.lit(" "), spam))
+            .otherwise(F.lit(" commonfiller commonfiller commonfiller")),
+        ).alias("text"),
+    )
+    toks = dirty.select("doc_id", F.explode(tokenize("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    rarity = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        (F.length(F.bin(F.expr("total DIV cnt"))) - 1).alias("rarity"),
+    )
+    return (
+        toks.join(rarity, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.round(F.avg("rarity"), 6).alias("surprisal"),
+            F.when(F.avg("rarity").between(3.8, 6.0), 1).otherwise(0).alias("ok"),
+        )
+    )
 
 
 @register(

@@ -122,8 +122,11 @@ def canonicalize_url(col: Column | str) -> Column:
     parser; this is the deterministic 99%-case key a dedup stage wants."""
     u = _c(col)
     u = F.regexp_replace(u, r"#.*$", "")                  # fragment
-    u = F.regexp_replace(u, r"^[Hh][Tt][Tt][Pp][Ss]?://", "")  # scheme
-    u = F.regexp_replace(u, r"^[Ww][Ww][Ww]\.", "")       # www.
+    # scheme + leading www., as ONE repeated alternation: stacked junk
+    # prefixes ('www.www.x', 'http://http://x') strip in a single pass, so
+    # the whole chain is IDEMPOTENT — canon(canon(u)) == canon(u), the
+    # property a dedup KEY must have (property-tested)
+    u = F.regexp_replace(u, r"^(?:[Hh][Tt][Tt][Pp][Ss]?://|[Ww][Ww][Ww]\.)+", "")
     host = F.lower(F.regexp_extract(u, r"^([^/?]*)", 1))
     u = F.concat(host, u.substr(F.length(host) + 1, F.length(u)))
     # tracking params: anchored to the preceding separator so 'href=' /

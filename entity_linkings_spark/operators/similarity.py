@@ -1110,6 +1110,27 @@ def ivf_sq8_topk(
         lists_q = lists.select(
             "list_id", "neighbor_id", qn.alias("qn"), _int_norm(qn).alias("qnorm")
         )
+    return ivf_sq8_search(queries, cent_ids, cmat, lists_q, k=k, nprobe=nprobe,
+                          id_col=id_col, vec_col=vec_col)
+
+
+def ivf_sq8_search(
+    queries: DataFrame,
+    cent_ids,
+    cmat,
+    lists_q: DataFrame,
+    k: int = 10,
+    nprobe: int = 28,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEARCH over int8-quantized inverted lists (list_id, neighbor_id, qn,
+    qnorm) with any codebook — the sq8 twin of ivf_search, factored out so
+    it composes with EVERY list-producing path: fresh builds, O(delta)
+    appends, and ivf_rebalance's split lists (whose sub-centroid codebook
+    plugs in unchanged; quantize_vec + _int_norm project any float lists
+    down in place). Per-pair work is one zip_with integer dot; both norms
+    are per-vector quantities folded once."""
     probes = _ivf_assign(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "query_id", "qv", nprobe, "list_id", cent_ids, cmat,

@@ -159,3 +159,40 @@ def test_canonicalize_url(spark):
     got = {r["u"]: r["c"] for r in
            df.select("u", canonicalize_url("u").alias("c")).collect()}
     assert got == cases
+
+
+def test_canonicalize_url_matches_python_model(spark):
+    """Catalyst chain == the pure-Python re model (tests/test_properties.py
+    canon_py) over a seeded grammar of adversarial URLs — a third
+    independent implementation next to the DuckDB oracle, and the bridge
+    that lets the model's property tests (idempotence, exact tracking-param
+    removal) speak for the Spark expression."""
+    import random
+
+    from entity_linkings_spark.functions.strings import canonicalize_url
+    from tests.test_properties import canon_py
+
+    rng = random.Random(20260817)
+    names = ["q", "id", "href", "pref", "foo_utm_source", "utm_source",
+             "utm_medium", "fbclid", "gclid", "ref", "refx", "page"]
+    urls = []
+    for _ in range(300):
+        u = rng.choice(["", "http://", "https://", "HTTP://", "HTTPS://"])
+        u += rng.choice(["", "www.", "WWW.", "www.www."])
+        u += ".".join(rng.choice(["ex", "News", "a-b", "x9"])
+                      for _ in range(rng.randint(1, 3))) + ".com"
+        if rng.random() < 0.7:
+            u += "/" + "/".join(rng.choice(["P", "p", "a%20b", ""])
+                                for _ in range(rng.randint(1, 3)))
+        if rng.random() < 0.8:
+            u += "?" + "&".join(
+                f"{rng.choice(names)}={rng.choice(['', 'x', '1:2/3'])}"
+                for _ in range(rng.randint(1, 4)))
+        if rng.random() < 0.3:
+            u += "#sec" + str(rng.randint(0, 9))
+        urls.append(u)
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = {r["u"]: r["c"] for r in
+           df.select("u", canonicalize_url("u").alias("c")).collect()}
+    for u in urls:
+        assert got[u] == canon_py(u), u

@@ -226,3 +226,85 @@ def test_temperature_rates_invariants(counts, tau):
     eps = Fraction(1, 100_000)
     for lo, hi in zip(fr, fr[1:]):
         assert lo >= hi - eps  # smaller source never below a bigger one
+
+
+# --- URL canonicalization: model-based properties ---------------------------
+# A pure-Python re model of the canonicalize_url chain (third independent
+# implementation next to the Catalyst chain and the DuckDB oracle); the
+# Spark==model equivalence is asserted over generated URLs in
+# tests/test_functions.py::test_canonicalize_url_matches_python_model.
+
+def canon_py(u: str) -> str:
+    import re
+
+    u = re.sub(r"#.*$", "", u)
+    u = re.sub(r"^(?:[Hh][Tt][Tt][Pp][Ss]?://|[Ww][Ww][Ww]\.)+", "", u)
+    m = re.match(r"^([^/?]*)", u)
+    host = m.group(1).lower()
+    u = host + u[len(host):]
+    u = re.sub(r"([?&])(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", r"\1", u)
+    u = re.sub(r"&&+", "&", u)
+    u = re.sub(r"\?&", "?", u)
+    u = re.sub(r"[?&]+$", "", u)
+    return re.sub(r"/+$", "", u)
+
+
+_LABEL = st.from_regex(r"[a-z0-9]([a-z0-9-]{0,6}[a-z0-9])?", fullmatch=True)
+_PNAME = st.sampled_from(
+    ["q", "id", "x", "href", "pref", "foo_utm_source", "utm_source",
+     "utm_medium", "fbclid", "gclid", "ref", "refx", "page"]
+)
+_PVAL = st.from_regex(r"[A-Za-z0-9%._:/-]{0,10}", fullmatch=True)
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["", "http://", "https://", "HTTP://", "HTTPS://"]))
+    www = draw(st.sampled_from(["", "www.", "WWW.", "www.www."]))
+    host = ".".join(draw(st.lists(_LABEL, min_size=1, max_size=3)))
+    path = "/".join(draw(st.lists(_PVAL, max_size=3)))
+    params = draw(st.lists(st.tuples(_PNAME, _PVAL), max_size=4))
+    frag = draw(st.sampled_from(["", "#sec", "#a#b"]))
+    u = scheme + www + host
+    if path:
+        u += "/" + path
+    if params:
+        u += "?" + "&".join(f"{k}={v}" for k, v in params)
+    return u + frag
+
+
+_TRACKING = {"fbclid", "gclid", "ref"}
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls())
+def test_canonicalize_model_idempotent(u):
+    c = canon_py(u)
+    assert canon_py(c) == c
+
+
+@settings(max_examples=200, deadline=None)
+@given(urls())
+def test_canonicalize_model_strips_exactly_tracking_params(u):
+    c = canon_py(u)
+    q = c.split("?", 1)[1] if "?" in c else ""
+    names = [p.split("=", 1)[0] for p in q.split("&") if p]
+    # no tracking param survives ...
+    assert not any(n in _TRACKING or n.startswith("utm_") for n in names)
+    # ... and every non-tracking param of the INPUT survives in order
+    inq = u.split("#", 1)[0]
+    inq = inq.split("?", 1)[1] if "?" in inq else ""
+    want = [p.split("=", 1)[0] for p in inq.split("&")
+            if p and not (p.split("=", 1)[0] in _TRACKING
+                          or p.split("=", 1)[0].startswith("utm_"))]
+    assert names == want
+
+
+def test_host_suffixes_python_model():
+    # every label suffix, in order, nothing else — the equi-join expansion
+    # contract filter_blocked_domains relies on
+    for host in ("a.b.example.com", "example.com", "com", "x-y.z9.org"):
+        parts = host.split(".")
+        want = [".".join(parts[i:]) for i in range(len(parts))]
+        assert all(host == s or host.endswith("." + s) for s in want)
+        assert len(want) == len(parts)

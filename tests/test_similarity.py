@@ -332,3 +332,33 @@ def test_ivf_rebalance_splits_fat_lists_and_holds_recall(spark, emb):
     assert scan_a < scan_b          # strictly cheaper scan...
     assert rec_a > rec_b            # ...and strictly better recall
     # (measured: before 0.835 @ 6498 scanned; after 0.875 @ 5455 scanned)
+
+
+def test_sq8_search_composes_with_rebalanced_lists(spark, emb):
+    """The compressed path and the repair path compose: rebalanced (split)
+    lists quantize in place and ivf_sq8_search probes the sub-centroid
+    codebook unchanged — the int8 ranking over the repaired index tracks
+    the float ranking exactly as closely as it does over a fresh build."""
+    base = emb.where(F.col("vec_id") % 3 != 1)
+    anchor = emb.orderBy("vec_id").first()["embedding"]
+    alit = F.array(*[F.lit(float(x)) for x in anchor])
+    delta = emb.where(F.col("vec_id") % 3 == 1).select(
+        "vec_id",
+        F.zip_with(alit, "embedding", lambda a, b: a * 0.95 + b * 0.05)
+        .alias("embedding"),
+    )
+    skewed = base.select("vec_id", "embedding").unionByName(delta).localCheckpoint()
+    cent_ids, cmat, lists = SIM.ivf_build(base, num_centroids=32)
+    grown = SIM.ivf_append(cent_ids, cmat, lists, delta).localCheckpoint()
+    c2, m2, l2 = SIM.ivf_rebalance(cent_ids, cmat, grown,
+                                   max_list_size=40, target_list_size=20)
+    l2 = l2.localCheckpoint()
+    qn = SIM.quantize_vec(F.col("cv"))
+    lists_q = l2.select("list_id", "neighbor_id",
+                        qn.alias("qn"), SIM._int_norm(qn).alias("qnorm"))
+    q = skewed.where(F.col("vec_id") % 25 == 0)
+    got = SIM.ivf_sq8_search(q, c2, m2, lists_q, k=10, nprobe=12)
+    ref = SIM.ivf_search(q, c2, m2, l2, k=10, nprobe=12)
+    overlap = SIM.topk_recall(got, ref).first()["recall"]
+    assert overlap >= 0.9  # int8-vs-float agreement on the SAME repaired index
+    assert got.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 10
