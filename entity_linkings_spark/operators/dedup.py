@@ -400,9 +400,12 @@ def explode_paragraphs(
     ``pid = id * max_paras + para_idx`` — a dense LONG key whose arithmetic
     both Spark and the DuckDB oracle replay exactly, and whose ordering
     makes banded pair canonicalization (pid_a < pid_b) well defined.
-    Paragraphs beyond ``max_paras`` per document would collide and are
-    guarded with a filter (not silently folded); blank paragraphs (split
-    debris) are dropped here so they never enter a band bucket."""
+    Paragraphs beyond ``max_paras`` per document would collide with the
+    next document's key space, so they are DROPPED by an explicit filter —
+    a documented truncation (a document with a million paragraphs is
+    parser debris, and folding them into wrong keys would silently corrupt
+    pair canonicalization); blank paragraphs (split debris) are dropped
+    here so they never enter a band bucket."""
     paras = corpus.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("para_idx", "_ptext"),

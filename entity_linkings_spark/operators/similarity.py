@@ -622,7 +622,15 @@ def ivf_rebalance(
 
     Bounded driver state: the size scan collects at most one row per list
     (codebook-bounded) and the seed collect is guarded by
-    ``max_new_lists``. Returns (cent_ids, cmat, lists) like ivf_build."""
+    ``max_new_lists``. Returns (cent_ids, cmat, lists) like ivf_build.
+
+    Degenerate case the split CANNOT fix: a list fat with EXACT-duplicate
+    vectors stays fat (every resident ties to the first sub-seed), so
+    repeated repair passes would re-split it forever without shrinking it.
+    That corpus needs dedup (dedup_embedding_neardup / exact_duplicates)
+    before indexing, not a finer codebook — callers looping on the
+    histogram should treat a list that stays oversized after one split as
+    a data-quality signal, not retry."""
     import math
 
     import numpy as np
