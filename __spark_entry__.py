@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_rebalance_topk",
         "sample_domain_quota",
         "quality_surprisal",
+        "dedup_containment",
         "dedup_url",
         "dedup_boilerplate_lines",
         "cc_incremental",
@@ -277,7 +278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keeper_quality",
         "split_leakage_audit",
         "sample_weighted",
-        "ann_ivf_topk",
         "ann_ivf_append_topk",
     ]
     ordered = {name: qs[name] for name in priority if name in qs}

@@ -94,6 +94,7 @@ HEADLINE = [
     "filter_blocked_domains",
     "ann_ivf_rebalance_topk",
     "quality_surprisal",
+    "dedup_containment",
 ]
 
 _SCALE_SNIPPET = r"""

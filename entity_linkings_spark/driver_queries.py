@@ -3122,6 +3122,59 @@ def filter_blocked_domains_q(spark, sf):
 
 
 @register(
+    "dedup_containment",
+    f"""
+    WITH dirty AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 13 = 5 AND p.text IS NOT NULL
+                    THEN array_to_string(string_split(p.text, ' ')[1:15], ' ')
+                    ELSE d.text END AS text
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+    shd AS (SELECT DISTINCT doc_id, md5(s) AS h
+            FROM ({_shingle_sql(5, "dirty", "doc_id")})),
+    rare AS (SELECT h FROM shd GROUP BY h
+             HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20),
+    sr AS (SELECT doc_id, h FROM shd JOIN rare USING (h)),
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(count(*) AS BIGINT) AS n_shared
+             FROM sr a JOIN sr b ON a.h = b.h AND a.doc_id < b.doc_id
+             GROUP BY 1, 2 HAVING count(*) >= 8),
+    sets AS (SELECT doc_id, list_distinct(list(s)) AS sh
+             FROM ({_shingle_sql(5, "dirty", "doc_id")}) GROUP BY doc_id)
+    SELECT c.id_a, c.id_b, c.n_shared,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / greatest(len(x.sh) + len(y.sh)
+                            - len(list_intersect(x.sh, y.sh)), 1), 6) AS jaccard,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / greatest(least(len(x.sh), len(y.sh)), 1), 6) AS containment
+    FROM cand c JOIN sets x ON x.doc_id = c.id_a JOIN sets y ON y.doc_id = c.id_b
+    """,
+)
+def dedup_containment(spark, sf):
+    """Asymmetric containment dup detection (operators/dedup.py
+    containment_pairs): every 13th document is planted as a 15-word
+    TRUNCATION of its predecessor — the quote/truncated-re-crawl shape
+    whose Jaccard (~0.2) makes MinHash band collision vanish (~j^2 per
+    band) while containment is exactly 1.0. Candidates come from the
+    shared-rare-shingle equi-join (df-capped, never doc x doc), verified
+    with exact Jaccard AND containment = inter / min(|A|, |B|). The
+    planted (source, truncation) pairs must surface with containment 1.0
+    next to whatever symmetric near-dups the corpus already holds."""
+    docs = _docs(spark, sf)
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("ptext")
+    )
+    dirty = docs.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 13 == 5) & F.col("ptext").isNotNull(),
+            F.array_join(F.slice(F.split("ptext", " "), 1, 15), " "),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.containment_pairs(dirty, min_shared=8, max_df=20)
+
+
+@register(
     "quality_surprisal",
     """
     WITH dirty AS (SELECT doc_id,

@@ -416,3 +416,68 @@ def explode_paragraphs(
         "para_idx",
         F.col("_ptext").alias(text_col),
     )
+
+
+def containment_pairs(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 8,
+    max_df: int = 20,
+) -> DataFrame:
+    """Asymmetric near-dup detection — the case MinHash-LSH structurally
+    misses: a short document EMBEDDED in a long one (quotes, truncated
+    re-crawls, excerpt farms) has low Jaccard (so band collision
+    probability ~ j^2 per band vanishes) but containment ~ 1. Candidates
+    therefore come from a SHARED-RARE-SHINGLE equi-join instead of band
+    buckets: distinct n-gram shingles with document frequency <=
+    ``max_df`` (hub shingles are dropped — boilerplate phrases would
+    quadratically explode the self-join; the drop is observable via the
+    same df aggregate), pairs sharing >= ``min_shared`` of them are
+    verified exactly. Returns (id_a, id_b, n_shared, jaccard, containment)
+    with containment = inter / min(|A|, |B|) — 1.0 when either side is a
+    subset of the other.
+
+    Scale: one shingle explode + ONE df aggregate (map-side combine) + an
+    equi-join on the shingle hash bounded by max_df fan-in + the pairwise
+    verify on candidates only — the decontaminate_ngrams shuffle shape,
+    never a doc x doc comparison."""
+    sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("s"),
+    ).withColumn("h", F.md5("s")).select(id_col, "h")
+    rare = (
+        sh.groupBy("h").agg(F.countDistinct(id_col).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("h")
+    )
+    sr = sh.join(rare, "h")
+    a = sr.select("h", F.col(id_col).alias("id_a"))
+    b = sr.select("h", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sets = corpus.select(
+        F.col(id_col).alias("jid"),
+        F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+    )
+    j = (
+        cand.join(sets.withColumnsRenamed({"jid": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sets.withColumnsRenamed({"jid": "id_b", "sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return j.select(
+        "id_a", "id_b", "n_shared",
+        F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        F.round(
+            inter.cast("double")
+            / F.greatest(F.least(F.size("sh_a"), F.size("sh_b")), F.lit(1)),
+            6,
+        ).alias("containment"),
+    )

@@ -199,3 +199,23 @@ def test_explode_paragraphs_and_paragraph_near_dups(spark):
     v = shingle_jaccard(paras, cand, id_col="pid", text_col="text", n=5)
     hits = {(r["id_a"], r["id_b"]) for r in v.where("jaccard >= 0.5").collect()}
     assert hits == {(1_000_000, 2_000_000)}
+
+
+def test_containment_pairs_find_embedded_docs(spark):
+    from entity_linkings_spark.operators.dedup import containment_pairs
+
+    long = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, long),
+        (2, " ".join(f"w{i}" for i in range(14))),   # prefix of doc 1
+        (3, "totally different words " + " ".join(f"u{i}" for i in range(30))),
+        (4, long + " tail tail"),                     # symmetric near-dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r for r in
+           containment_pairs(df, min_shared=5, max_df=10).collect()}
+    # the embedded prefix: containment 1.0 at low jaccard
+    assert out[(1, 2)]["containment"] == 1.0 and out[(1, 2)]["jaccard"] < 0.4
+    # the symmetric near-dup: both high
+    assert out[(1, 4)]["containment"] == 1.0 and out[(1, 4)]["jaccard"] > 0.8
+    assert not any(3 in k for k in out)  # unrelated doc never pairs
