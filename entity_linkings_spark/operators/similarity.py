@@ -584,6 +584,64 @@ def ivf_append_snapshot(
     return cent_ids, cmat, store.read("ivf_lists", app_sid)
 
 
+def ivf_rebalance_snapshot(
+    store,
+    spark,
+    codebook_sid: str,
+    lists_sid: str,
+    max_list_size: int,
+    target_list_size: int | None = None,
+):
+    """Rebalance a PERSISTED index through the lifecycle layer — the
+    storage-side closure of the append -> histogram -> split loop: load
+    the committed codebook/lists (the two sids may differ — an
+    ivf_append_snapshot commits grown lists under its own id while the
+    codebook stays with the base snapshot), run ivf_rebalance, and commit
+    the REBALANCED codebook + lists + their int8 projection under a new
+    snapshot id keyed by (codebook sid, lists sid, cap config).
+    Load-if-exists like every lifecycle artifact; commit order is
+    codebook -> ivf_lists_q -> ivf_lists so the ivf_lists gate is last
+    and a reader never sees split lists without their sub-centroid
+    codebook or their int8 twin. When nothing is oversized the source
+    artifacts are committed unchanged under the new sid, so the sid is
+    always readable after one call regardless. Returns
+    (cent_ids, cmat, lists)."""
+    import numpy as np
+
+    from entity_linkings_spark.plans.lifecycle import _fingerprint
+
+    cfg = f"mls={max_list_size}|tls={target_list_size or max_list_size}"
+    reb_sid = _fingerprint("ivf_rebalance", codebook_sid, lists_sid, cfg)
+
+    def load(sid):
+        crows = sorted(store.read("ivf_codebook", sid).collect(),
+                       key=lambda r: r["cid"])  # bounded: codebook-sized
+        return (np.array([r["cid"] for r in crows]),
+                np.array([r["centroid"] for r in crows], dtype=np.float64))
+
+    if store.committed("ivf_lists", reb_sid):
+        cent_ids, cmat = load(reb_sid)
+        return cent_ids, cmat, store.read("ivf_lists", reb_sid)
+    if not (store.committed("ivf_codebook", codebook_sid)
+            and store.committed("ivf_lists", lists_sid)):
+        raise ValueError(
+            "ivf_rebalance_snapshot: source codebook/lists not committed "
+            f"(codebook_sid={codebook_sid}, lists_sid={lists_sid})"
+        )
+    cent_ids, cmat = load(codebook_sid)
+    lists = store.read("ivf_lists", lists_sid)
+    c2, m2, l2 = ivf_rebalance(cent_ids, cmat, lists, max_list_size,
+                               target_list_size)
+    cb = spark.createDataFrame(
+        [(int(cid), [float(x) for x in m2[j]]) for j, cid in enumerate(c2)],
+        "cid long, centroid array<double>",
+    )
+    store.write("ivf_codebook", reb_sid, cb)
+    store.write("ivf_lists_q", reb_sid, _quantize_lists(l2))
+    store.write("ivf_lists", reb_sid, l2)
+    return c2, m2, store.read("ivf_lists", reb_sid)
+
+
 # Sub-list ids live far above any vector-id-derived centroid id, and encode
 # (parent, sub_idx) so two parents can never mint the same id however many
 # splits they take (sub_idx is capped at _MAX_SPLITS_PER_LIST).

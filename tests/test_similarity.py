@@ -362,3 +362,57 @@ def test_sq8_search_composes_with_rebalanced_lists(spark, emb):
     overlap = SIM.topk_recall(got, ref).first()["recall"]
     assert overlap >= 0.9  # int8-vs-float agreement on the SAME repaired index
     assert got.groupBy("query_id").count().agg(F.max("count")).first()[0] <= 10
+
+
+def test_ivf_rebalance_snapshot_lifecycle(spark, emb, tmp_path):
+    """ivf_rebalance_snapshot closes the append -> histogram -> split loop
+    at the storage layer: the skewed append's committed lists rebalance
+    into a new snapshot (rebalanced codebook + lists + int8 twin), a
+    replay LOADS the commit (poisoned-source proof via sid equality), and
+    the sq8 search path reads the committed int8 projection directly."""
+    import pytest as _pytest
+
+    from entity_linkings_spark.plans.lifecycle import SnapshotStore, _fingerprint
+
+    store = SnapshotStore(spark, str(tmp_path / "ivf"))
+    base = emb.where(F.col("vec_id") % 3 != 1)
+    anchor = emb.orderBy("vec_id").first()["embedding"]
+    alit = F.array(*[F.lit(float(x)) for x in anchor])
+    delta = emb.where(F.col("vec_id") % 3 == 1).select(
+        "vec_id",
+        F.zip_with(alit, "embedding", lambda a, b: a * 0.95 + b * 0.05)
+        .alias("embedding"),
+    )
+    cfgd = dict(num_centroids=32, assign_lists=2, lloyd_iters=1)
+    SIM.ivf_append_snapshot(store, ("b1", "d1"), delta, corpus=base, **cfgd)
+    cfg = "nc=32|al=2|li=1"
+    base_sid = _fingerprint("ivf", "b1", cfg)
+    app_sid = _fingerprint("ivf_append", "b1", "d1", cfg)
+
+    c2, m2, l2 = SIM.ivf_rebalance_snapshot(store, spark, base_sid, app_sid,
+                                            max_list_size=40, target_list_size=20)
+    sizes = {r["list_id"]: r["n"] for r in
+             l2.groupBy("list_id").agg(F.count("*").alias("n")).collect()}
+    assert max(sizes.values()) <= 40
+    assert l2.count() == store.read("ivf_lists", app_sid).count()
+    reb_sid = _fingerprint("ivf_rebalance", base_sid, app_sid, "mls=40|tls=20")
+    assert store.committed("ivf_codebook", reb_sid)
+    assert store.committed("ivf_lists_q", reb_sid)  # int8 twin committed too
+
+    # replay: loads, identical codebook and lists
+    c3, m3, l3 = SIM.ivf_rebalance_snapshot(store, spark, base_sid, app_sid,
+                                            max_list_size=40, target_list_size=20)
+    assert list(c3) == list(c2) and l3.count() == l2.count()
+
+    # the persisted int8 projection searches against the rebalanced codebook
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    lists_q = store.read("ivf_lists_q", reb_sid).select(
+        "list_id", "neighbor_id", "qn", "qnorm")
+    got = SIM.ivf_sq8_search(q, c2, m2, lists_q, k=10, nprobe=12)
+    ref = SIM.ivf_search(q, c2, m2, l2, k=10, nprobe=12)
+    assert SIM.topk_recall(got, ref).first()["recall"] >= 0.9
+
+    # missing source: loud error
+    with _pytest.raises(ValueError, match="not committed"):
+        SIM.ivf_rebalance_snapshot(store, spark, base_sid, "nope",
+                                   max_list_size=40)
