@@ -253,6 +253,16 @@ def ivf_codebook(
     if not crows:
         raise ValueError("ivf codebook: empty corpus — no codebook can be sampled")
     cent_ids = np.array([r["cid"] for r in crows])
+    if int(cent_ids.max()) >= _SUB_OFFSET:
+        # the rebalance sub-id scheme mints ids at _SUB_OFFSET + parent*1024
+        # + idx; a vector-id-derived centroid at or above the offset could
+        # collide with a minted sub id (ADVICE r6) — enforce the assumption
+        # instead of asserting it in a comment
+        raise ValueError(
+            f"ivf codebook: centroid id {int(cent_ids.max())} >= 2^40 "
+            "(_SUB_OFFSET) would collide with rebalance-minted sub-list ids; "
+            "re-key the corpus below 2^40"
+        )
     cmat = np.array([r["ce"] for r in crows], dtype=np.float64)
     return cent_ids, cmat
 
@@ -722,19 +732,22 @@ def ivf_rebalance(
     w = Window.partitionBy("list_id").orderBy(
         F.md5(F.col("neighbor_id").cast("string")), F.col("neighbor_id")
     )
-    # seeds: the first n_splits residents of each parent in (md5, id) order;
-    # the collect is bounded by the max_new_lists guard above (rows beyond a
-    # parent's own split count are trimmed driver-side below)
+    # seeds: the first n_splits residents of each parent in (md5, id) order,
+    # trimmed PER PARENT before the collect (ADVICE r6: the old
+    # rn <= max(splits) filter pulled up to n_parents * max(splits) rows —
+    # one 1000-split parent forced ~1000 rows from every thin parent too).
+    # Exactly sum(splits) rows reach the driver, the bound the
+    # max_new_lists guard enforces.
     seed_rows = (
-        res.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= max(splits.values()))
+        tagged.where(F.col("n_splits").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("n_splits"))
         .collect()
     )
     subs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     for parent in splits:
         rows = sorted(
-            (r for r in seed_rows
-             if int(r["list_id"]) == parent and r["rn"] <= splits[parent]),
+            (r for r in seed_rows if int(r["list_id"]) == parent),
             key=lambda r: r["rn"],
         )
         sub_ids = np.array(
@@ -743,6 +756,19 @@ def ivf_rebalance(
         )
         submat = np.array([r["cv"] for r in rows], dtype=np.float64)
         subs[parent] = (sub_ids, submat)
+    # minted ids must be fresh: injective by scheme (idx < 1024 makes
+    # parent*1024+idx collision-free across distinct parents, including
+    # re-splitting an already-minted sub-list), but a base centroid id
+    # >= 2^40 would break the disjointness ivf_codebook enforces — keep a
+    # total codebook-sized check here so ANY codebook source stays safe
+    minted = [int(i) for p in subs for i in subs[p][0]]
+    clash = {int(c) for c in cent_ids}.intersection(minted)
+    if clash or len(set(minted)) != len(minted):
+        raise ValueError(
+            f"ivf_rebalance: minted sub-list ids collide with existing "
+            f"centroid ids {sorted(clash)[:5]} — centroid ids must stay "
+            "below 2^40 (_SUB_OFFSET)"
+        )
     remapped = _ivf_assign_within(res, subs)
     new_lists = keep.unionByName(remapped)
     survivors = [j for j, cid in enumerate(cent_ids) if int(cid) not in splits]

@@ -262,18 +262,32 @@ def clustering_maintenance_processor(labels_dir: str, edge_fn):
 
 def _load_epoch_codebook(index_dir: str, spark: SparkSession, epoch_name: str | None):
     """(cent_ids, cmat) for an epoch: a rebalance epoch commits its updated
-    codebook under ``codebook-<epoch>`` BEFORE the CURRENT swap, overriding
-    the frozen base ``codebook`` from that epoch on; append-only epochs
-    keep reading the base. Collect bounded by codebook size, as ever."""
+    codebook under ``codebook-<epoch>`` BEFORE the CURRENT swap, and the
+    override stays effective for every LATER epoch too — append-only
+    epochs commit no codebook of their own, so the resolver picks the
+    NEWEST ``codebook-epoch-K`` with K <= the requested epoch (ADVICE r6:
+    matching only the exact epoch name meant the first append-only epoch
+    after a rebalance silently reverted every reader to the stale base
+    codebook — sub-lists unprobeable, emptied parents re-populated). An
+    orphan override from a crashed LATER epoch has K > requested and is
+    correctly ignored. Collect bounded by codebook size, as ever."""
     import os
+    import re
 
     import numpy as np
 
     path = os.path.join(index_dir, "codebook")
     if epoch_name:
-        override = os.path.join(index_dir, f"codebook-{epoch_name}")
-        if os.path.isdir(override):
-            path = override
+        upto = int(epoch_name.rsplit("-", 1)[1])
+        best = -1
+        for d in os.listdir(index_dir):
+            m = re.fullmatch(r"codebook-epoch-(\d+)", d)
+            if m and best < int(m.group(1)) <= upto and os.path.isdir(
+                os.path.join(index_dir, d)
+            ):
+                best = int(m.group(1))
+        if best >= 0:
+            path = os.path.join(index_dir, f"codebook-epoch-{best}")
     crows = sorted(spark.read.parquet(path).collect(), key=lambda r: r["cid"])
     return (np.array([r["cid"] for r in crows]),
             np.array([r["centroid"] for r in crows], dtype=np.float64))

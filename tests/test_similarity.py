@@ -416,3 +416,58 @@ def test_ivf_rebalance_snapshot_lifecycle(spark, emb, tmp_path):
     with _pytest.raises(ValueError, match="not committed"):
         SIM.ivf_rebalance_snapshot(store, spark, base_sid, "nope",
                                    max_list_size=40)
+
+
+def test_ivf_rebalance_seed_collect_is_sum_of_splits(spark, monkeypatch):
+    """ADVICE r6 (low): with one FAT oversized list (10 splits) and two
+    thin ones (3 each), the seed collect must pull exactly sum(splits)=16
+    rows — the bound the max_new_lists guard cites — not
+    n_parents * max(splits)=30 as the old rn <= max(splits) filter did.
+    Asserted by spying on DataFrame.collect and finding the seed collect
+    (the one whose schema carries the per-parent rank column rn)."""
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    rows = []
+    for i in range(100):                      # list 1: fat, ceil(100/10)=10
+        rows.append((1000 + i, [1.0, 0.01 * i, 0.0, 1.0], 1))
+    for lid in (2, 3):                        # lists 2,3: thin, ceil(25/10)=3
+        for i in range(25):
+            rows.append((lid * 10000 + i, [0.0, 1.0, 0.02 * i, float(lid)], lid))
+    lists = spark.createDataFrame(
+        rows, "neighbor_id long, cv array<double>, list_id long"
+    )
+    import numpy as np
+
+    cent_ids = np.array([1, 2, 3])
+    cmat = np.array([[1.0, 0, 0, 1], [0, 1.0, 0, 2], [0, 1.0, 0, 3]])
+
+    seen = []
+    orig = ClassicDF.collect
+
+    def spy(self):
+        out = orig(self)
+        seen.append((len(out), [f.name for f in self.schema.fields]))
+        return out
+
+    monkeypatch.setattr(ClassicDF, "collect", spy)
+    c2, m2, l2 = SIM.ivf_rebalance(cent_ids, cmat, lists,
+                                   max_list_size=20, target_list_size=10)
+    monkeypatch.setattr(ClassicDF, "collect", orig)
+    seed = [n for n, cols in seen if "rn" in cols]
+    assert seed == [16]                       # exactly sum(splits), once
+    assert l2.count() == len(rows)            # every resident survives
+    assert len(c2) == 16                      # 3 parents out, 16 subs in
+
+
+def test_ivf_codebook_rejects_ids_at_sub_offset(spark):
+    """ADVICE r6 (low): a vector-id-derived centroid id >= 2^40 could
+    collide with rebalance-minted sub-list ids — ivf_codebook now refuses
+    instead of asserting the assumption in a comment."""
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [((1 << 40) + 5, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="_SUB_OFFSET"):
+        SIM.ivf_codebook(bad, 2)

@@ -668,3 +668,52 @@ def test_vector_epoch_histogram_triggered_rebalance(spark, tmp_path):
     assert max(sizes2.values()) <= 40
     assert set(int(x) for x in l2.select("list_id").distinct().toPandas()
                ["list_id"]) <= set(int(x) for x in c2)
+
+
+def test_append_only_epoch_preserves_rebalanced_codebook(spark, tmp_path):
+    """ADVICE r6 (high): epoch 1 rebalances and commits codebook-epoch-1;
+    epoch 2 is PURE APPEND (no cap) and commits no override of its own.
+    The resolver must pick the newest override at-or-below the requested
+    epoch — exact-name matching made the first append-only epoch after a
+    rebalance revert read_vector_index and every later epoch's append to
+    the stale base codebook (sub-lists unprobeable, split parents
+    silently re-populated)."""
+    import os
+
+    import pyspark.sql.functions as FF
+
+    from entity_linkings_spark.streaming.incremental import (
+        apply_vector_epoch,
+        read_vector_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.where(FF.col("vec_id") % 4 == 0)
+    anchor = emb.orderBy("vec_id").first()["embedding"]
+    alit = FF.array(*[FF.lit(float(x)) for x in anchor])
+    skew = emb.where(FF.col("vec_id") % 4 == 1).select(
+        "vec_id",
+        FF.zip_with(alit, "embedding", lambda a, b: a * 0.95 + b * 0.05)
+        .alias("embedding"),
+    )
+    t2 = emb.where(FF.col("vec_id") % 4 == 2)
+    t3 = emb.where(FF.col("vec_id") % 4 == 3)
+    idx = str(tmp_path / "ann")
+    kw = dict(num_centroids=16, max_list_size=40, target_list_size=20)
+    apply_vector_epoch(idx, base, 0, **kw)
+    c1, m1, l1 = apply_vector_epoch(idx, skew, 1, **kw)
+    assert os.path.isdir(os.path.join(idx, "codebook-epoch-1"))
+    # epoch 2: NO max_list_size -> pure append, commits no codebook
+    c2, m2, l2 = apply_vector_epoch(idx, t2, 2, num_centroids=16)
+    assert not os.path.isdir(os.path.join(idx, "codebook-epoch-2"))
+    # a reader of the committed epoch-2 resolves epoch-1's override
+    ci, mi, li = read_vector_index(idx, spark)
+    assert list(ci) == list(c1)
+    assert li.count() == l1.count() + 2 * t2.count()
+    # ...and epoch 3's append assigns against the override too: every
+    # list id in the committed table is one the REBALANCED codebook knows
+    c3, m3, l3 = apply_vector_epoch(idx, t3, 3, num_centroids=16)
+    assert list(c3) == list(c1)
+    got_lids = {int(r["list_id"])
+                for r in l3.select("list_id").distinct().collect()}
+    assert got_lids <= {int(x) for x in c1}
