@@ -3074,15 +3074,17 @@ _BLOCK_RULES = ["example3.com", "example1.com", "tracker.example7.com"]
     f"""
     WITH u AS (SELECT doc_id,
         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+        || (CASE WHEN doc_id % 11 = 3 THEN 'http://WWW.' ELSE '' END)
         || (CASE doc_id % 3 WHEN 1 THEN 'cdn.' WHEN 2 THEN 'ads.tracker.'
-                 ELSE '' END)
+                 ELSE (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END) END)
         || 'Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
         || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url
         FROM documents),
     h AS (SELECT doc_id,
                  lower(regexp_extract(
-                     regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
-                     '^([^/?]*)', 1)) AS host
+                     regexp_replace(url,
+                         '^(?:[Hh][Tt][Tt][Pp][Ss]?://|[Ww][Ww][Ww]\\.)+', ''),
+                     '^([^/?#]*)', 1)) AS host
           FROM u),
     bl(rule) AS (VALUES {", ".join(f"('{r}')" for r in _BLOCK_RULES)})
     SELECT doc_id, host FROM h
@@ -3110,8 +3112,10 @@ def filter_blocked_domains_q(spark, sf):
     d = F.col("doc_id")
     url = F.concat(
         F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(d % 11 == 3, F.lit("http://WWW.")).otherwise(F.lit("")),
         F.when(d % 3 == 1, F.lit("cdn."))
         .when(d % 3 == 2, F.lit("ads.tracker."))
+        .when(d % 5 == 0, F.lit("www."))
         .otherwise(F.lit("")),
         F.lit("Example"), (d % 20).cast("string"), F.lit(".COM"),
         F.lit("/p/"), (d % 7).cast("string"),
@@ -3269,15 +3273,17 @@ def quality_surprisal(spark, sf):
     """
     WITH u AS (SELECT doc_id,
         (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+        || (CASE WHEN doc_id % 11 = 3 THEN 'http://WWW.' ELSE '' END)
         || (CASE doc_id % 3 WHEN 1 THEN 'cdn.' WHEN 2 THEN 'ads.tracker.'
-                 ELSE '' END)
+                 ELSE (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END) END)
         || 'Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM'
         || '/p/' || CAST(doc_id % 7 AS VARCHAR) AS url
         FROM documents),
     h AS (SELECT doc_id,
                  lower(regexp_extract(
-                     regexp_replace(url, '^[Hh][Tt][Tt][Pp][Ss]?://', ''),
-                     '^([^/?]*)', 1)) AS host
+                     regexp_replace(url,
+                         '^(?:[Hh][Tt][Tt][Pp][Ss]?://|[Ww][Ww][Ww]\\.)+', ''),
+                     '^([^/?#]*)', 1)) AS host
           FROM u),
     r AS (SELECT doc_id, host,
                  row_number() OVER (PARTITION BY host
@@ -3303,8 +3309,10 @@ def sample_domain_quota(spark, sf):
     d = F.col("doc_id")
     url = F.concat(
         F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTP://")),
+        F.when(d % 11 == 3, F.lit("http://WWW.")).otherwise(F.lit("")),
         F.when(d % 3 == 1, F.lit("cdn."))
         .when(d % 3 == 2, F.lit("ads.tracker."))
+        .when(d % 5 == 0, F.lit("www."))
         .otherwise(F.lit("")),
         F.lit("Example"), (d % 20).cast("string"), F.lit(".COM"),
         F.lit("/p/"), (d % 7).cast("string"),

@@ -191,8 +191,19 @@ def test_canonicalize_url_matches_python_model(spark):
         if rng.random() < 0.3:
             u += "#sec" + str(rng.randint(0, 9))
         urls.append(u)
+    from entity_linkings_spark.functions.strings import url_host
+    from tests.test_properties import url_host_py
+
+    # VERDICT r6 #4's stacked-junk prefixes ride along in the same sweep
+    urls += ["http://http://x.com", "HTTP://WWW.http://Example.COM/p",
+             "www.WWW.ex.com#frag"]
     df = spark.createDataFrame([(u,) for u in urls], "u string")
-    got = {r["u"]: r["c"] for r in
-           df.select("u", canonicalize_url("u").alias("c")).collect()}
+    got = {r["u"]: (r["c"], r["h"]) for r in
+           df.select("u", canonicalize_url("u").alias("c"),
+                     url_host("u").alias("h")).collect()}
     for u in urls:
-        assert got[u] == canon_py(u), u
+        c, h = got[u]
+        assert c == canon_py(u), u
+        assert h == url_host_py(u), u
+        # the shared-alternation invariant, on the Spark side too
+        assert h == url_host_py(canon_py(u)), u
