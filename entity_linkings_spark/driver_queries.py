@@ -3869,6 +3869,18 @@ def cc_size_histogram(spark, sf):
 
 _DATAPREP_SQL = f"""
     WITH RECURSIVE bl(rule) AS (VALUES {", ".join(f"('{r}')" for r in _BLOCK_RULES)}),
+    -- stage 0 plant: every 13th document is a TRUNCATED RE-CRAWL — the
+    -- first 30 words of its predecessor, planted only when the
+    -- predecessor has >= 60 words so shingle Jaccard stays < 0.5 and the
+    -- MinHash stage (j^2-per-band collision) structurally misses it;
+    -- only the containment stage (5b) can remove it
+    dirty AS MATERIALIZED (
+        SELECT d.doc_id, d.source,
+               CASE WHEN d.doc_id % 13 = 5 AND p.text IS NOT NULL
+                         AND len(string_split(p.text, ' ')) >= 60
+                    THEN array_to_string(string_split(p.text, ' ')[1:30], ' ')
+                    ELSE d.text END AS text
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
     -- stage 1 ground truth: the planted URLs collapse to the canonical key
     -- (host, path, surviving x= param), stated ARITHMETICALLY instead of
     -- replaying the regex chain (dedup_url already proves the chain): two
@@ -3881,7 +3893,7 @@ _DATAPREP_SQL = f"""
                    min(doc_id) OVER (PARTITION BY doc_id % 40, doc_id % 25,
                        CASE WHEN doc_id % 4 = 2 THEN doc_id % 5 ELSE -1 END)
                        AS kmin
-            FROM documents d)
+            FROM dirty d)
         WHERE doc_id = kmin),
     -- stage 2: host blocklist, suffix semantics stated via NOT EXISTS
     unblocked AS MATERIALIZED (
@@ -3920,8 +3932,32 @@ _DATAPREP_SQL = f"""
             FROM cand c JOIN shs x ON x.doc_id = c.id_a
                         JOIN shs y ON y.doc_id = c.id_b)
         WHERE j >= 0.5),
-    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
-              UNION SELECT id_b, id_a FROM pairs),
+    -- stage 5b: asymmetric containment candidates (VERDICT r6 #2 — the
+    -- truncated-re-crawl case MinHash misses): shared-RARE-shingle
+    -- equi-join (df in 2..20), >= 8 shared, verified containment >= 0.9;
+    -- their edges union into the SAME component graph so keeper selection
+    -- and the group-aware split see containment dups too
+    shd AS (SELECT DISTINCT doc_id, md5(s) AS h
+            FROM ({_shingle_sql(5, "qual", "doc_id")})),
+    rare AS (SELECT h FROM shd GROUP BY h
+             HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20),
+    sr AS (SELECT doc_id, h FROM shd JOIN rare USING (h)),
+    ccand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sr a JOIN sr b ON a.h = b.h AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 8),
+    cpairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM (
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                         / greatest(least(len(x.sh), len(y.sh)), 1), 6)
+                       AS cont
+            FROM ccand c JOIN shs x ON x.doc_id = c.id_a
+                         JOIN shs y ON y.doc_id = c.id_b)
+        WHERE cont >= 0.9),
+    allpairs AS (SELECT id_a, id_b FROM pairs
+                 UNION SELECT id_a, id_b FROM cpairs),
+    edges AS (SELECT id_a AS u, id_b AS v FROM allpairs
+              UNION SELECT id_b, id_a FROM allpairs),
     nodes AS (SELECT DISTINCT u AS node FROM edges),
     rec AS (
         WITH RECURSIVE reach(src, dst) AS (
@@ -4008,16 +4044,24 @@ def dataprep_pipeline(spark, sf):
     """The second flagship (VERDICT r5 #4): the ENTIRE crawl-to-training-
     batch dataprep pipeline as one composed job — URL canonicalize +
     URL-key dedup (min-doc keeper) -> host blocklist filter -> line-level
-    boilerplate removal -> quality gate -> MinHash near-dup dedup with the
-    quality-preferring keeper -> benchmark decontamination -> group-aware
-    train/val/test split (keyed on the near-dup cluster so no pair
-    straddles splits) -> weighted source mixing on the train split ->
-    64-token chunking greedily packed into 256-token bins. Every stage is
-    an individually-oracled operator (dedup_url, filter_blocked_domains,
-    dedup_boilerplate_lines, text_quality, dedup_keeper_quality,
+    boilerplate removal -> quality gate -> MinHash near-dup dedup UNIONED
+    with asymmetric containment edges (VERDICT r6 #2) feeding one
+    component graph with the quality-preferring keeper -> benchmark
+    decontamination -> group-aware train/val/test split (keyed on the
+    near-dup cluster so no pair straddles splits) -> weighted source
+    mixing on the train split -> 64-token chunking greedily packed into
+    256-token bins. Every stage is an individually-oracled operator
+    (dedup_url, filter_blocked_domains, dedup_boilerplate_lines,
+    text_quality, dedup_keeper_quality, dedup_containment,
     decontaminate_ngrams, split_leakage_audit, sample_weighted,
     pack_sequences); this row proves the COMPOSITION end to end — the
     final packed stream is sensitive to any wrong survivor at any stage.
+
+    The planted truncated re-crawls (every 13th doc becomes the first 30
+    words of a >= 60-word predecessor: Jaccard < 0.5 by construction, so
+    the MinHash path cannot see them; containment 1.0) are removed ONLY
+    because stage 5b's shared-rare-shingle candidates union into the same
+    CC edge set — doc-level MinHash alone sailed them through.
 
     The oracle restates stages 1-4 as ground truth (arithmetic canonical
     key; cleaned == original text because the plant only adds
@@ -4052,7 +4096,16 @@ def dataprep_pipeline(spark, sf):
         .when(d % 4 == 3, F.concat(F.lit("#sec-"), (d % 7).cast("string")))
         .otherwise(F.lit("")),
     )
-    dirty = docs.select(
+    prev = docs.select((d + 1).alias("doc_id"), F.col("text").alias("_ptext"))
+    planted = docs.join(prev, "doc_id", "left").select(
+        "doc_id", "source",
+        F.when(
+            (d % 13 == 5) & F.col("_ptext").isNotNull()
+            & (F.size(F.split("_ptext", " ")) >= 60),
+            F.array_join(F.slice(F.split("_ptext", " "), 1, 30), " "),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    dirty = planted.select(
         "doc_id", "source",
         canonicalize_url(url).alias("curl"),
         F.concat(
@@ -4095,7 +4148,16 @@ def dataprep_pipeline(spark, sf):
         .where(F.col("jaccard") >= 0.5)
         .select(pad("id_a").alias("u"), pad("id_b").alias("v"))
     )
-    labels = connected_components(edges).select(
+    # stage 5b: containment edges join the SAME component graph — the
+    # truncated-re-crawl shape band collision misses at ~j^2/band (shared-
+    # rare-shingle equi-join, df-capped, verified containment >= 0.9)
+    cont = (
+        D.containment_pairs(qual.select("doc_id", "text"),
+                            min_shared=8, max_df=20)
+        .where(F.col("containment") >= 0.9)
+        .select(pad("id_a").alias("u"), pad("id_b").alias("v"))
+    )
+    labels = connected_components(edges.unionByName(cont).distinct()).select(
         F.col("node").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     ).localCheckpoint()
