@@ -3179,6 +3179,74 @@ def dedup_containment(spark, sf):
 
 
 @register(
+    "dedup_substring_runs",
+    """
+    WITH dirty AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 17 = 3 AND p.text IS NOT NULL
+                         AND len(string_split(p.text, ' ')) >= 45
+                    THEN array_to_string(
+                         string_split(d.text, ' ')[1:5]
+                         || string_split(p.text, ' ')[11:40]
+                         || string_split(d.text, ' ')[6:], ' ')
+                    ELSE d.text END AS text
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 2),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM dirty),
+    grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     md5(array_to_string(w[i:i+9], ' ')) AS h
+              FROM (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 9)) AS i
+                    FROM toks WHERE len(w) >= 10)),
+    shared AS (SELECT h FROM grams GROUP BY h
+               HAVING count(DISTINCT doc_id) >= 2),
+    sg AS (SELECT doc_id, pos FROM grams JOIN shared USING (h)),
+    isl AS (SELECT doc_id, pos,
+                   sum(CASE WHEN pos - prev > 10 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM (SELECT doc_id, pos,
+                         lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS prev
+                  FROM sg))
+    SELECT doc_id, min(pos) AS span_start,
+           max(pos) + 10 AS span_end,
+           max(pos) + 10 - min(pos) AS span_len
+    FROM isl GROUP BY doc_id, island
+    HAVING max(pos) + 10 - min(pos) >= 25
+    """,
+)
+def dedup_substring_runs(spark, sf):
+    """Exact-substring dedup at scale (VERDICT r6 #5, operators/dedup.py
+    duplicate_substring_runs): every 17th document gets a 30-token
+    VERBATIM QUOTE from a >= 45-word partner spliced in after its 5th
+    token — the long-quote-inside-unique-text shape that escapes the
+    whole existing cascade: MinHash (Jaccard ~0.2), AND containment_pairs
+    (both docs are full-size, so containment ~26/41 < 0.9 fails the
+    verify even though the rare-shingle candidate stage sees the pair).
+    The sorted-gram-run operator flags the exact token interval in BOTH
+    the quoting and the quoted document: positional 10-gram explode, one
+    df >= 2 gram aggregate, equi-join back, per-doc sorted gaps-and-
+    islands merge — one sort-shuffle, no pairwise document join."""
+    docs = _docs(spark, sf)
+    d = F.col("doc_id")
+    prev = docs.select((d + 2).alias("doc_id"), F.col("text").alias("_ptext"))
+    pw = F.split("_ptext", " ")
+    dw = F.split("text", " ")
+    dirty = docs.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (d % 17 == 3) & F.col("_ptext").isNotNull()
+            & (F.size(pw) >= 45),
+            F.array_join(
+                F.concat(F.slice(dw, 1, 5), F.slice(pw, 11, 30),
+                         F.slice(dw, 6, F.size(dw) - 5)),
+                " ",
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.duplicate_substring_runs(dirty, k=10, min_len=25)
+
+
+@register(
     "quality_surprisal",
     """
     WITH dirty AS (SELECT doc_id,

@@ -481,3 +481,71 @@ def containment_pairs(
             6,
         ).alias("containment"),
     )
+
+
+def duplicate_substring_runs(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_len: int = 25,
+) -> DataFrame:
+    """Exact-substring duplicate spans — the sorted-gram-run approximation
+    of suffix-array dedup (Lee et al. 2022; the BigCode/deduplicate-text
+    pattern): a long VERBATIM token run shared between two otherwise-
+    unique documents escapes both MinHash (Jaccard too low for band
+    collision) and containment_pairs (neither doc is mostly contained in
+    the other), but every ``k``-token window of the run is a gram some
+    other document also holds. Plan: positional k-gram explode -> ONE
+    gram-hash aggregation keyed on the hash (map-side combine) marking
+    grams held by >= 2 distinct documents -> equi-join back -> per-doc
+    SORT of shared positions (the one sort-shuffle, partitioned by doc)
+    with gaps-and-islands merging of overlapping windows. No pairwise
+    document join anywhere; cost is linear in total tokens plus one
+    window per document.
+
+    Returns (<id_col>, span_start, span_end, span_len): maximal 1-based
+    token intervals of length >= ``min_len`` every token of which lies in
+    some k-gram shared verbatim with ANOTHER document (intra-document
+    repetition deliberately not flagged — same contract as
+    duplicate_spans). Two shared windows merge when their intervals
+    overlap or touch (gap <= k positions), so a run of length L yields
+    one span of exactly L."""
+    words = F.split(F.col(text_col), " ")
+    grams = (
+        corpus.where(F.size(words) >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k))),
+                )
+            ).alias("pos0", "h"),
+        )
+        .select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "h")
+    )
+    shared = (
+        grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    sg = grams.join(shared, "h").select(id_col, "pos")
+    wlag = Window.partitionBy(id_col).orderBy("pos")
+    isl = sg.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(wlag) > k, 1).otherwise(0)
+        ).over(wlag),
+    )
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .withColumn("span_len", F.col("span_end") - F.col("span_start"))
+        .where(F.col("span_len") >= min_len)
+        .select(id_col, "span_start", "span_end", "span_len")
+    )

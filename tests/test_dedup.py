@@ -219,3 +219,51 @@ def test_containment_pairs_find_embedded_docs(spark):
     # the symmetric near-dup: both high
     assert out[(1, 4)]["containment"] == 1.0 and out[(1, 4)]["jaccard"] > 0.8
     assert not any(3 in k for k in out)  # unrelated doc never pairs
+
+
+def test_duplicate_substring_runs_flags_long_quote_containment_misses(spark):
+    """VERDICT r6 #5: a 30-token verbatim quote inside two otherwise-unique
+    full-size documents escapes containment_pairs' verify (neither doc is
+    mostly contained in the other) but duplicate_substring_runs flags the
+    exact token interval in BOTH docs."""
+    import random
+
+    from entity_linkings_spark.operators.dedup import (
+        containment_pairs,
+        duplicate_substring_runs,
+    )
+
+    rng = random.Random(7)
+    mk = lambda p, n: " ".join(f"{p}{rng.randint(0, 10**9)}" for _ in range(n))  # noqa: E731
+    quote = " ".join(f"q{i}" for i in range(30))
+    a = mk("a", 20) + " " + quote + " " + mk("z", 30)   # quote at tokens 21-50
+    b = quote + " " + mk("b", 50)                       # quote at tokens 1-30
+    c = mk("c", 60)                                     # unrelated
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    runs = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+            for r in duplicate_substring_runs(df, k=10, min_len=25).collect()}
+    assert runs == {1: (21, 51, 30), 2: (1, 31, 30)}
+    # ...and the containment cascade really does miss this shape
+    cont = containment_pairs(df, min_shared=8, max_df=20)
+    assert cont.where("containment >= 0.9").count() == 0
+
+
+def test_duplicate_substring_runs_merges_and_thresholds(spark):
+    from entity_linkings_spark.operators.dedup import duplicate_substring_runs
+
+    shared = " ".join(f"s{i}" for i in range(24))       # 24 < min_len 25
+    d1 = shared + " " + " ".join(f"x{i}" for i in range(40))
+    d2 = shared + " " + " ".join(f"y{i}" for i in range(40))
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    # a 24-token shared run merges to one 24-long span -> below threshold
+    assert duplicate_substring_runs(df, k=10, min_len=25).count() == 0
+    # at min_len 20 the same span surfaces once per doc, exact extent
+    got = {r["doc_id"]: r["span_len"]
+           for r in duplicate_substring_runs(df, k=10, min_len=20).collect()}
+    assert got == {1: 24, 2: 24}
+    # intra-doc repetition alone is NOT flagged (distinct-doc contract)
+    rep = " ".join(f"r{i % 12}" for i in range(48))
+    solo = spark.createDataFrame([(9, rep)], "doc_id long, text string")
+    assert duplicate_substring_runs(solo, k=10, min_len=20).count() == 0
