@@ -221,3 +221,62 @@ def filter_blocked_domains(
     hosts = df.select(host_col).distinct()
     bad = blocked_host_set(hosts, blocklist, host_col, rule_col)
     return df.join(bad, host_col, "left_anti")
+
+
+def registrable_domain(
+    df: DataFrame,
+    psl: DataFrame,
+    host_col: str = "host",
+    out_col: str = "reg_domain",
+    suffix_col: str = "suffix",
+) -> DataFrame:
+    """Append the REGISTRABLE domain (eTLD+1) of each host — the key
+    crawl prep actually caps and groups by: 'a.example.com' and
+    'b.example.com' belong to one registrant, and so do
+    'a.example.co.uk' / 'b.example.co.uk', which a naive "last two
+    labels" rule would wrongly split from each other ('co.uk' is a
+    PUBLIC suffix). PSL-lite: ``psl`` is a small public-suffix dimension
+    of plain suffix rules (the wildcard '*.ck' and exception '!' rule
+    forms of the full Mozilla list are out of scope, documented here).
+
+    Semantics: the registrable domain is the label suffix ONE label
+    longer than the LONGEST public suffix matching the host. Fallbacks:
+    a host that IS a public suffix maps to itself; a host matching no
+    rule falls back to its last two labels (the implicit '*' rule of the
+    PSL), or to itself if it has only one label.
+
+    Plan: host ladder explode (functions/strings.py host_suffixes,
+    fan-out = label count ~4-6) equi-joined against the BROADCAST psl
+    dimension, one min-index aggregate per distinct host, and a
+    broadcast-size rejoin — the blocked_host_set shuffle shape; never a
+    LIKE nested-loop, never a row-count-sized fan-out (the ladder runs
+    over DISTINCT hosts only)."""
+    from entity_linkings_spark.functions.strings import host_suffixes
+
+    hosts = df.select(host_col).distinct().withColumn(
+        "_sufs", host_suffixes(F.col(host_col))
+    )
+    lad = hosts.select(
+        host_col, F.posexplode("_sufs").alias("_idx", "_suf")
+    )
+    rules = psl.select(F.col(suffix_col).alias("_suf"))
+    best = (
+        lad.join(F.broadcast(rules), "_suf")
+        .groupBy(host_col)
+        .agg(F.min("_idx").alias("_psl_idx"))
+    )
+    resolved = (
+        hosts.join(best, host_col, "left")
+        .select(
+            host_col,
+            F.element_at(
+                "_sufs",
+                F.greatest(
+                    F.coalesce(F.col("_psl_idx"),
+                               F.size("_sufs") - F.lit(1)),
+                    F.lit(1),
+                ).cast("int"),
+            ).alias(out_col),
+        )
+    )
+    return df.join(resolved, host_col, "left")

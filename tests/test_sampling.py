@@ -146,3 +146,29 @@ def test_filter_blocked_domains_suffix_semantics(spark):
     bad = {r["host"] for r in blocked_host_set(df.select("host"), bl).collect()}
     assert bad == {"example.com", "www.example.com", "a.b.example.com",
                    "ads.tracker.net", "tracker.net"}
+
+
+def test_registrable_domain_psl_lite(spark):
+    """eTLD+1 resolution (VERDICT r6 #6): longest public suffix wins,
+    host-is-a-public-suffix maps to itself, unknown TLDs fall back to the
+    implicit-'*' last-two-labels rule, single-label hosts to themselves."""
+    from entity_linkings_spark.operators.sampling import registrable_domain
+
+    psl = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",), ("github.io",), ("io",)],
+        "suffix string",
+    )
+    hosts = [
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("a.example.co.uk", "example.co.uk"),   # co.uk beats uk
+        ("b.example.co.uk", "example.co.uk"),
+        ("user.github.io", "user.github.io"),   # github.io beats io
+        ("github.io", "github.io"),             # host IS a public suffix
+        ("deep.x.example.zz", "example.zz"),    # unknown TLD -> last two
+        ("localhost", "localhost"),             # single label -> itself
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {r["host"]: r["reg_domain"]
+           for r in registrable_domain(df, psl).collect()}
+    assert got == dict(hosts)
