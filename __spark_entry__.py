@@ -213,72 +213,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     qs["j8_blocking_pairs"] = j8_blocking_pairs
 
     # Registration ORDER is the driver's check order, and the driver checks
-    # a 50-entry window. Round-6 rotation policy (VERDICT r5 #2, the
-    # fresh-within-2-rounds invariant): flagships + this round's NEW
-    # queries + queries whose IMPLEMENTATION changed this round first, then
-    # ALL 32 queries whose last driver row is round 4 (r5's out-of-window
-    # set — they must not go 3 rounds stale), then fill slots for the
-    # stages the new dataprep_pipeline composes and the IVF-maintenance
-    # family the new rebalance extends. The r5-green rows left outside
-    # rotate back in round 7.
+    # a 50-entry window. Round-7 rotation policy (VERDICT r6 #1, the
+    # fresh-within-2-rounds invariant): the 39 queries whose last driver
+    # row is round 5 plus this round's 2 NEW queries are the 41 rows r6
+    # did NOT cover — all in. The 9 remaining slots go to the flagships
+    # and the queries whose implementation or oracle CHANGED this round
+    # (containment stage composed into dataprep, url_host repeated
+    # alternation + stacked plants, rebalance seed-collect bound).
     priority = [
-        # flagships + round-6 new (paragraph dedup, blocklist filter, IVF
-        # rebalance, composed dataprep) / changed (URL canonicalizer
-        # anchor fix, boilerplate left-join, incremental-CC fresh-node
-        # derivation, scorer masked divide)
+        # flagships (dataprep gained the containment stage this round)
         "pipeline_linkage",
         "dataprep_pipeline",
-        "dedup_paragraphs",
+        # round-7 new
+        "dedup_substring_runs",
+        "sample_domain_quota_psl",
+        # round-7 changed (url_host consumers; IVF rebalance/codebook)
         "filter_blocked_domains",
-        "ann_ivf_rebalance_topk",
         "sample_domain_quota",
-        "quality_surprisal",
-        "dedup_containment",
-        "dedup_url",
-        "dedup_boilerplate_lines",
-        "cc_incremental",
-        "score_pairs",
-        # the 32 round-4-fresh rows (CORRECTNESS_r04 \ r05)
-        "s1_scan_documents",
-        "p2_flatten_tokens",
-        "p3_mention_window",
-        "p4p7_context_ops",
-        "f_normalize_tiers",
-        "j1_dict_lookup_nil",
-        "t4_top1_per_doc",
-        "token_count",
-        "doc_fingerprint",
-        "text_quality",
-        "quality_gopher",
-        "decontaminate_ngrams",
-        "ann_cosine_topk",
-        "ann_lsh_topk",
-        "ann_lsh_recall",
-        "j4_prior_cascade",
-        "w2_asof_join",
-        "w3_range_join",
-        "f4_word_tokens",
-        "f5_char_ngrams",
-        "f_redact_pii",
-        "split_train_val_test",
-        "sample_per_source",
-        "chunk_tokens",
-        "vocab_topk",
-        "shuffle_train_order",
-        "pack_sequences",
-        "skew_key_histogram",
-        "quality_repetition",
-        "quantize_embeddings",
-        "ann_quantized_recall",
-        "dedup_duplicate_spans",
-        # fill: dataprep_pipeline's stage queries + the IVF family around
-        # the new rebalance op
-        "a4_top1_accuracy",
-        "j8_blocking_pairs",
-        "dedup_keeper_quality",
-        "split_leakage_audit",
-        "sample_weighted",
+        "ann_ivf_rebalance_topk",
         "ann_ivf_append_topk",
+        "dedup_containment",
+        # the 39 round-5-fresh rows (CORRECTNESS_r05 \ r06)
+        "a2_prior_topk",
+        "a3_recall_mrr",
+        "a5_inkb_f1",
+        "a7_cost_estimate",
+        "ann_ivf_recall",
+        "ann_ivf_sq8_recall",
+        "ann_ivf_sq8_topk",
+        "ann_ivf_topk",
+        "cc_components",
+        "cc_size_histogram",
+        "dedup_embedding_neardup",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_pipeline",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "dedup_simhash_pairs_capped",
+        "f11_f12_softmax_spans",
+        "f8_hash_keys",
+        "f9_parse_choice",
+        "ivf_list_histogram",
+        "j10_inbatch_negatives",
+        "j5_tfidf_topk",
+        "j5_tfidf_topk_maxdf",
+        "j5_tfidf_topk_gemm",
+        "j5_tfidf_topk_auto",
+        "j9_wikimap_chase",
+        "lang_id",
+        "p1_nil_filter",
+        "p8_extract_islands",
+        "s10_sqldump_roundtrip",
+        "s11_conll_roundtrip",
+        "s4_mention_counter_roundtrip",
+        "t3_k_clamp",
+        "t6_stable_order",
+        "u1_union_dedup",
+        "u3_anti_ignore",
+        "w1_sessionize",
     ]
     ordered = {name: qs[name] for name in priority if name in qs}
     ordered.update((name, fn) for name, fn in qs.items() if name not in ordered)
