@@ -3247,6 +3247,78 @@ def dedup_substring_runs(spark, sf):
 
 
 @register(
+    "dedup_substring_cut",
+    """
+    WITH dirty AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 17 = 3 AND p.text IS NOT NULL
+                         AND len(string_split(p.text, ' ')) >= 45
+                    THEN array_to_string(
+                         string_split(d.text, ' ')[1:5]
+                         || string_split(p.text, ' ')[11:40]
+                         || string_split(d.text, ' ')[6:], ' ')
+                    ELSE d.text END AS text
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 2),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM dirty),
+    grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     md5(array_to_string(w[i:i+9], ' ')) AS h
+              FROM (SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 9)) AS i
+                    FROM toks WHERE len(w) >= 10)),
+    shared AS (SELECT h, min(doc_id) AS gm FROM grams GROUP BY h
+               HAVING count(DISTINCT doc_id) >= 2),
+    sg AS (SELECT g.doc_id, g.pos, s.gm FROM grams g JOIN shared s USING (h)),
+    isl AS (SELECT doc_id, pos, gm,
+                   sum(CASE WHEN pos - prev > 10 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM (SELECT doc_id, pos, gm,
+                         lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) AS prev
+                  FROM sg)),
+    cuts AS (SELECT doc_id, min(pos) AS s, max(pos) + 10 AS e
+             FROM isl GROUP BY doc_id, island
+             HAVING max(pos) + 10 - min(pos) >= 25 AND min(gm) < doc_id),
+    tok AS (SELECT doc_id, i AS idx, w[i] AS tok
+            FROM toks, unnest(generate_series(1, len(w))) AS t(i)),
+    clean AS (SELECT t.doc_id,
+                     string_agg(t.tok, ' ' ORDER BY t.idx) AS text
+              FROM tok t LEFT JOIN cuts c
+                ON c.doc_id = t.doc_id AND t.idx >= c.s AND t.idx < c.e
+              WHERE c.s IS NULL GROUP BY t.doc_id)
+    SELECT d.doc_id, coalesce(cl.text, '') AS text
+    FROM dirty d LEFT JOIN clean cl USING (doc_id)
+    """,
+)
+def dedup_substring_cut(spark, sf):
+    """The removal half of exact-substring dedup (operators/dedup.py
+    cut_duplicate_substring_runs) over the SAME planted corpus as
+    dedup_substring_runs: the flagged verbatim runs are CUT from every
+    document except the earliest holder of any of the run's grams — for
+    the plant, the quoted predecessor (doc_id - 2) keeps its tokens 11-40
+    and the quoting doc loses its spliced copy, while every non-planted
+    token of both documents survives untouched. Returns the full cleaned
+    corpus (every doc_id, all-cut docs as text='')."""
+    docs = _docs(spark, sf)
+    d = F.col("doc_id")
+    prev = docs.select((d + 2).alias("doc_id"), F.col("text").alias("_ptext"))
+    pw = F.split("_ptext", " ")
+    dw = F.split("text", " ")
+    dirty = docs.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (d % 17 == 3) & F.col("_ptext").isNotNull()
+            & (F.size(pw) >= 45),
+            F.array_join(
+                F.concat(F.slice(dw, 1, 5), F.slice(pw, 11, 30),
+                         F.slice(dw, 6, F.size(dw) - 5)),
+                " ",
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return D.cut_duplicate_substring_runs(dirty, k=10, min_len=25)
+
+
+@register(
     "quality_surprisal",
     """
     WITH dirty AS (SELECT doc_id,

@@ -511,6 +511,28 @@ def duplicate_substring_runs(
     duplicate_spans). Two shared windows merge when their intervals
     overlap or touch (gap <= k positions), so a run of length L yields
     one span of exactly L."""
+    isl = _shared_gram_islands(corpus, id_col, text_col, k)
+    return (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+        )
+        .withColumn("span_len", F.col("span_end") - F.col("span_start"))
+        .where(F.col("span_len") >= min_len)
+        .select(id_col, "span_start", "span_end", "span_len")
+    )
+
+
+def _shared_gram_islands(
+    corpus: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, gram_min, island): 1-based start positions of k-grams held
+    verbatim by >= 2 distinct documents, each carrying the GLOBAL minimum
+    document id holding that gram, grouped into per-document islands of
+    overlapping/touching windows (gap <= k) by the one sort-shuffle the
+    substring-run family pays. Shared spine of duplicate_substring_runs
+    (detection) and cut_duplicate_substring_runs (removal)."""
     words = F.split(F.col(text_col), " ")
     grams = (
         corpus.where(F.size(words) >= k)
@@ -527,25 +549,80 @@ def duplicate_substring_runs(
     )
     shared = (
         grams.groupBy("h")
-        .agg(F.countDistinct(id_col).alias("nd"))
+        .agg(
+            F.countDistinct(id_col).alias("nd"),
+            F.min(id_col).alias("gram_min"),
+        )
         .where(F.col("nd") >= 2)
-        .select("h")
+        .select("h", "gram_min")
     )
-    sg = grams.join(shared, "h").select(id_col, "pos")
+    sg = grams.join(shared, "h").select(id_col, "pos", "gram_min")
     wlag = Window.partitionBy(id_col).orderBy("pos")
-    isl = sg.withColumn(
+    return sg.withColumn(
         "island",
         F.sum(
             F.when(F.col("pos") - F.lag("pos").over(wlag) > k, 1).otherwise(0)
         ).over(wlag),
     )
-    return (
+
+
+def cut_duplicate_substring_runs(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_len: int = 25,
+) -> DataFrame:
+    """REMOVE the duplicated substrings duplicate_substring_runs detects —
+    the second half of exact-substring dedup (Lee et al. 2022 cut
+    duplicated spans rather than whole documents, because the rest of the
+    text is unique signal worth keeping).
+
+    Keeper rule, deterministic and total-order based: for each flagged
+    island, the EARLIEST document (smallest id) holding ANY of the
+    island's grams keeps its copy; every other document loses the
+    island's whole token interval. A mixed island (some grams first held
+    here, some held earlier elsewhere) is cut — dedup prefers losing a
+    span twice to keeping it twice. Documents whose every token is cut
+    return text='' rather than vanishing (the remove_boilerplate_lines
+    contract).
+
+    Returns (<id_col>, <text_col>) for EVERY input document. Plan: the
+    _shared_gram_islands spine (one agg + one per-doc sort-shuffle), an
+    island aggregate, a broadcast-size rejoin of per-doc cut intervals,
+    and an array filter over the token list — no pairwise document join,
+    no second corpus pass."""
+    isl = _shared_gram_islands(corpus, id_col, text_col, k)
+    cuts = (
         isl.groupBy(id_col, "island")
         .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + k).alias("span_end"),
+            F.min("pos").alias("s"),
+            (F.max("pos") + k).alias("e"),
+            F.min("gram_min").alias("first_holder"),
         )
-        .withColumn("span_len", F.col("span_end") - F.col("span_start"))
-        .where(F.col("span_len") >= min_len)
-        .select(id_col, "span_start", "span_end", "span_len")
+        .where(
+            ((F.col("e") - F.col("s")) >= min_len)
+            & (F.col("first_holder") < F.col(id_col))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("_cuts"))
+    )
+    words = F.split(F.col(text_col), " ")
+    # islands are separated by gaps > k, so cut intervals are disjoint —
+    # each token tests against a short interval list (F.exists), no explode
+    kept = F.filter(
+        words,
+        lambda x, i: ~F.exists(
+            F.col("_cuts"),
+            lambda c: (c["s"] <= i + 1) & (i + 1 < c["e"]),
+        ),
+    )
+    return (
+        corpus.join(cuts, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_cuts").isNull(), F.col(text_col))
+            .otherwise(F.array_join(kept, " "))
+            .alias(text_col),
+        )
     )

@@ -267,3 +267,37 @@ def test_duplicate_substring_runs_merges_and_thresholds(spark):
     rep = " ".join(f"r{i % 12}" for i in range(48))
     solo = spark.createDataFrame([(9, rep)], "doc_id long, text string")
     assert duplicate_substring_runs(solo, k=10, min_len=20).count() == 0
+
+
+def test_cut_duplicate_substring_runs_earliest_holder_keeps(spark):
+    from entity_linkings_spark.operators.dedup import (
+        cut_duplicate_substring_runs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(30))
+    a_head = " ".join(f"a{i}" for i in range(10))
+    a_tail = " ".join(f"z{i}" for i in range(15))
+    b_tail = " ".join(f"b{i}" for i in range(40))
+    rows = [
+        (1, a_head + " " + quote + " " + a_tail),  # earliest holder: keeps
+        (2, quote + " " + b_tail),                 # later copy: span cut
+        (3, " ".join(f"c{i}" for i in range(20))), # untouched
+        (4, quote),                                # later copy, ALL tokens cut
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in cut_duplicate_substring_runs(df, k=10, min_len=25).collect()}
+    assert got[1] == rows[0][1]          # keeper byte-identical
+    assert got[2] == b_tail              # span excised, unique text kept
+    assert got[3] == rows[2][1]          # no shared grams -> untouched
+    assert got[4] == ""                  # fully-duplicated doc -> empty, not missing
+    # below min_len nothing is cut even though grams are shared
+    short = " ".join(f"s{i}" for i in range(20))
+    df2 = spark.createDataFrame(
+        [(1, short + " " + " ".join(f"x{i}" for i in range(30))),
+         (2, short + " " + " ".join(f"y{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    got2 = {r["doc_id"]: r["text"]
+            for r in cut_duplicate_substring_runs(df2, k=10, min_len=25).collect()}
+    assert got2[2].startswith(short)
