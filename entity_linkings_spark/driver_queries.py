@@ -4084,18 +4084,30 @@ def cc_size_histogram(spark, sf):
 
 _DATAPREP_SQL = f"""
     WITH RECURSIVE bl(rule) AS (VALUES {", ".join(f"('{r}')" for r in _BLOCK_RULES)}),
-    -- stage 0 plant: every 13th document is a TRUNCATED RE-CRAWL — the
+    -- stage 0 plants: every 13th document is a TRUNCATED RE-CRAWL — the
     -- first 30 words of its predecessor, planted only when the
     -- predecessor has >= 60 words so shingle Jaccard stays < 0.5 and the
     -- MinHash stage (j^2-per-band collision) structurally misses it;
-    -- only the containment stage (5b) can remove it
+    -- only the containment stage (5b) can remove it. Every 17th document
+    -- (truncation wins on overlap) gets a 30-token VERBATIM QUOTE from
+    -- doc_id-2 spliced in after its 5th token — a full-size doc pair
+    -- neither MinHash (Jaccard ~0.2) nor containment (~26/41 < 0.9) can
+    -- see; only the substring-cut stage (5c) removes the quoted copy
     dirty AS MATERIALIZED (
         SELECT d.doc_id, d.source,
                CASE WHEN d.doc_id % 13 = 5 AND p.text IS NOT NULL
                          AND len(string_split(p.text, ' ')) >= 60
                     THEN array_to_string(string_split(p.text, ' ')[1:30], ' ')
+                    WHEN d.doc_id % 17 = 3 AND q.text IS NOT NULL
+                         AND len(string_split(q.text, ' ')) >= 45
+                    THEN array_to_string(
+                         string_split(d.text, ' ')[1:5]
+                         || string_split(q.text, ' ')[11:40]
+                         || string_split(d.text, ' ')[6:], ' ')
                     ELSE d.text END AS text
-        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+        FROM documents d
+        LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+        LEFT JOIN documents q ON q.doc_id = d.doc_id - 2),
     -- stage 1 ground truth: the planted URLs collapse to the canonical key
     -- (host, path, surviving x= param), stated ARITHMETICALLY instead of
     -- replaying the regex chain (dedup_url already proves the chain): two
@@ -4192,6 +4204,40 @@ _DATAPREP_SQL = f"""
         SELECT q.doc_id, q.source, q.text, l.cluster_id
         FROM qual q LEFT JOIN labels l ON l.node = q.doc_id
         WHERE l.node IS NULL OR q.doc_id IN (SELECT node FROM keepers)),
+    -- stage 5c: exact-substring cut over the near-dup survivors (the
+    -- dedup_substring_cut machinery: positional 10-grams, earliest-holder
+    -- keeper, islands >= 25 tokens cut from every later doc)
+    dtoks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS w FROM deduped),
+    g2 AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                  md5(array_to_string(w[i:i+9], ' ')) AS h
+           FROM (SELECT doc_id, w,
+                        unnest(generate_series(1, len(w) - 9)) AS i
+                 FROM dtoks WHERE len(w) >= 10)),
+    sh2 AS (SELECT h, min(doc_id) AS gm FROM g2 GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2),
+    sg2 AS (SELECT g.doc_id, g.pos, s.gm FROM g2 g JOIN sh2 s USING (h)),
+    isl2 AS (SELECT doc_id, pos, gm,
+                    sum(CASE WHEN pos - prev > 10 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos) AS island
+             FROM (SELECT doc_id, pos, gm,
+                          lag(pos) OVER (PARTITION BY doc_id
+                                         ORDER BY pos) AS prev
+                   FROM sg2)),
+    cuts2 AS (SELECT doc_id, min(pos) AS s, max(pos) + 10 AS e
+              FROM isl2 GROUP BY doc_id, island
+              HAVING max(pos) + 10 - min(pos) >= 25 AND min(gm) < doc_id),
+    tok2 AS (SELECT doc_id, i AS idx, w[i] AS tok
+             FROM dtoks, unnest(generate_series(1, len(w))) AS t(i)),
+    cut_txt AS (SELECT t.doc_id,
+                       string_agg(t.tok, ' ' ORDER BY t.idx) AS text
+                FROM tok2 t LEFT JOIN cuts2 c
+                  ON c.doc_id = t.doc_id AND t.idx >= c.s AND t.idx < c.e
+                WHERE c.s IS NULL GROUP BY t.doc_id),
+    cleaned2 AS MATERIALIZED (
+        SELECT d.doc_id, d.source, coalesce(ct.text, '') AS text,
+               d.cluster_id
+        FROM deduped d LEFT JOIN cut_txt ct USING (doc_id)),
     -- stage 6: benchmark decontamination (13-gram hash join, same plant as
     -- decontaminate_ngrams: 40-word excerpts of every 29th ORIGINAL doc)
     bm0 AS (SELECT string_split(array_to_string(
@@ -4201,11 +4247,12 @@ _DATAPREP_SQL = f"""
              (SELECT unnest({_SHINGLE13_SQL}) AS sh FROM bm0)),
     ds AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM
              (SELECT doc_id, unnest({_SHINGLE13_SQL}) AS sh FROM
-                (SELECT doc_id, string_split(text, ' ') AS ws FROM deduped))),
+                (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM cleaned2))),
     contaminated AS (SELECT DISTINCT doc_id FROM ds JOIN bm USING (h)),
     -- stage 7: group-aware split keyed on the near-dup cluster, train kept
     train AS MATERIALIZED (
-        SELECT doc_id, source, text FROM deduped
+        SELECT doc_id, source, text FROM cleaned2
         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
           AND ({_split_case_sql("coalesce(cluster_id, doc_id)", _SPLIT_W)})
               = 'train'),
@@ -4261,22 +4308,29 @@ def dataprep_pipeline(spark, sf):
     URL-key dedup (min-doc keeper) -> host blocklist filter -> line-level
     boilerplate removal -> quality gate -> MinHash near-dup dedup UNIONED
     with asymmetric containment edges (VERDICT r6 #2) feeding one
-    component graph with the quality-preferring keeper -> benchmark
+    component graph with the quality-preferring keeper -> exact-substring
+    cut over the survivors (stage 5c, round 7) -> benchmark
     decontamination -> group-aware train/val/test split (keyed on the
     near-dup cluster so no pair straddles splits) -> weighted source
     mixing on the train split -> 64-token chunking greedily packed into
     256-token bins. Every stage is an individually-oracled operator
     (dedup_url, filter_blocked_domains, dedup_boilerplate_lines,
     text_quality, dedup_keeper_quality, dedup_containment,
-    decontaminate_ngrams, split_leakage_audit, sample_weighted,
-    pack_sequences); this row proves the COMPOSITION end to end — the
-    final packed stream is sensitive to any wrong survivor at any stage.
+    dedup_substring_cut, decontaminate_ngrams, split_leakage_audit,
+    sample_weighted, pack_sequences); this row proves the COMPOSITION end
+    to end — the final packed stream is sensitive to any wrong survivor
+    (or any wrongly kept/cut token) at any stage.
 
-    The planted truncated re-crawls (every 13th doc becomes the first 30
-    words of a >= 60-word predecessor: Jaccard < 0.5 by construction, so
-    the MinHash path cannot see them; containment 1.0) are removed ONLY
-    because stage 5b's shared-rare-shingle candidates union into the same
-    CC edge set — doc-level MinHash alone sailed them through.
+    The dedup cascade now covers all three granularities, each with a
+    plant only IT can catch: URL-key exact dups (stage 1), truncated
+    re-crawls (every 13th doc = first 30 words of a >= 60-word
+    predecessor: Jaccard < 0.5 so MinHash is blind, containment 1.0 —
+    stage 5b's shared-rare-shingle edges remove them), and spliced
+    verbatim quotes (every 17th doc, truncation wins on overlap, gets
+    tokens 11-40 of doc_id-2 after its 5th token: both docs full-size, so
+    Jaccard ~0.2 AND containment ~26/41 < 0.9 — only stage 5c's
+    earliest-holder cut removes the copy while keeping the quoting doc's
+    unique text).
 
     The oracle restates stages 1-4 as ground truth (arithmetic canonical
     key; cleaned == original text because the plant only adds
@@ -4285,10 +4339,10 @@ def dataprep_pipeline(spark, sf):
 
     Scale shape: each stage is the already-audited plan (hash-agg URL
     keeper, suffix-explode broadcast blocklist join, linear boilerplate
-    pass, projection quality gate, bucketed band join + CC, distinct-
-    shingle equi-join decontamination, projection split/mix, per-source
-    applyInPandas packing) — no new shuffle topology is introduced by
-    composing them."""
+    pass, projection quality gate, bucketed band join + CC, positional-
+    gram agg + per-doc sort for the cut, distinct-shingle equi-join
+    decontamination, projection split/mix, per-source applyInPandas
+    packing) — no new shuffle topology is introduced by composing them."""
     from entity_linkings_spark.functions.strings import canonicalize_url, tokenize
     from entity_linkings_spark.operators.batching import pack_sequences
     from entity_linkings_spark.operators.dedup import remove_boilerplate_lines
@@ -4312,12 +4366,22 @@ def dataprep_pipeline(spark, sf):
         .otherwise(F.lit("")),
     )
     prev = docs.select((d + 1).alias("doc_id"), F.col("text").alias("_ptext"))
-    planted = docs.join(prev, "doc_id", "left").select(
+    prev2 = docs.select((d + 2).alias("doc_id"), F.col("text").alias("_qtext"))
+    qw = F.split("_qtext", " ")
+    dw = F.split("text", " ")
+    planted = docs.join(prev, "doc_id", "left").join(prev2, "doc_id", "left").select(
         "doc_id", "source",
         F.when(
             (d % 13 == 5) & F.col("_ptext").isNotNull()
             & (F.size(F.split("_ptext", " ")) >= 60),
             F.array_join(F.slice(F.split("_ptext", " "), 1, 30), " "),
+        ).when(
+            (d % 17 == 3) & F.col("_qtext").isNotNull() & (F.size(qw) >= 45),
+            F.array_join(
+                F.concat(F.slice(dw, 1, 5), F.slice(qw, 11, 30),
+                         F.slice(dw, 6, F.size(dw) - 5)),
+                " ",
+            ),
         ).otherwise(F.col("text")).alias("text"),
     )
     dirty = planted.select(
@@ -4386,15 +4450,25 @@ def dataprep_pipeline(spark, sf):
         .select("doc_id")
     )
     losers = labels.join(keepers, "doc_id", "left_anti").select("doc_id")
+    # materialized: stage 5c's gram spine reads the survivors three ways
+    # (positional grams, shared-gram rejoin, token reconstruction) on top
+    # of the decontamination + split consumers
     deduped = (
         qual.join(labels, "doc_id", "left")
         .join(losers, "doc_id", "left_anti")
-    )
+    ).localCheckpoint()
+    # stage 5c: exact-substring cut over the near-dup survivors — the
+    # quote/spliced-re-crawl shape that is invisible at doc granularity
+    # (Jaccard ~0.2, containment < 0.9) loses its later copies here while
+    # the earliest holder keeps its text byte-identical
+    cleaned2 = D.cut_duplicate_substring_runs(
+        deduped.select("doc_id", "text"), k=10, min_len=25
+    ).join(deduped.select("doc_id", "source", "cluster_id"), "doc_id")
     benchmark = docs.where(d % 29 == 0).select(
         F.array_join(F.slice(F.split("text", " "), 1, 40), " ").alias("text")
     )
-    hits = D.ngram_decontaminate(deduped, benchmark, n=13).select("doc_id")
-    decon = deduped.join(hits, "doc_id", "left_anti")
+    hits = D.ngram_decontaminate(cleaned2, benchmark, n=13).select("doc_id")
+    decon = cleaned2.join(hits, "doc_id", "left_anti")
     train = decon.where(
         split_column(F.coalesce("cluster_id", F.col("doc_id")), _SPLIT_W)
         == "train"
