@@ -301,3 +301,41 @@ def test_cut_duplicate_substring_runs_earliest_holder_keeps(spark):
     got2 = {r["doc_id"]: r["text"]
             for r in cut_duplicate_substring_runs(df2, k=10, min_len=25).collect()}
     assert got2[2].startswith(short)
+
+
+def test_substring_family_matches_python_model(spark):
+    """Spark == pure-Python model (tests/test_properties.py
+    substring_runs_py / substring_cut_py) over seeded random corpora with
+    heavy gram sharing — 12 independent corpora swept in ONE Spark job
+    (tokens corpus-prefixed so no gram crosses corpora and the global run
+    decomposes per corpus)."""
+    import random
+
+    from entity_linkings_spark.operators.dedup import (
+        cut_duplicate_substring_runs,
+        duplicate_substring_runs,
+    )
+    from tests.test_properties import substring_cut_py, substring_runs_py
+
+    rng = random.Random(20260817)
+    docs = {}
+    for c in range(12):
+        # small alphabet -> natural shared k-grams; plus one planted run
+        alpha = [f"c{c}w{i}" for i in range(rng.randint(4, 7))]
+        run = [f"c{c}r{i}" for i in range(rng.randint(6, 14))]
+        ids = [c * 100 + i for i in range(1, rng.randint(3, 6))]
+        for d in ids:
+            docs[d] = [rng.choice(alpha) for _ in range(rng.randint(8, 28))]
+        a, b = rng.sample(ids, 2)
+        docs[a] = docs[a][:rng.randint(0, len(docs[a]))] + run + docs[a]
+        docs[b] = run + docs[b]
+    texts = {d: " ".join(w) for d, w in docs.items()}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    k, min_len = 3, 5
+    got_runs = {(r["doc_id"], r["span_start"], r["span_end"])
+                for r in duplicate_substring_runs(df, k=k, min_len=min_len).collect()}
+    want_runs = {(d, s, e) for d, s, e, _ in substring_runs_py(texts, k, min_len)}
+    assert got_runs == want_runs
+    got_cut = {r["doc_id"]: r["text"]
+               for r in cut_duplicate_substring_runs(df, k=k, min_len=min_len).collect()}
+    assert got_cut == substring_cut_py(texts, k, min_len)

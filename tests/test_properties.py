@@ -343,3 +343,96 @@ def test_host_suffixes_python_model():
         want = [".".join(parts[i:]) for i in range(len(parts))]
         assert all(host == s or host.endswith("." + s) for s in want)
         assert len(want) == len(parts)
+
+
+# Pure-Python model of the sorted-gram-run substring family
+# (operators/dedup.py duplicate_substring_runs / cut_duplicate_substring_runs);
+# the Spark==model bridge sweeps seeded corpora in
+# tests/test_dedup.py::test_substring_family_matches_python_model.
+
+def substring_runs_py(docs: dict, k: int, min_len: int):
+    holders: dict = {}
+    for d, t in docs.items():
+        w = t.split(" ")
+        for i in range(len(w) - k + 1):
+            holders.setdefault(" ".join(w[i:i + k]), set()).add(d)
+    spans = []
+    for d in docs:
+        w = docs[d].split(" ")
+        shared = [(i + 1, min(holders[" ".join(w[i:i + k])]))
+                  for i in range(len(w) - k + 1)
+                  if len(holders[" ".join(w[i:i + k])]) >= 2]
+        runs: list = []
+        for p, gm in shared:
+            if runs and p - runs[-1][-1][0] <= k:
+                runs[-1].append((p, gm))
+            else:
+                runs.append([(p, gm)])
+        for r in runs:
+            s, e = r[0][0], r[-1][0] + k
+            if e - s >= min_len:
+                spans.append((d, s, e, min(gm for _, gm in r)))
+    return spans
+
+
+def substring_cut_py(docs: dict, k: int, min_len: int) -> dict:
+    cuts: dict = {}
+    for d, s, e, gm in substring_runs_py(docs, k, min_len):
+        if gm < d:
+            cuts.setdefault(d, []).append((s, e))
+    out = {}
+    for d, t in docs.items():
+        w = t.split(" ")
+        kept = [tok for i, tok in enumerate(w, start=1)
+                if not any(s <= i < e for s, e in cuts.get(d, []))]
+        out[d] = " ".join(kept)
+    return out
+
+
+_RUNTOK = st.sampled_from([f"t{i}" for i in range(6)])
+
+
+@st.composite
+def run_corpora(draw):
+    """3-5 docs of unique-by-construction tokens, plus ONE shared run of
+    known length spliced into two of them at known offsets."""
+    n_docs = draw(st.integers(3, 5))
+    run_len = draw(st.integers(5, 12))
+    run = [f"r{i}_{draw(st.integers(0, 2))}" for i in range(run_len)]
+    docs = {}
+    for d in range(n_docs):
+        n = draw(st.integers(6, 15))
+        docs[d + 1] = [f"u{d}_{j}" for j in range(n)]   # globally unique
+    a, b = 1, draw(st.integers(2, n_docs))
+    off_a = draw(st.integers(0, len(docs[a])))
+    off_b = draw(st.integers(0, len(docs[b])))
+    docs[a] = docs[a][:off_a] + run + docs[a][off_a:]
+    docs[b] = docs[b][:off_b] + run + docs[b][off_b:]
+    return ({d: " ".join(w) for d, w in docs.items()},
+            (a, off_a + 1, run_len), (b, off_b + 1, run_len))
+
+
+@settings(max_examples=150, deadline=None)
+@given(run_corpora())
+def test_substring_model_finds_planted_run_exactly(case):
+    docs, (a, sa, L), (b, sb, _) = case
+    spans = substring_runs_py(docs, k=3, min_len=L)
+    got = {(d, s, e) for d, s, e, _ in spans}
+    # the planted run is found at its exact offsets in BOTH docs, and
+    # nothing else is flagged (all other tokens are globally unique)
+    assert got == {(a, sa, sa + L), (b, sb, sb + L)}
+
+
+@settings(max_examples=150, deadline=None)
+@given(run_corpora())
+def test_substring_cut_model_invariants(case):
+    docs, _, _ = case
+    out = substring_cut_py(docs, k=3, min_len=5)
+    assert set(out) == set(docs)
+    # the globally smallest doc id is NEVER modified (it is the minimum
+    # holder of every gram it holds)
+    assert out[min(docs)] == docs[min(docs)]
+    # kept text is always a subsequence of the original
+    for d in docs:
+        it = iter(docs[d].split(" "))
+        assert all(tok in it for tok in out[d].split(" ") if out[d])
