@@ -95,10 +95,11 @@ HEADLINE = [
     "ann_ivf_rebalance_topk",
     "quality_surprisal",
     "dedup_containment",
-    # round-7 additions: exact-substring (sorted-gram-run) dedup and the
-    # registrable-domain quota; sample_domain_quota stays for the
-    # host-vs-registrant comparison
+    # round-7 additions: exact-substring (sorted-gram-run) dedup —
+    # detection and removal — and the registrable-domain quota;
+    # sample_domain_quota stays for the host-vs-registrant comparison
     "dedup_substring_runs",
+    "dedup_substring_cut",
     "sample_domain_quota_psl",
 ]
 
