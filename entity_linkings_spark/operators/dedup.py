@@ -524,17 +524,16 @@ def duplicate_substring_runs(
     )
 
 
-def _shared_gram_islands(
-    corpus: DataFrame, id_col: str, text_col: str, k: int
+def positional_grams(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 10,
 ) -> DataFrame:
-    """(id, pos, gram_min, island): 1-based start positions of k-grams held
-    verbatim by >= 2 distinct documents, each carrying the GLOBAL minimum
-    document id holding that gram, grouped into per-document islands of
-    overlapping/touching windows (gap <= k) by the one sort-shuffle the
-    substring-run family pays. Shared spine of duplicate_substring_runs
-    (detection) and cut_duplicate_substring_runs (removal)."""
+    """(id, pos, h): every k-token gram of each document with its 1-based
+    start position and md5 hash — the raw material of the substring-run
+    family (and of its epoch-incremental variant in
+    streaming/incremental.py)."""
     words = F.split(F.col(text_col), " ")
-    grams = (
+    return (
         corpus.where(F.size(words) >= k)
         .select(
             F.col(id_col),
@@ -547,6 +546,30 @@ def _shared_gram_islands(
         )
         .select(id_col, (F.col("pos0") + 1).cast("long").alias("pos"), "h")
     )
+
+
+def gram_islands(pos_df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Adds ``island``: per-document gaps-and-islands grouping of flagged
+    gram positions — overlapping/touching windows (gap <= k) merge; this
+    window is the one sort-shuffle the whole family pays."""
+    wlag = Window.partitionBy(id_col).orderBy("pos")
+    return pos_df.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(wlag) > k, 1).otherwise(0)
+        ).over(wlag),
+    )
+
+
+def _shared_gram_islands(
+    corpus: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, gram_min, island): 1-based start positions of k-grams held
+    verbatim by >= 2 distinct documents, each carrying the GLOBAL minimum
+    document id holding that gram, grouped into per-document islands.
+    Shared spine of duplicate_substring_runs (detection) and
+    cut_duplicate_substring_runs (removal)."""
+    grams = positional_grams(corpus, id_col, text_col, k)
     shared = (
         grams.groupBy("h")
         .agg(
@@ -557,12 +580,41 @@ def _shared_gram_islands(
         .select("h", "gram_min")
     )
     sg = grams.join(shared, "h").select(id_col, "pos", "gram_min")
-    wlag = Window.partitionBy(id_col).orderBy("pos")
-    return sg.withColumn(
-        "island",
-        F.sum(
-            F.when(F.col("pos") - F.lag("pos").over(wlag) > k, 1).otherwise(0)
-        ).over(wlag),
+    return gram_islands(sg, id_col, k)
+
+
+def apply_cut_intervals(
+    corpus: DataFrame,
+    cuts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove DISJOINT 1-based half-open token intervals ``(s, e)`` from
+    each document's text. Returns (<id_col>, <text_col>) for EVERY input
+    document; all-cut documents return text='' rather than vanishing (the
+    remove_boilerplate_lines contract). One per-doc interval-list rejoin
+    plus an array filter — no second corpus pass."""
+    ilist = cuts.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_cuts")
+    )
+    words = F.split(F.col(text_col), " ")
+    # intervals are disjoint by construction (islands are separated by
+    # gaps > k), so each token tests against a short list (F.exists)
+    kept = F.filter(
+        words,
+        lambda x, i: ~F.exists(
+            F.col("_cuts"),
+            lambda c: (c["s"] <= i + 1) & (i + 1 < c["e"]),
+        ),
+    )
+    return (
+        corpus.join(ilist, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_cuts").isNull(), F.col(text_col))
+            .otherwise(F.array_join(kept, " "))
+            .alias(text_col),
+        )
     )
 
 
@@ -604,25 +656,5 @@ def cut_duplicate_substring_runs(
             ((F.col("e") - F.col("s")) >= min_len)
             & (F.col("first_holder") < F.col(id_col))
         )
-        .groupBy(id_col)
-        .agg(F.collect_list(F.struct("s", "e")).alias("_cuts"))
     )
-    words = F.split(F.col(text_col), " ")
-    # islands are separated by gaps > k, so cut intervals are disjoint —
-    # each token tests against a short interval list (F.exists), no explode
-    kept = F.filter(
-        words,
-        lambda x, i: ~F.exists(
-            F.col("_cuts"),
-            lambda c: (c["s"] <= i + 1) & (i + 1 < c["e"]),
-        ),
-    )
-    return (
-        corpus.join(cuts, id_col, "left")
-        .select(
-            id_col,
-            F.when(F.col("_cuts").isNull(), F.col(text_col))
-            .otherwise(F.array_join(kept, " "))
-            .alias(text_col),
-        )
-    )
+    return apply_cut_intervals(corpus, cuts, id_col, text_col)

@@ -436,3 +436,41 @@ def test_substring_cut_model_invariants(case):
     for d in docs:
         it = iter(docs[d].split(" "))
         assert all(tok in it for tok in out[d].split(" ") if out[d])
+
+
+def substring_cut_prefix_py(docs: dict, k: int, min_len: int) -> dict:
+    """PREFIX model of streaming exact-substring dedup: each doc (ids in
+    arrival order) is cut against the docs before it only — the contract
+    streaming/incremental.py apply_substring_epoch implements epoch by
+    epoch. The holder store indexes each doc's ORIGINAL grams (arrivals
+    are indexed as they came, not as cut)."""
+    holders: dict = {}
+    out = {}
+    for d in sorted(docs):
+        w = docs[d].split(" ")
+        grams = [" ".join(w[i:i + k]) for i in range(len(w) - k + 1)]
+        flagged = [i + 1 for i, g in enumerate(grams)
+                   if holders.get(g, d) < d]
+        runs: list = []
+        for p in flagged:
+            if runs and p - runs[-1][-1] <= k:
+                runs[-1].append(p)
+            else:
+                runs.append([p])
+        cuts = [(r[0], r[-1] + k) for r in runs if r[-1] + k - r[0] >= min_len]
+        out[d] = " ".join(tok for i, tok in enumerate(w, start=1)
+                          if not any(s <= i < e for s, e in cuts))
+        for g in grams:
+            holders.setdefault(g, d)
+    return out
+
+
+@settings(max_examples=100, deadline=None)
+@given(run_corpora())
+def test_prefix_model_agrees_with_batch_on_planted_runs(case):
+    # for the planted-run corpora (one run, two holders, unique rest) the
+    # prefix and batch cut models agree doc-for-doc: the earlier holder
+    # keeps, the later one is cut — the case where they MAY differ
+    # (future-only sharing merging islands) cannot arise here
+    docs, _, _ = case
+    assert substring_cut_prefix_py(docs, 3, 5) == substring_cut_py(docs, 3, 5)

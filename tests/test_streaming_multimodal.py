@@ -717,3 +717,52 @@ def test_append_only_epoch_preserves_rebalanced_codebook(spark, tmp_path):
     got_lids = {int(r["list_id"])
                 for r in l3.select("list_id").distinct().collect()}
     assert got_lids <= {int(x) for x in c1}
+
+
+def test_substring_epoch_equals_prefix_model_and_replays(spark, tmp_path):
+    """apply_substring_epoch over 3 epochs == the pure-Python PREFIX model
+    (each doc cut against everything that arrived before it), including a
+    cross-epoch quote pair; a replay of an already-committed epoch serves
+    the committed output instead of re-cutting docs against their own
+    stored grams."""
+    import random
+
+    from entity_linkings_spark.streaming.incremental import (
+        apply_substring_epoch,
+        read_gram_store,
+    )
+    from tests.test_properties import substring_cut_prefix_py
+
+    rng = random.Random(11)
+    docs = {}
+    for d in range(1, 31):
+        docs[d] = [f"u{d}_{j}" for j in range(rng.randint(12, 30))]
+    quote = [f"q{i}" for i in range(12)]
+    # cross-epoch pair: doc 4 (epoch 0) holds the quote first, doc 27
+    # (epoch 2) repeats it; intra-epoch pair: docs 12 and 18 (epoch 1)
+    for d, off in ((4, 3), (27, 7), (12, 0), (18, 5)):
+        docs[d] = docs[d][:off] + quote + docs[d][off:]
+    texts = {d: " ".join(w) for d, w in docs.items()}
+    store = str(tmp_path / "grams")
+    epochs = [range(1, 11), range(11, 21), range(21, 31)]
+    got = {}
+    for e, ids in enumerate(epochs):
+        df = spark.createDataFrame(
+            [(d, texts[d]) for d in ids], "doc_id long, text string"
+        )
+        out = apply_substring_epoch(store, df, e, k=3, min_len=8)
+        got.update({r["doc_id"]: r["text"] for r in out.collect()})
+    want = substring_cut_prefix_py(texts, k=3, min_len=8)
+    assert got == want
+    # the quote survives ONLY in its earliest holder
+    assert "q0" in got[4] and all("q0" not in got[d] for d in (12, 18, 27))
+    # replay epoch 1: identical committed output, store untouched
+    df1 = spark.createDataFrame(
+        [(d, texts[d]) for d in epochs[1]], "doc_id long, text string"
+    )
+    replay = {r["doc_id"]: r["text"]
+              for r in apply_substring_epoch(store, df1, 1, k=3, min_len=8).collect()}
+    assert replay == {d: got[d] for d in epochs[1]}
+    n_grams = read_gram_store(spark, store).count()
+    apply_substring_epoch(store, df1, 1, k=3, min_len=8)
+    assert read_gram_store(spark, store).count() == n_grams
