@@ -471,12 +471,22 @@ def read_gram_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
         return None
     with open(ptr) as f:
         cur = int(f.read().strip().rsplit("-", 1)[1])
+    # a compacted BASE (compact_gram_store) subsumes every delta at or
+    # below it; deltas <= base may still exist after a crash between the
+    # BASE swap and the cleanup delete — ignored here, harmless on disk
+    base_ptr = os.path.join(store_dir, "BASE")
+    base_e = -1
+    if os.path.exists(base_ptr):
+        with open(base_ptr) as f:
+            base_e = int(f.read().strip())
     dirs = [
         os.path.join(store_dir, d)
         for d in sorted(os.listdir(store_dir))
         if d.startswith("grams-epoch-")
-        and int(d.rsplit("-", 1)[1]) <= cur
+        and base_e < int(d.rsplit("-", 1)[1]) <= cur
     ]
+    if base_e >= 0:
+        dirs.append(os.path.join(store_dir, f"grams-base-{base_e}"))
     store = spark.read.parquet(*dirs)
     return store.groupBy("h").agg(F.min("gm").alias("gm"))
 
@@ -569,3 +579,57 @@ def apply_substring_epoch(
         f.write(name)
     os.replace(ptr_tmp, ptr)  # atomic commit
     return spark.read.parquet(os.path.join(store_dir, f"out-{name}"))
+
+
+def compact_gram_store(store_dir: str, spark: SparkSession) -> int:
+    """Fold the committed epoch gram deltas into one min-reduced base so
+    read_gram_store's union stops growing with epoch count (the unbounded-
+    stream companion of apply_substring_epoch; the parquet stand-in for an
+    Iceberg rewrite-data-files compaction).
+
+    Commit protocol: the merged table lands in ``grams-base-<CURRENT
+    epoch>``, then the ``BASE`` pointer swaps atomically; only AFTER the
+    swap are the folded delta dirs (and any previous base) deleted.
+    Crash-safe at every window: before the swap readers still resolve the
+    old base + all deltas; after the swap they resolve the new base and
+    IGNORE deltas at or below it (read_gram_store filters on epoch >
+    base), so a crash between swap and delete leaves dead-but-harmless
+    files. Epoch outputs (``out-epoch-*``) are never touched — replays
+    keep serving committed results. Returns the number of directories
+    folded (0 = nothing to do)."""
+    import os
+    import shutil
+
+    ptr = os.path.join(store_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return 0
+    with open(ptr) as f:
+        cur = int(f.read().strip().rsplit("-", 1)[1])
+    base_ptr = os.path.join(store_dir, "BASE")
+    base_e = -1
+    if os.path.exists(base_ptr):
+        with open(base_ptr) as f:
+            base_e = int(f.read().strip())
+    folds = []
+    if base_e >= 0:
+        folds.append(os.path.join(store_dir, f"grams-base-{base_e}"))
+    folds += [
+        os.path.join(store_dir, d)
+        for d in sorted(os.listdir(store_dir))
+        if d.startswith("grams-epoch-")
+        and base_e < int(d.rsplit("-", 1)[1]) <= cur
+    ]
+    if len(folds) <= 1:
+        return 0
+    merged = (
+        spark.read.parquet(*folds).groupBy("h").agg(F.min("gm").alias("gm"))
+    )
+    new_base = os.path.join(store_dir, f"grams-base-{cur}")
+    merged.write.mode("overwrite").parquet(new_base)
+    tmp = base_ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(cur))
+    os.replace(tmp, base_ptr)  # atomic: readers flip to the new base
+    for d in folds:  # now dead — removal is cleanup, not correctness
+        shutil.rmtree(d, ignore_errors=True)
+    return len(folds)

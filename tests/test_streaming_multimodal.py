@@ -766,3 +766,52 @@ def test_substring_epoch_equals_prefix_model_and_replays(spark, tmp_path):
     n_grams = read_gram_store(spark, store).count()
     apply_substring_epoch(store, df1, 1, k=3, min_len=8)
     assert read_gram_store(spark, store).count() == n_grams
+
+
+def test_gram_store_compaction_preserves_semantics(spark, tmp_path):
+    """compact_gram_store folds the epoch deltas into one base: the reader
+    view is unchanged row-for-row, folded dirs are gone, a stray
+    at-or-below-base delta (the crash-between-swap-and-delete window) is
+    ignored, and later epochs keep composing against the compacted base."""
+    import os
+    import random
+
+    from entity_linkings_spark.streaming.incremental import (
+        apply_substring_epoch,
+        compact_gram_store,
+        read_gram_store,
+    )
+
+    rng = random.Random(5)
+    texts = {d: " ".join(f"u{d}_{j}" for j in range(rng.randint(12, 25)))
+             for d in range(1, 25)}
+    quote = " ".join(f"q{i}" for i in range(12))
+    texts[3] = quote + " " + texts[3]
+    texts[22] = texts[22] + " " + quote       # epoch-2 repeat of epoch-0 text
+    store = str(tmp_path / "grams")
+    for e, ids in enumerate((range(1, 9), range(9, 17), range(17, 25))):
+        df = spark.createDataFrame(
+            [(d, texts[d]) for d in ids], "doc_id long, text string"
+        )
+        apply_substring_epoch(store, df, e, k=3, min_len=8)
+    before = {(r["h"], r["gm"]) for r in read_gram_store(spark, store).collect()}
+    assert compact_gram_store(store, spark) == 3
+    assert {(r["h"], r["gm"]) for r in read_gram_store(spark, store).collect()} == before
+    assert not any(d.startswith("grams-epoch-") for d in os.listdir(store))
+    assert os.path.isdir(os.path.join(store, "grams-base-2"))
+    # crash window: a stray delta at or below the base must be ignored
+    spark.createDataFrame([("deadbeef", 999)], "h string, gm long").write.parquet(
+        os.path.join(store, "grams-epoch-1")
+    )
+    assert {(r["h"], r["gm"]) for r in read_gram_store(spark, store).collect()} == before
+    # idempotent: nothing further to fold (the stray is below base)
+    assert compact_gram_store(store, spark) == 0
+    # epoch 3 composes against the compacted base: a repeat of doc 3's
+    # quote arriving now is still cut
+    d4 = spark.createDataFrame(
+        [(30, quote + " " + " ".join(f"z{j}" for j in range(15)))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in apply_substring_epoch(store, d4, 3, k=3, min_len=8).collect()}
+    assert "q0" not in out[30] and "z0" in out[30]
