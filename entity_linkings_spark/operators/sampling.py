@@ -235,15 +235,19 @@ def registrable_domain(
     'b.example.com' belong to one registrant, and so do
     'a.example.co.uk' / 'b.example.co.uk', which a naive "last two
     labels" rule would wrongly split from each other ('co.uk' is a
-    PUBLIC suffix). PSL-lite: ``psl`` is a small public-suffix dimension
-    of plain suffix rules (the wildcard '*.ck' and exception '!' rule
-    forms of the full Mozilla list are out of scope, documented here).
+    PUBLIC suffix). ``psl`` is a public-suffix dimension in the Mozilla
+    list's rule syntax: plain suffixes ('co.uk'), wildcards ('*.ck' —
+    every single label under ck is a public suffix), and exceptions
+    ('!www.ck' — www.ck is registrable despite the wildcard).
 
-    Semantics: the registrable domain is the label suffix ONE label
-    longer than the LONGEST public suffix matching the host. Fallbacks:
-    a host that IS a public suffix maps to itself; a host matching no
-    rule falls back to its last two labels (the implicit '*' rule of the
-    PSL), or to itself if it has only one label.
+    Semantics (the PSL algorithm): exceptions prevail outright — the
+    matched name ITSELF is the registrable domain; otherwise the
+    registrable domain is the label suffix ONE label longer than the
+    LONGEST matching public suffix (plain match, or one-label-longer-
+    than-base for wildcards). Fallbacks: a host that IS a public suffix
+    maps to itself; a host matching no rule falls back to its last two
+    labels (the implicit '*' rule of the PSL), or to itself if it has
+    only one label.
 
     Plan: host ladder explode (functions/strings.py host_suffixes,
     fan-out = label count ~4-6) equi-joined against the BROADCAST psl
@@ -259,21 +263,39 @@ def registrable_domain(
     lad = hosts.select(
         host_col, F.posexplode("_sufs").alias("_idx", "_suf")
     )
-    rules = psl.select(F.col(suffix_col).alias("_suf"))
-    best = (
-        lad.join(F.broadcast(rules), "_suf")
-        .groupBy(host_col)
-        .agg(F.min("_idx").alias("_psl_idx"))
+    raw = psl.select(F.col(suffix_col).alias("_r"))
+    normal = raw.where(~F.col("_r").startswith("*.")
+                       & ~F.col("_r").startswith("!")).select(
+        F.col("_r").alias("_suf"))
+    # '*.base': the suffix ONE label longer than base is public, so a
+    # ladder hit on base at _idx implies a public suffix at _idx - 1
+    wild = raw.where(F.col("_r").startswith("*.")).select(
+        F.expr("substring(_r, 3)").alias("_suf"))
+    exc = raw.where(F.col("_r").startswith("!")).select(
+        F.expr("substring(_r, 2)").alias("_suf"))
+    n_best = (lad.join(F.broadcast(normal), "_suf")
+              .groupBy(host_col).agg(F.min("_idx").alias("_n")))
+    w_best = (lad.join(F.broadcast(wild), "_suf")
+              .where(F.col("_idx") >= 1)
+              .groupBy(host_col).agg((F.min("_idx") - 1).alias("_w")))
+    e_best = (lad.join(F.broadcast(exc), "_suf")
+              .groupBy(host_col).agg(F.min("_idx").alias("_e")))
+    # 0-based index of the PUBLIC suffix: exceptions prevail (the matched
+    # name itself is registrable, i.e. the public suffix sits one label
+    # shorter); otherwise the longest (min-index) of plain/wildcard hits
+    p = F.when(F.col("_e").isNotNull(), F.col("_e") + 1).otherwise(
+        F.least("_n", "_w")
     )
     resolved = (
-        hosts.join(best, host_col, "left")
+        hosts.join(n_best, host_col, "left")
+        .join(w_best, host_col, "left")
+        .join(e_best, host_col, "left")
         .select(
             host_col,
             F.element_at(
                 "_sufs",
                 F.greatest(
-                    F.coalesce(F.col("_psl_idx"),
-                               F.size("_sufs") - F.lit(1)),
+                    F.coalesce(p, F.size("_sufs") - F.lit(1)),
                     F.lit(1),
                 ).cast("int"),
             ).alias(out_col),

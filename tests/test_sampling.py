@@ -172,3 +172,28 @@ def test_registrable_domain_psl_lite(spark):
     got = {r["host"]: r["reg_domain"]
            for r in registrable_domain(df, psl).collect()}
     assert got == dict(hosts)
+
+
+def test_registrable_domain_wildcard_and_exception_rules(spark):
+    """The full PSL rule syntax (the Mozilla-list '*.ck' / '!www.ck'
+    canonical example): every label under a wildcard base is a public
+    suffix, exceptions prevail outright and are themselves registrable."""
+    from entity_linkings_spark.operators.sampling import registrable_domain
+
+    psl = spark.createDataFrame(
+        [("com",), ("*.ck",), ("!www.ck",)], "suffix string"
+    )
+    hosts = [
+        ("foo.bar.ck", "foo.bar.ck"),   # bar.ck public via *.ck
+        ("a.foo.bar.ck", "foo.bar.ck"),
+        ("bar.ck", "bar.ck"),           # host IS a (wildcard) public suffix
+        ("www.ck", "www.ck"),           # exception: registrable itself
+        ("foo.www.ck", "www.ck"),       # exception beats the wildcard
+        ("x.a.b.com", "b.com"),         # plain rules unaffected
+        ("ck", "ck"),                   # the wildcard base alone is NOT
+                                        # public -> single-label fallback
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
+    got = {r["host"]: r["reg_domain"]
+           for r in registrable_domain(df, psl).collect()}
+    assert got == dict(hosts)
