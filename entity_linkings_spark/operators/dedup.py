@@ -452,7 +452,10 @@ def containment_pairs(
         .where((F.col("df") >= 2) & (F.col("df") <= max_df))
         .select("h")
     )
-    sr = sh.join(rare, "h")
+    # the rare-shingle set self-joins below: without a materialization the
+    # shingle explode + df aggregate would run once PER SIDE (the LSH-band
+    # lesson from round 2 — self-joins recompute their input)
+    sr = sh.join(rare, "h").localCheckpoint()
     a = sr.select("h", F.col(id_col).alias("id_a"))
     b = sr.select("h", F.col(id_col).alias("id_b"))
     cand = (
