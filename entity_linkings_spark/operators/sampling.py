@@ -263,23 +263,32 @@ def registrable_domain(
     lad = hosts.select(
         host_col, F.posexplode("_sufs").alias("_idx", "_suf")
     )
-    raw = psl.select(F.col(suffix_col).alias("_r"))
-    normal = raw.where(~F.col("_r").startswith("*.")
-                       & ~F.col("_r").startswith("!")).select(
-        F.col("_r").alias("_suf"))
-    # '*.base': the suffix ONE label longer than base is public, so a
-    # ladder hit on base at _idx implies a public suffix at _idx - 1
-    wild = raw.where(F.col("_r").startswith("*.")).select(
-        F.expr("substring(_r, 3)").alias("_suf"))
-    exc = raw.where(F.col("_r").startswith("!")).select(
-        F.expr("substring(_r, 2)").alias("_suf"))
-    n_best = (lad.join(F.broadcast(normal), "_suf")
-              .groupBy(host_col).agg(F.min("_idx").alias("_n")))
-    w_best = (lad.join(F.broadcast(wild), "_suf")
-              .where(F.col("_idx") >= 1)
-              .groupBy(host_col).agg((F.min("_idx") - 1).alias("_w")))
-    e_best = (lad.join(F.broadcast(exc), "_suf")
-              .groupBy(host_col).agg(F.min("_idx").alias("_e")))
+    r = F.col(suffix_col)
+    # one tagged rule dimension — n(ormal)/w(ildcard)/e(xception) — so ONE
+    # broadcast join + ONE host aggregate resolves all three rule forms
+    # (three per-type joins would chain three host-keyed shuffles)
+    rules = psl.select(
+        F.when(r.startswith("*."), F.expr(f"substring({suffix_col}, 3)"))
+        .when(r.startswith("!"), F.expr(f"substring({suffix_col}, 2)"))
+        .otherwise(r).alias("_suf"),
+        F.when(r.startswith("*."), F.lit("w"))
+        .when(r.startswith("!"), F.lit("e"))
+        .otherwise(F.lit("n")).alias("_t"),
+    )
+    t = F.col("_t")
+    best = (
+        lad.join(F.broadcast(rules), "_suf")
+        .groupBy(host_col)
+        .agg(
+            F.min(F.when(t == "n", F.col("_idx"))).alias("_n"),
+            # '*.base': the suffix ONE label longer than base is public,
+            # so a ladder hit on base at _idx implies a public suffix at
+            # _idx - 1 (the base alone stays non-public)
+            F.min(F.when((t == "w") & (F.col("_idx") >= 1),
+                         F.col("_idx") - 1)).alias("_w"),
+            F.min(F.when(t == "e", F.col("_idx"))).alias("_e"),
+        )
+    )
     # 0-based index of the PUBLIC suffix: exceptions prevail (the matched
     # name itself is registrable, i.e. the public suffix sits one label
     # shorter); otherwise the longest (min-index) of plain/wildcard hits
@@ -287,9 +296,7 @@ def registrable_domain(
         F.least("_n", "_w")
     )
     resolved = (
-        hosts.join(n_best, host_col, "left")
-        .join(w_best, host_col, "left")
-        .join(e_best, host_col, "left")
+        hosts.join(best, host_col, "left")
         .select(
             host_col,
             F.element_at(
