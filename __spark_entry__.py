@@ -228,13 +228,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_runs",
         "dedup_substring_cut",
         "sample_domain_quota_psl",
+        "f_registrable_psl_rules",
         # round-7 changed (url_host consumers; IVF rebalance/codebook);
-        # dedup_containment stays outside — its r6 row is fresh and its
-        # code is untouched
+        # dedup_containment and ann_ivf_append_topk stay outside — their
+        # r6 rows are fresh and their query code is untouched
         "filter_blocked_domains",
         "sample_domain_quota",
         "ann_ivf_rebalance_topk",
-        "ann_ivf_append_topk",
         # the 39 round-5-fresh rows (CORRECTNESS_r05 \ r06)
         "a2_prior_topk",
         "a3_recall_mrr",

@@ -3465,6 +3465,73 @@ _PSL_RULES = ["com", "co.uk", "uk", "github.io", "io", "org"]
 
 
 @register(
+    "f_registrable_psl_rules",
+    """
+    WITH h AS (SELECT DISTINCT
+        (CASE doc_id % 4 WHEN 1 THEN 'a.' WHEN 2 THEN 'b.'
+              WHEN 3 THEN 'c.d.' ELSE '' END)
+        || (CASE WHEN doc_id % 10 <= 2
+                 THEN 'example' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+                 WHEN doc_id % 10 <= 4
+                 THEN 'example' || CAST(doc_id % 10 AS VARCHAR) || '.foo.ck'
+                 WHEN doc_id % 10 = 5 THEN 'www.ck'
+                 WHEN doc_id % 10 = 6 THEN 'bar.ck'
+                 ELSE 'example' || CAST(doc_id % 10 AS VARCHAR) || '.zz'
+            END) AS host,
+        (CASE WHEN doc_id % 10 <= 2
+              THEN 'example' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+              WHEN doc_id % 10 <= 4
+              THEN 'example' || CAST(doc_id % 10 AS VARCHAR) || '.foo.ck'
+              WHEN doc_id % 10 = 5 THEN 'www.ck'
+              WHEN doc_id % 10 = 6 THEN
+                   (CASE doc_id % 4 WHEN 1 THEN 'a.bar.ck'
+                         WHEN 2 THEN 'b.bar.ck' WHEN 3 THEN 'd.bar.ck'
+                         ELSE 'bar.ck' END)
+              ELSE 'example' || CAST(doc_id % 10 AS VARCHAR) || '.zz'
+         END) AS reg_domain
+        FROM documents)
+    SELECT host, reg_domain FROM h
+    """,
+)
+def f_registrable_psl_rules(spark, sf):
+    """The FULL public-suffix-list rule syntax, oracle-gated (the pytest
+    coverage of wildcard/exception rules promoted to the DuckDB gate):
+    planted host families exercise plain rules ('com'), the wildcard
+    ('*.ck' — 'foo.ck'/'bar.ck' become public suffixes, so the
+    registrable domain sits one label above them, and a bare wildcard-
+    public host maps to itself), the exception ('!www.ck' — every host
+    under www.ck registers as www.ck itself, beating the wildcard), and
+    the implicit-'*' unknown-TLD fallback ('.zz'). The Spark side runs
+    operators/sampling.py registrable_domain (one tagged broadcast rule
+    join + one conditional-min ladder aggregate); the oracle states every
+    registrable domain ARITHMETICALLY from the plant — two formulations,
+    one contract."""
+    from entity_linkings_spark.operators.sampling import registrable_domain
+
+    d = F.col("doc_id")
+    k = d % 10
+    host = F.concat(
+        F.when(d % 4 == 1, F.lit("a."))
+        .when(d % 4 == 2, F.lit("b."))
+        .when(d % 4 == 3, F.lit("c.d."))
+        .otherwise(F.lit("")),
+        F.when(k <= 2, F.concat(F.lit("example"), k.cast("string"),
+                                F.lit(".com")))
+        .when(k <= 4, F.concat(F.lit("example"), k.cast("string"),
+                               F.lit(".foo.ck")))
+        .when(k == 5, F.lit("www.ck"))
+        .when(k == 6, F.lit("bar.ck"))
+        .otherwise(F.concat(F.lit("example"), k.cast("string"),
+                            F.lit(".zz"))),
+    )
+    rows = _docs(spark, sf).select(host.alias("host")).distinct()
+    psl = spark.createDataFrame(
+        [("com",), ("*.ck",), ("!www.ck",)], "suffix string"
+    )
+    return registrable_domain(rows, psl).select("host", "reg_domain")
+
+
+@register(
     "sample_domain_quota_psl",
     """
     WITH h AS (SELECT doc_id,
