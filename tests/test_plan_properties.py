@@ -69,3 +69,34 @@ def test_gemm_retrieval_parallelizes_batches(spark):
     p = _plan(spark, "j5_tfidf_topk_gemm")
     assert "ArrowEvalPython" in p or "MapInPandas" in p
     assert "Exchange RoundRobinPartitioning" in p  # the repartition survived
+
+
+@pytest.mark.parametrize(
+    "name",
+    # round-7 operators: the substring gram joins, the cut's interval
+    # rejoin, and the PSL ladder join must never degenerate to a product
+    ["dedup_substring_runs", "dedup_substring_cut", "sample_domain_quota_psl",
+     "f_registrable_psl_rules", "dedup_containment"],
+)
+def test_round7_no_cartesian_products(spark, name):
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_substring_runs_single_sort_shuffle(spark):
+    """The sorted-gram-run family's contract: exactly ONE sort per doc key
+    feeds BOTH window operators (lag + running island sum) — a second Sort
+    under the windows would mean the frame requirements diverged."""
+    p = _plan(spark, "dedup_substring_runs")
+    assert len(re.findall(r"\bWindow\b", p)) >= 2
+    # every Sort in the plan sorts by (doc_id, pos) for the windows — count
+    # the sort operators; the island windows must share one
+    sorts = re.findall(r"Sort \[doc_id[^\]]*pos", p)
+    assert len(sorts) == 1, sorts
+
+
+def test_psl_rule_join_broadcasts(spark):
+    # the public-suffix dimension must broadcast against the host ladder —
+    # a shuffle join on the suffix would reshuffle the exploded ladder
+    p = _plan(spark, "f_registrable_psl_rules")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
