@@ -633,3 +633,252 @@ def compact_gram_store(store_dir: str, spark: SparkSession) -> int:
     for d in folds:  # now dead — removal is cleanup, not correctness
         shutil.rmtree(d, ignore_errors=True)
     return len(folds)
+
+
+def _store_epoch_dirs(store_dir: str, prefix: str, cur: int, base_e: int) -> list[str]:
+    """Committed epoch delta dirs ``<prefix>-epoch-<id>`` with
+    base < id <= CURRENT, plus the compacted base dir when one exists —
+    the shared resolution rule of every append-only epoch store here."""
+    import os
+
+    dirs = [
+        os.path.join(store_dir, d)
+        for d in sorted(os.listdir(store_dir))
+        if d.startswith(f"{prefix}-epoch-")
+        and base_e < int(d.rsplit("-", 1)[1]) <= cur
+    ]
+    if base_e >= 0:
+        dirs.append(os.path.join(store_dir, f"{prefix}-base-{base_e}"))
+    return dirs
+
+
+def read_band_store(
+    spark: SparkSession, store_dir: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """The committed near-dup index: (bands, shingles) unions of every
+    epoch's append-only delta at or below CURRENT — bands are
+    (doc_id, band_idx, band_hash) MinHash-LSH keys, shingles are the
+    distinct (doc_id, sh) shingle hashes that make exact Jaccard
+    verification an equi-join (no stored text, no corpus re-read).
+    None before the first commit."""
+    import os
+
+    ptr = os.path.join(store_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        cur = int(f.read().strip().rsplit("-", 1)[1])
+    base_ptr = os.path.join(store_dir, "BASE")
+    base_e = -1
+    if os.path.exists(base_ptr):
+        with open(base_ptr) as f:
+            base_e = int(f.read().strip())
+    bands = spark.read.parquet(*_store_epoch_dirs(store_dir, "bands", cur, base_e))
+    sh = spark.read.parquet(*_store_epoch_dirs(store_dir, "shingles", cur, base_e))
+    return bands, sh
+
+
+def apply_neardup_epoch(
+    store_dir: str,
+    docs: DataFrame,
+    epoch_id: int,
+    n: int = 5,
+    num_bands: int = 12,
+    rows_per_band: int = 2,
+    tau: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Epoch-incremental MinHash-LSH near-dup detection — the missing
+    granularity between stream_dedup_exact (exact, watermark-bounded) and
+    apply_substring_epoch (verbatim runs): each arriving document is
+    LSH-banded against EVERYTHING THAT ARRIVED BEFORE IT plus its own
+    micro-batch, candidates are verified with exact set-shingle Jaccard,
+    and the verified edges (id_a < id_b, jaccard >= tau) are returned —
+    ready to fold into the global cluster table via apply_edge_epoch
+    (neardup_maintenance_processor wires the two). Because banding is a
+    deterministic per-document function and a pair is discovered exactly
+    when its LATER member arrives, the union of per-epoch edge sets equals
+    the one-shot batch pipeline (minhash_band_pairs + shingle_jaccard >=
+    tau) on the full corpus — near-dup pairs are symmetric, so unlike the
+    substring CUT there is no prefix-semantics divergence (parity-tested).
+
+    Storage: each epoch appends ONLY its arrivals' band keys
+    (``bands-epoch-<id>``) and distinct shingle hashes
+    (``shingles-epoch-<id>``) — O(delta) rows written, immutable;
+    verification joins the candidate ids' shingle rows, never texts. The
+    epoch's edge OUTPUT commits under ``out-epoch-<id>`` before the atomic
+    CURRENT swap, so a replay at or below CURRENT serves the committed
+    edges without recomputing (re-banding arrivals against a store already
+    holding their own bands would pair every doc with itself). Per-epoch
+    cost: banding O(delta), one band equi-join delta x store (bucketed by
+    band hash — never all-pairs), Jaccard verify on candidates only. The
+    parquet dirs stand in for Iceberg append-only partitions;
+    compact_band_store folds them."""
+    import os
+
+    from entity_linkings_spark.operators.dedup import (
+        band_pairs,
+        minhash_bands,
+        word_shingles,
+    )
+
+    spark = docs.sparkSession
+    os.makedirs(store_dir, exist_ok=True)
+    name = f"epoch-{epoch_id}"
+    ptr = os.path.join(store_dir, "CURRENT")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            cur = int(f.read().strip().rsplit("-", 1)[1])
+        if epoch_id <= cur:  # replay: serve the committed edges
+            return spark.read.parquet(
+                os.path.join(store_dir, f"out-epoch-{epoch_id}")
+            )
+    new_bands = minhash_bands(
+        docs, id_col, word_shingles(text_col, n), num_bands, rows_per_band
+    ).localCheckpoint()  # consumed 3x (store join, in-batch join, commit)
+    new_sh = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("s"),
+        )
+        .select(id_col, F.md5("s").alias("sh"))
+        .localCheckpoint()  # consumed 2-3x (verify sides, commit)
+    )
+    prior = read_band_store(spark, store_dir)
+    inbatch = band_pairs(new_bands, id_col).select("id_a", "id_b")
+    if prior is not None:
+        prior_bands, prior_sh = prior
+        cross = (
+            prior_bands.withColumnRenamed(id_col, "old_id")
+            .join(
+                new_bands.withColumnRenamed(id_col, "new_id"),
+                ["band_idx", "band_hash"],
+            )
+            .select(
+                F.least("old_id", "new_id").alias("id_a"),
+                F.greatest("old_id", "new_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        cand = inbatch.unionByName(cross).distinct()
+        all_sh = prior_sh.unionByName(new_sh)
+    else:
+        cand = inbatch
+        all_sh = new_sh
+    # exact set-Jaccard on candidates only: shingle rows are distinct per
+    # doc, so |A ∩ B| is a two-sided equi-join count and sizes are one agg
+    sizes = all_sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(
+            all_sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a"
+        )
+        .join(all_sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    edges = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / F.greatest(F.col("n_a") + F.col("n_b") - F.col("inter"), F.lit(1)),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= tau)
+    )
+    # commit order: deltas + output are durable BEFORE the swap
+    new_bands.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"bands-{name}")
+    )
+    new_sh.write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"shingles-{name}")
+    )
+    edges.write.mode("overwrite").parquet(os.path.join(store_dir, f"out-{name}"))
+    ptr_tmp = ptr + ".tmp"
+    with open(ptr_tmp, "w") as f:
+        f.write(name)
+    os.replace(ptr_tmp, ptr)  # atomic commit
+    return spark.read.parquet(os.path.join(store_dir, f"out-{name}"))
+
+
+def neardup_maintenance_processor(
+    store_dir: str,
+    labels_dir: str,
+    n: int = 5,
+    num_bands: int = 12,
+    rows_per_band: int = 2,
+    tau: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch function composing the two epoch stores into streaming
+    near-dup CLUSTERING: apply_neardup_epoch detects this micro-batch's
+    verified edges (vs all prior arrivals), apply_edge_epoch folds them
+    into the global label table — labels after epoch E equal batch
+    connected components over the full corpus-so-far's near-dup edges
+    (both halves replay-safe on their own commit protocols)."""
+
+    def process(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        edges = apply_neardup_epoch(
+            store_dir, batch, epoch_id, n, num_bands, rows_per_band,
+            tau, id_col, text_col,
+        )
+        apply_edge_epoch(
+            labels_dir,
+            edges.select(
+                F.col("id_a").cast("string").alias("u"),
+                F.col("id_b").cast("string").alias("v"),
+            ),
+            epoch_id,
+        )
+
+    return process
+
+
+def compact_band_store(store_dir: str, spark: SparkSession) -> int:
+    """Fold the committed band + shingle epoch deltas into one base each so
+    read_band_store's union stops growing with epoch count — same
+    crash-safe protocol as compact_gram_store (write ``<prefix>-base-<cur>``,
+    swap the shared BASE pointer atomically, delete folded dirs after the
+    swap; readers ignore deltas at or below BASE). Rows are plain-unioned:
+    a document's rows live in exactly one epoch delta, so no reduce step is
+    needed. Epoch outputs are never touched. Returns directories folded."""
+    import os
+    import shutil
+
+    ptr = os.path.join(store_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return 0
+    with open(ptr) as f:
+        cur = int(f.read().strip().rsplit("-", 1)[1])
+    base_ptr = os.path.join(store_dir, "BASE")
+    base_e = -1
+    if os.path.exists(base_ptr):
+        with open(base_ptr) as f:
+            base_e = int(f.read().strip())
+    band_folds = _store_epoch_dirs(store_dir, "bands", cur, base_e)
+    sh_folds = _store_epoch_dirs(store_dir, "shingles", cur, base_e)
+    if len(band_folds) <= 1 and len(sh_folds) <= 1:
+        return 0
+    spark.read.parquet(*band_folds).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"bands-base-{cur}")
+    )
+    spark.read.parquet(*sh_folds).write.mode("overwrite").parquet(
+        os.path.join(store_dir, f"shingles-base-{cur}")
+    )
+    tmp = base_ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(cur))
+    os.replace(tmp, base_ptr)  # atomic: readers flip to the new bases
+    for d in band_folds + sh_folds:  # dead — cleanup, not correctness
+        shutil.rmtree(d, ignore_errors=True)
+    return len(band_folds) + len(sh_folds)

@@ -815,3 +815,161 @@ def test_gram_store_compaction_preserves_semantics(spark, tmp_path):
     out = {r["doc_id"]: r["text"]
            for r in apply_substring_epoch(store, d4, 3, k=3, min_len=8).collect()}
     assert "q0" not in out[30] and "z0" in out[30]
+
+
+def _neardup_corpus():
+    """30 docs / 3 epochs with planted near-dup pairs: cross-epoch (2<->24:
+    one word changed; 7<->15: two words changed), in-batch (11<->13), and a
+    3-doc cluster spanning all epochs (5, 16, 28) — every planted pair has
+    word-3-shingle Jaccard >= 0.5, everything else is unique vocabulary."""
+    import random
+
+    rng = random.Random(23)
+    texts = {d: " ".join(f"w{d}_{j}" for j in range(rng.randint(15, 22)))
+             for d in range(1, 31)}
+    base = " ".join(f"b{j}" for j in range(20))
+    texts[2] = base
+    texts[24] = base.replace("b7", "x7")                     # 1 word changed
+    texts[7] = " ".join(f"c{j}" for j in range(30))
+    texts[15] = texts[7].replace("c4", "y4").replace("c12", "y12")
+    texts[11] = " ".join(f"d{j}" for j in range(16))
+    texts[13] = texts[11].replace("d9", "z9")
+    tri = " ".join(f"t{j}" for j in range(19))
+    texts[5], texts[16], texts[28] = tri, tri.replace("t2", "u2"), tri
+    return texts
+
+
+def _batch_neardup_edges(spark, texts, tau=0.5):
+    from entity_linkings_spark.operators.dedup import (
+        minhash_band_pairs,
+        shingle_jaccard,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    cand = minhash_band_pairs(docs, "doc_id", word_shingles("text", 3))
+    ver = shingle_jaccard(docs, cand.select("id_a", "id_b"), "doc_id", "text", 3)
+    return {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in ver.where(F.col("jaccard") >= tau).collect()}
+
+
+def test_neardup_epoch_equals_batch_and_replays(spark, tmp_path):
+    """apply_neardup_epoch over 3 epochs == the one-shot batch pipeline
+    (minhash band candidates + exact shingle-Jaccard >= tau) on the full
+    corpus — near-dup pairs are symmetric, so the stream discovers each
+    pair when its later member arrives and the epoch-union is exactly the
+    batch edge set. A replay serves the committed edges and appends
+    nothing to the store."""
+    from entity_linkings_spark.streaming.incremental import (
+        apply_neardup_epoch,
+        read_band_store,
+    )
+
+    texts = _neardup_corpus()
+    store = str(tmp_path / "nd")
+    epochs = [range(1, 11), range(11, 21), range(21, 31)]
+    got = set()
+    for e, ids in enumerate(epochs):
+        df = spark.createDataFrame(
+            [(d, texts[d]) for d in ids], "doc_id long, text string"
+        )
+        out = apply_neardup_epoch(store, df, e, n=3)
+        got |= {(r["id_a"], r["id_b"], r["jaccard"]) for r in out.collect()}
+    want = _batch_neardup_edges(spark, texts)
+    assert got == want
+    planted = {(2, 24), (7, 15), (11, 13), (5, 16), (5, 28), (16, 28)}
+    assert planted <= {(a, b) for a, b, _ in got}
+    assert (5, 28) in {(a, b) for a, b, j in got if j == 1.0}
+    # replay epoch 1: same committed edges, store row counts untouched
+    bands, sh = read_band_store(spark, store)
+    nb, ns = bands.count(), sh.count()
+    df1 = spark.createDataFrame(
+        [(d, texts[d]) for d in epochs[1]], "doc_id long, text string"
+    )
+    replay = {(r["id_a"], r["id_b"], r["jaccard"])
+              for r in apply_neardup_epoch(store, df1, 1, n=3).collect()}
+    # id_a < id_b always, so an edge belongs to epoch 1 iff its LATER
+    # member does — exactly what the committed out-epoch-1 holds
+    assert replay == {(a, b, j) for a, b, j in got if b in epochs[1]}
+    bands2, sh2 = read_band_store(spark, store)
+    assert (bands2.count(), sh2.count()) == (nb, ns)
+
+
+def test_neardup_maintenance_labels_equal_batch_cc(spark, tmp_path):
+    """The composed processor (near-dup epochs -> edge epochs): after the
+    last micro-batch the global label table equals batch connected
+    components over the full corpus's verified near-dup edges."""
+    from entity_linkings_spark.operators.clustering import connected_components
+    from entity_linkings_spark.streaming.incremental import (
+        neardup_maintenance_processor,
+        read_cluster_labels,
+    )
+
+    texts = _neardup_corpus()
+    store, labels = str(tmp_path / "nd"), str(tmp_path / "labels")
+    process = neardup_maintenance_processor(store, labels, n=3)
+    for e, ids in enumerate([range(1, 11), range(11, 21), range(21, 31)]):
+        process(
+            spark.createDataFrame(
+                [(d, texts[d]) for d in ids], "doc_id long, text string"
+            ),
+            e,
+        )
+    got = {(r["node"], r["cluster_id"])
+           for r in read_cluster_labels(spark, labels).collect()}
+    batch_edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b, _ in _batch_neardup_edges(spark, texts)],
+        "u string, v string",
+    )
+    want = {(r["node"], r["cluster_id"])
+            for r in connected_components(batch_edges).collect()}
+    assert got == want
+    # the cross-epoch triangle collapsed into one cluster
+    tri = {c for n, c in got if n in {"5", "16", "28"}}
+    assert len(tri) == 1
+
+
+def test_band_store_compaction_preserves_semantics(spark, tmp_path):
+    """compact_band_store folds band + shingle deltas into one base each:
+    the reader view is unchanged row-for-row, folded dirs are gone, and a
+    later epoch still detects a near-dup of a PRE-compaction document."""
+    from entity_linkings_spark.streaming.incremental import (
+        apply_neardup_epoch,
+        compact_band_store,
+        read_band_store,
+    )
+
+    texts = _neardup_corpus()
+    store = str(tmp_path / "nd")
+    for e, ids in enumerate([range(1, 11), range(11, 21), range(21, 31)]):
+        apply_neardup_epoch(
+            store,
+            spark.createDataFrame(
+                [(d, texts[d]) for d in ids], "doc_id long, text string"
+            ),
+            e,
+            n=3,
+        )
+    bands, sh = read_band_store(spark, store)
+    b_before = {tuple(r) for r in bands.collect()}
+    s_before = {tuple(r) for r in sh.collect()}
+    assert compact_band_store(store, spark) == 6
+    bands2, sh2 = read_band_store(spark, store)
+    assert {tuple(r) for r in bands2.collect()} == b_before
+    assert {tuple(r) for r in sh2.collect()} == s_before
+    assert not any(d.startswith(("bands-epoch-", "shingles-epoch-"))
+                   for d in os.listdir(store))
+    assert compact_band_store(store, spark) == 0  # nothing left to fold
+    # epoch 3 composes against the compacted base: a near-copy of doc 2
+    # (epoch 0, folded into the base) is still caught
+    dup = texts[2].replace("b3", "n3")
+    out = apply_neardup_epoch(
+        store,
+        spark.createDataFrame([(40, dup)], "doc_id long, text string"),
+        3,
+        n=3,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (2, 40) in pairs and (24, 40) in pairs
