@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_cut",
         "sample_domain_quota_psl",
         "f_registrable_psl_rules",
+        "a9_blocking_quality",
+        "cc_density_audit",
         # round-7 changed (url_host consumers; IVF rebalance/codebook);
         # dedup_containment and ann_ivf_append_topk stay outside — their
         # r6 rows are fresh and their query code is untouched

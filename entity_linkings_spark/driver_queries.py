@@ -4568,3 +4568,185 @@ def dataprep_pipeline(spark, sf):
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         "n_tokens", "bin_idx", "bin_fill",
     )
+
+
+# ---- A9: blocking-scheme quality (pair completeness / quality / RR) ---------
+# The standard ER triad for choosing a blocking strategy before paying for
+# pairwise scoring. Records = 3 deterministic surface variants per distinct
+# part name (verbatim / chars-2-3-transposed typo / despaced), entity = the
+# name's min partkey; schemes = token blocking, 4-char-prefix blocking on the
+# despaced form, and their union. Token blocking catches the typo pair but
+# not the despaced one; prefix blocking the reverse — so completeness
+# genuinely separates the schemes and the union demonstrably dominates.
+
+_BQ_SQL = """
+    WITH grp AS (SELECT p_name, MIN(p_partkey) AS ent FROM part GROUP BY p_name),
+    surfs AS (
+        SELECT ent, p_name AS surface FROM grp
+        UNION ALL
+        SELECT ent, substr(p_name, 1, 1) || substr(p_name, 3, 1) ||
+                    substr(p_name, 2, 1) || substr(p_name, 4) FROM grp
+        UNION ALL
+        SELECT ent, replace(p_name, ' ', '') FROM grp),
+    records AS (
+        SELECT md5(surface) AS skey, surface, MIN(ent) AS ent
+        FROM surfs GROUP BY surface HAVING COUNT(DISTINCT ent) = 1),
+    tok AS (SELECT DISTINCT skey, 'T:' || t AS bkey FROM
+            (SELECT skey, unnest(string_split(surface, ' ')) AS t FROM records)),
+    pfx AS (SELECT skey, 'P:' || substr(replace(surface, ' ', ''), 1, 4) AS bkey
+            FROM records),
+    keyed AS (
+        SELECT 'token' AS scheme, skey, bkey FROM tok
+        UNION ALL SELECT 'prefix', skey, bkey FROM pfx
+        UNION ALL SELECT 'union', skey, bkey FROM tok
+        UNION ALL SELECT 'union', skey, bkey FROM pfx),
+    capped AS (SELECT scheme, bkey FROM keyed
+               GROUP BY scheme, bkey HAVING COUNT(*) <= 500),
+    k2 AS (SELECT k.scheme, k.skey, k.bkey FROM keyed k
+           JOIN capped c ON c.scheme = k.scheme AND c.bkey = k.bkey),
+    cand AS (SELECT DISTINCT a.scheme, a.skey AS skey_a, b.skey AS skey_b
+             FROM k2 a JOIN k2 b ON a.scheme = b.scheme AND a.bkey = b.bkey
+              AND a.skey < b.skey),
+    per AS (SELECT c.scheme,
+                   CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+                   CAST(SUM(CASE WHEN ra.ent = rb.ent THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit_pairs
+            FROM cand c
+            JOIN records ra ON ra.skey = c.skey_a
+            JOIN records rb ON rb.skey = c.skey_b
+            GROUP BY c.scheme),
+    consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+                      CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS total_pairs
+               FROM records),
+    gold AS (SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_gold_pairs FROM
+             (SELECT COUNT(*) AS m FROM records GROUP BY ent))
+    SELECT scheme, n_records, n_gold_pairs, n_cand_pairs, n_hit_pairs,
+           CAST(n_hit_pairs AS DOUBLE) / n_gold_pairs AS pair_completeness,
+           CAST(n_hit_pairs AS DOUBLE) / n_cand_pairs AS pair_quality,
+           CAST(total_pairs - n_cand_pairs AS DOUBLE) / total_pairs AS reduction_ratio
+    FROM per, consts, gold
+"""
+
+
+@register("a9_blocking_quality", _BQ_SQL)
+def a9_blocking_quality(spark, sf):
+    """Blocking-scheme audit (operators/evaluate.py blocking_quality): pair
+    completeness / pair quality / reduction ratio for token, prefix, and
+    union blocking over 3 surface variants per part name. All ratios are
+    single divisions of exact integers; block sizes are df-capped at 500
+    in both engines (over-cap blocks dropped, the production stop-key
+    rule), so the candidate join is bounded per block at any scale."""
+    from entity_linkings_spark.operators.evaluate import blocking_quality
+
+    grp = _part(spark, sf).groupBy("p_name").agg(F.min("p_partkey").alias("ent"))
+    typo = F.concat(
+        F.substring("p_name", 1, 1),
+        F.substring("p_name", 3, 1),
+        F.substring("p_name", 2, 1),
+        F.expr("substring(p_name, 4)"),
+    )
+    surfs = (
+        grp.select("ent", F.col("p_name").alias("surface"))
+        .unionByName(grp.select("ent", typo.alias("surface")))
+        .unionByName(
+            grp.select("ent", F.regexp_replace("p_name", " ", "").alias("surface"))
+        )
+    )
+    # ambiguous surfaces (two entities colliding on one variant) are
+    # unlabelable and dropped — same HAVING rule in the oracle
+    records = (
+        surfs.groupBy("surface")
+        .agg(F.collect_set("ent").alias("ents"), F.min("ent").alias("ent"))
+        .where(F.size("ents") == 1)
+        .select(F.md5("surface").alias("skey"), "surface",
+                F.col("ent").alias("entity_id"))
+        .localCheckpoint()  # feeds keys x2 + all three metric aggregates
+    )
+    tok = (
+        records.select("skey", F.explode(F.split("surface", " ")).alias("t"))
+        .select("skey", F.concat(F.lit("T:"), F.col("t")).alias("bkey"))
+        .distinct()
+        .localCheckpoint()  # token and union scheme rows
+    )
+    pfx = records.select(
+        "skey",
+        F.concat(
+            F.lit("P:"), F.substring(F.regexp_replace("surface", " ", ""), 1, 4)
+        ).alias("bkey"),
+    )
+    keyed = (
+        tok.select(F.lit("token").alias("scheme"), "skey", "bkey")
+        .unionByName(pfx.select(F.lit("prefix").alias("scheme"), "skey", "bkey"))
+        .unionByName(tok.select(F.lit("union").alias("scheme"), "skey", "bkey"))
+        .unionByName(pfx.select(F.lit("union").alias("scheme"), "skey", "bkey"))
+    )
+    capped = (
+        keyed.groupBy("scheme", "bkey")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") <= 500)
+        .select("scheme", "bkey")
+    )
+    return blocking_quality(records, keyed.join(capped, ["scheme", "bkey"]))
+
+
+# ---- CC density audit: over-merge detection on resolved clusters ------------
+
+@register(
+    "cc_density_audit",
+    f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({_JACCARD_VERIFY_SQL}) WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    rec AS (
+        WITH RECURSIVE reach(src, dst) AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        ) SELECT * FROM reach),
+    labels AS (SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+               FROM nodes n LEFT JOIN rec r ON r.src = n.node
+               GROUP BY n.node),
+    intra AS (SELECT la.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+              FROM pairs p
+              JOIN labels la ON la.node = p.id_a
+              JOIN labels lb ON lb.node = p.id_b
+               AND lb.cluster_id = la.cluster_id
+              GROUP BY la.cluster_id),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+              FROM labels GROUP BY cluster_id)
+    SELECT s.cluster_id, s.size,
+           CAST(COALESCE(i.n_edges, 0) AS BIGINT) AS n_edges,
+           CAST(2 * COALESCE(i.n_edges, 0) AS DOUBLE)
+               / (s.size * (s.size - 1)) AS density
+    FROM sizes s LEFT JOIN intra i ON i.cluster_id = s.cluster_id
+    WHERE s.size >= 2
+    """,
+)
+def cc_density_audit(spark, sf):
+    """Per-cluster edge density over the verified near-dup clustering
+    (operators/clustering.py cluster_density): a transitive cluster held
+    together by a hub or a single spurious edge reads density << 1, a
+    genuine duplicate group reads ~1.0 — the audit that decides whether a
+    resolve threshold over-merges BEFORE anyone ships the clusters. Two
+    label-lookup joins + two hash aggregates; no pairwise expansion."""
+    from entity_linkings_spark.operators.clustering import cluster_density
+
+    docs = _docs(spark, sf)
+    bands = D.minhash_bands(docs, "doc_id", D.word_shingles("text", 5)).localCheckpoint()
+    cand = D.band_pairs(bands, "doc_id").select("id_a", "id_b")
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 12, "0")  # noqa: E731
+    pairs = (
+        D.shingle_jaccard(docs, cand, "doc_id", "text", 5)
+        .where(F.col("jaccard") >= 0.5)
+        .select(pad("id_a").alias("u"), pad("id_b").alias("v"))
+        .localCheckpoint()  # consumed by the CC loop AND the density join
+    )
+    labels = connected_components(pairs)
+    return cluster_density(labels, pairs).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "size",
+        "n_edges",
+        "density",
+    )

@@ -244,3 +244,46 @@ def clusters_with_singletons(assignments: DataFrame, all_nodes: DataFrame) -> Da
         .withColumn("cluster_id", F.col("node"))
     )
     return assignments.unionByName(singles)
+
+
+def cluster_density(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-cluster edge density — the over-merge audit for a resolved
+    clustering: a transitive-closure cluster glued together by one hub
+    node (or one spurious edge) has density far below 1.0, while a genuine
+    duplicate group is near-clique. ``labels`` is (node, cluster_id),
+    ``edges`` the undirected unique match pairs (u, v) the clustering was
+    built from. Returns (cluster_id, size, n_edges, density) for clusters
+    of size >= 2, density = 2E / (n*(n-1)) — exact-integer division, so
+    an oracle can restate it bit-identically.
+
+    Scale shape: two label-lookup joins on the edge list plus two hash
+    aggregates — no pairwise expansion anywhere; cross-cluster edges (a
+    labels table from a DIFFERENT threshold than the edge set) are
+    counted for neither side, which is exactly what the audit wants."""
+    e = (
+        edges.join(
+            labels.withColumnsRenamed({"node": "u", "cluster_id": "cu"}), "u"
+        )
+        .join(labels.withColumnsRenamed({"node": "v", "cluster_id": "cv"}), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("cluster_id"))
+        .agg(F.count("*").alias("n_edges"))
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("size"))
+    return (
+        sizes.where(F.col("size") >= 2)
+        # left join: a size>=2 cluster with ZERO intra edges (labels from a
+        # different threshold than the edge set) is the worst offender and
+        # must show up as density 0, not vanish
+        .join(e, "cluster_id", "left")
+        .na.fill({"n_edges": 0})
+        .select(
+            "cluster_id",
+            "size",
+            "n_edges",
+            (
+                (2 * F.col("n_edges")).cast("double")
+                / (F.col("size") * (F.col("size") - 1))
+            ).alias("density"),
+        )
+    )

@@ -217,3 +217,72 @@ def top1_accuracy(resolved: DataFrame, golds: DataFrame) -> DataFrame:
             / F.greatest(F.count("*"), F.lit(1))
         ).alias("top1_accuracy")
     )
+
+
+def blocking_quality(records: DataFrame, keys: DataFrame) -> DataFrame:
+    """Blocking-scheme evaluation: pair completeness / pair quality /
+    reduction ratio per scheme — the standard ER triad for choosing a
+    blocking strategy BEFORE paying for pairwise scoring (the reference
+    fixes its candidate generator per experiment, prior/indexer.py; at
+    100 TB the blocking choice IS the job cost, so it gets a first-class
+    audit operator).
+
+    ``records``: one row per record, (skey, entity_id) — the gold entity
+    label. ``keys``: (scheme, skey, bkey) block memberships, possibly for
+    several schemes at once. Returns one row per scheme:
+      n_records, n_gold_pairs      — label-derived constants
+      n_cand_pairs, n_hit_pairs    — distinct co-blocked pairs / same-entity
+      pair_completeness = hits/gold, pair_quality = hits/cand,
+      reduction_ratio = (total_pairs - cand)/total_pairs
+    All ratios are single divisions of exact integers (oracle-replayable
+    bit-identically). No pairwise expansion beyond the co-blocked pairs
+    themselves; gold-pair counts are arithmetic (sum of C(m,2) per entity),
+    never materialized."""
+    cand = (
+        keys.select("scheme", "bkey", F.col("skey").alias("skey_a"))
+        .join(
+            keys.select("scheme", "bkey", F.col("skey").alias("skey_b")),
+            ["scheme", "bkey"],
+        )
+        .where(F.col("skey_a") < F.col("skey_b"))
+        .select("scheme", "skey_a", "skey_b")
+        .distinct()
+    )
+    ent = records.select("skey", "entity_id")
+    per = (
+        cand.join(ent.withColumnsRenamed({"skey": "skey_a", "entity_id": "ent_a"}), "skey_a")
+        .join(ent.withColumnsRenamed({"skey": "skey_b", "entity_id": "ent_b"}), "skey_b")
+        .groupBy("scheme")
+        .agg(
+            F.count("*").alias("n_cand_pairs"),
+            F.sum(
+                F.when(F.col("ent_a") == F.col("ent_b"), 1).otherwise(0)
+            ).cast("long").alias("n_hit_pairs"),
+        )
+    )
+    consts = records.agg(F.count("*").alias("n_records")).select(
+        "n_records",
+        F.expr("n_records * (n_records - 1) div 2").alias("total_pairs"),
+    )
+    gold = (
+        records.groupBy("entity_id")
+        .agg(F.count("*").alias("m"))
+        .agg(F.sum(F.expr("m * (m - 1) div 2")).cast("long").alias("n_gold_pairs"))
+    )
+    return per.crossJoin(F.broadcast(consts)).crossJoin(F.broadcast(gold)).select(
+        "scheme",
+        "n_records",
+        "n_gold_pairs",
+        "n_cand_pairs",
+        "n_hit_pairs",
+        (F.col("n_hit_pairs").cast("double") / F.col("n_gold_pairs")).alias(
+            "pair_completeness"
+        ),
+        (F.col("n_hit_pairs").cast("double") / F.col("n_cand_pairs")).alias(
+            "pair_quality"
+        ),
+        (
+            (F.col("total_pairs") - F.col("n_cand_pairs")).cast("double")
+            / F.col("total_pairs")
+        ).alias("reduction_ratio"),
+    )

@@ -166,3 +166,72 @@ def test_small_graph_cc_costs_at_most_two_jobs(spark):
     j1 = sc._jsc.sc().dagScheduler().nextJobId()
     assert j1 - j0 <= 2
     assert out.count() == 5  # result itself is a local createDataFrame
+
+
+def test_cluster_density_flags_hub_glued_cluster(spark):
+    """cluster_density: a star (hub glues 4 leaves) reads density 0.4, a
+    4-clique reads 1.0, and a size-2 pair reads 1.0 — the over-merge
+    audit's discriminating signal. A size>=2 cluster with ZERO intra
+    edges (labels from a different threshold than the edge set) surfaces
+    as density 0 instead of vanishing; cross-cluster edges count for
+    neither side."""
+    from entity_linkings_spark.operators.clustering import cluster_density
+
+    star = [("h", x) for x in ("l1", "l2", "l3", "l4")]
+    clique = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    edges = spark.createDataFrame(
+        star + clique + [("p", "q"), ("a", "h")], "u string, v string"
+    )
+    labels = connected_components(edges)
+    out = {r["cluster_id"]: (r["size"], r["n_edges"], r["density"])
+           for r in cluster_density(labels, edges).collect()}
+    # merged star+clique+bridge: 9 nodes, 4+6+1 edges
+    assert out["a"] == (9, 11, 11 * 2 / (9 * 8))
+    assert out["p"] == (2, 1, 1.0)
+    # separate components (no bridge): star vs clique separate cleanly
+    edges2 = spark.createDataFrame(star + clique + [("p", "q")],
+                                   "u string, v string")
+    labels2 = connected_components(edges2)
+    out2 = {r["cluster_id"]: (r["size"], r["n_edges"], round(r["density"], 6))
+            for r in cluster_density(labels2, edges2).collect()}
+    assert out2["h"] == (5, 4, 0.4)
+    assert out2["a"] == (4, 6, 1.0)
+    # zero-intra-edge cluster: label p,q,r together but give the edge set
+    # only (p,q)-external edges -> density 0 row, not a dropped row
+    lab3 = spark.createDataFrame(
+        [("p", "P"), ("q", "P"), ("r", "P")], "node string, cluster_id string"
+    )
+    e3 = spark.createDataFrame([("p", "z")], "u string, v string")
+    got3 = {r["cluster_id"]: (r["size"], r["n_edges"], r["density"])
+            for r in cluster_density(lab3, e3).collect()}
+    assert got3["P"] == (3, 0, 0.0)
+
+
+def test_blocking_quality_metrics_exact(spark):
+    """blocking_quality on a hand-computable corpus: 4 records, 2 entities,
+    one scheme co-blocks 3 pairs (2 hits), total pairs C(4,2)=6, gold
+    pairs 2 -> PC=1.0, PQ=2/3, RR=0.5; a second scheme with one block of
+    2 same-entity records -> PC=0.5, PQ=1.0, RR=5/6."""
+    from entity_linkings_spark.operators.evaluate import blocking_quality
+
+    records = spark.createDataFrame(
+        [("k1", "e1"), ("k2", "e1"), ("k3", "e2"), ("k4", "e2")],
+        "skey string, entity_id string",
+    )
+    keys = spark.createDataFrame(
+        # scheme A: block b1={k1,k2,k3}, b2={k3,k4} -> cand {12,13,23,34}
+        [("A", "k1", "b1"), ("A", "k2", "b1"), ("A", "k3", "b1"),
+         ("A", "k3", "b2"), ("A", "k4", "b2"),
+         # scheme B: one block {k1,k2}
+         ("B", "k1", "c1"), ("B", "k2", "c1")],
+        "scheme string, skey string, bkey string",
+    )
+    got = {r["scheme"]: r.asDict() for r in blocking_quality(records, keys).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["n_records"], a["n_gold_pairs"], a["n_cand_pairs"], a["n_hit_pairs"]) \
+        == (4, 2, 4, 2)
+    assert (a["pair_completeness"], a["pair_quality"], a["reduction_ratio"]) \
+        == (1.0, 0.5, 2 / 6)
+    assert (b["n_cand_pairs"], b["n_hit_pairs"]) == (1, 1)
+    assert (b["pair_completeness"], b["pair_quality"], b["reduction_ratio"]) \
+        == (0.5, 1.0, 5 / 6)
