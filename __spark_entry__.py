@@ -231,11 +231,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_registrable_psl_rules",
         "a9_blocking_quality",
         "cc_density_audit",
+        "j11_sorted_neighborhood",
         # round-7 changed (url_host consumers; IVF rebalance/codebook);
         # dedup_containment and ann_ivf_append_topk stay outside — their
-        # r6 rows are fresh and their query code is untouched
+        # r6 rows are fresh and their query code is untouched, and
+        # sample_domain_quota ceded its slot to j11 (r6 row green; its
+        # url_host path is covered in-window by sample_domain_quota_psl)
         "filter_blocked_domains",
-        "sample_domain_quota",
         "ann_ivf_rebalance_topk",
         # the 39 round-5-fresh rows (CORRECTNESS_r05 \ r06)
         "a2_prior_topk",

@@ -4579,8 +4579,11 @@ def dataprep_pipeline(spark, sf):
 # not the despaced one; prefix blocking the reverse — so completeness
 # genuinely separates the schemes and the union demonstrably dominates.
 
-_BQ_SQL = """
-    WITH grp AS (SELECT p_name, MIN(p_partkey) AS ent FROM part GROUP BY p_name),
+# shared by a9_blocking_quality and j11_sorted_neighborhood: 3 surface
+# variants per distinct part name, entity = the name's min partkey,
+# ambiguous surfaces dropped
+_BQ_RECORDS_SQL = """
+    grp AS (SELECT p_name, MIN(p_partkey) AS ent FROM part GROUP BY p_name),
     surfs AS (
         SELECT ent, p_name AS surface FROM grp
         UNION ALL
@@ -4590,7 +4593,11 @@ _BQ_SQL = """
         SELECT ent, replace(p_name, ' ', '') FROM grp),
     records AS (
         SELECT md5(surface) AS skey, surface, MIN(ent) AS ent
-        FROM surfs GROUP BY surface HAVING COUNT(DISTINCT ent) = 1),
+        FROM surfs GROUP BY surface HAVING COUNT(DISTINCT ent) = 1)
+"""
+
+_BQ_SQL = f"""
+    WITH {_BQ_RECORDS_SQL},
     tok AS (SELECT DISTINCT skey, 'T:' || t AS bkey FROM
             (SELECT skey, unnest(string_split(surface, ' ')) AS t FROM records)),
     pfx AS (SELECT skey, 'P:' || substr(replace(surface, ' ', ''), 1, 4) AS bkey
@@ -4628,16 +4635,12 @@ _BQ_SQL = """
 """
 
 
-@register("a9_blocking_quality", _BQ_SQL)
-def a9_blocking_quality(spark, sf):
-    """Blocking-scheme audit (operators/evaluate.py blocking_quality): pair
-    completeness / pair quality / reduction ratio for token, prefix, and
-    union blocking over 3 surface variants per part name. All ratios are
-    single divisions of exact integers; block sizes are df-capped at 500
-    in both engines (over-cap blocks dropped, the production stop-key
-    rule), so the candidate join is bounded per block at any scale."""
-    from entity_linkings_spark.operators.evaluate import blocking_quality
-
+def _bq_records(spark, sf) -> DataFrame:
+    """Shared record table for the blocking-audit queries: 3 deterministic
+    surface variants (verbatim / chars-2-3-transposed typo / despaced) per
+    distinct part name, entity = min partkey; ambiguous surfaces (two
+    entities colliding on one variant) are unlabelable and dropped — same
+    HAVING rule in the oracle fragment (_BQ_RECORDS_SQL)."""
     grp = _part(spark, sf).groupBy("p_name").agg(F.min("p_partkey").alias("ent"))
     typo = F.concat(
         F.substring("p_name", 1, 1),
@@ -4652,16 +4655,27 @@ def a9_blocking_quality(spark, sf):
             grp.select("ent", F.regexp_replace("p_name", " ", "").alias("surface"))
         )
     )
-    # ambiguous surfaces (two entities colliding on one variant) are
-    # unlabelable and dropped — same HAVING rule in the oracle
-    records = (
+    return (
         surfs.groupBy("surface")
         .agg(F.collect_set("ent").alias("ents"), F.min("ent").alias("ent"))
         .where(F.size("ents") == 1)
         .select(F.md5("surface").alias("skey"), "surface",
                 F.col("ent").alias("entity_id"))
-        .localCheckpoint()  # feeds keys x2 + all three metric aggregates
+        .localCheckpoint()  # every consumer reads it several times
     )
+
+
+@register("a9_blocking_quality", _BQ_SQL)
+def a9_blocking_quality(spark, sf):
+    """Blocking-scheme audit (operators/evaluate.py blocking_quality): pair
+    completeness / pair quality / reduction ratio for token, prefix, and
+    union blocking over 3 surface variants per part name. All ratios are
+    single divisions of exact integers; block sizes are df-capped at 500
+    in both engines (over-cap blocks dropped, the production stop-key
+    rule), so the candidate join is bounded per block at any scale."""
+    from entity_linkings_spark.operators.evaluate import blocking_quality
+
+    records = _bq_records(spark, sf)
     tok = (
         records.select("skey", F.explode(F.split("surface", " ")).alias("t"))
         .select("skey", F.concat(F.lit("T:"), F.col("t")).alias("bkey"))
@@ -4749,4 +4763,46 @@ def cc_density_audit(spark, sf):
         "size",
         "n_edges",
         "density",
+    )
+
+
+# ---- J11: sorted-neighborhood blocking (Hernandez & Stolfo 1995) ------------
+
+@register(
+    "j11_sorted_neighborhood",
+    f"""
+    WITH {_BQ_RECORDS_SQL},
+    ranked AS (SELECT skey, ent,
+                      row_number() OVER (ORDER BY surface, skey) AS rank
+               FROM records)
+    SELECT a.skey AS skey_a, b.skey AS skey_b,
+           CAST(b.rank - a.rank AS INT) AS gap,
+           a.ent = b.ent AS is_match
+    FROM ranked a JOIN ranked b
+      ON b.rank > a.rank AND b.rank <= a.rank + 4
+    """,
+)
+def j11_sorted_neighborhood(spark, sf):
+    """The third classical blocking family (operators/blocking.py
+    sorted_neighborhood_pairs): rank every record by (surface, skey) with
+    the bounded-collect distributed ranking (global_rank — range
+    partition + per-partition row_number + driver prefix offsets, one row
+    collected per range partition, NEVER a single-partition window) and
+    pair each record with the next window-1 = 4. The oracle states the
+    same neighborhood as a plain row_number window + rank-range join —
+    green means the distributed ranking is exactly the total order.
+    Candidate volume is linear in n; no block-size skew exists in this
+    family at all."""
+    from entity_linkings_spark.operators.blocking import sorted_neighborhood_pairs
+
+    records = _bq_records(spark, sf)
+    pairs = sorted_neighborhood_pairs(records, "surface", "skey", window=5)
+    ent = records.select("skey", "entity_id")
+    return (
+        pairs.join(ent.withColumnsRenamed({"skey": "skey_a", "entity_id": "ent_a"}), "skey_a")
+        .join(ent.withColumnsRenamed({"skey": "skey_b", "entity_id": "ent_b"}), "skey_b")
+        .select(
+            "skey_a", "skey_b", "gap",
+            (F.col("ent_a") == F.col("ent_b")).alias("is_match"),
+        )
     )

@@ -118,6 +118,83 @@ def cap_blocks(keys: DataFrame, max_block_size: int) -> DataFrame:
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Distributed 1-based global rank by ``order_cols`` (which must form a
+    unique total order) WITHOUT a single-partition window: range-partition
+    on the order key, materialize (the two downstream jobs must see the
+    SAME sampled range boundaries), take per-partition row_numbers, and
+    add driver-computed partition offsets — the collect is one row per
+    range partition, bounded by the parallelism knob, never by the data.
+    The rank values themselves depend only on the total order, not on
+    where the sampled boundaries fell."""
+    spark = df.sparkSession
+    n = num_ranges or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    parts = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        parts.groupBy("_pid").agg(F.count("*").alias("c")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((r["_pid"], acc))
+        acc += r["c"]
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        parts.join(F.broadcast(off_df), "_pid")
+        .withColumn(
+            rank_col, (F.row_number().over(w) + F.col("_off")).cast("long")
+        )
+        .drop("_pid", "_off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    sort_col: str,
+    id_col: str = "skey",
+    window: int = 5,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): rank all
+    records by ``sort_col`` (id tiebreak) and pair each with the next
+    ``window - 1`` — the third classical blocking family next to token
+    and LSH keys, catching near-misses that share a sort prefix but no
+    whole token. Candidate volume is exactly n*(window-1) minus the tail,
+    LINEAR in n — no block-size skew at all.
+
+    Physical shape: global_rank's bounded-collect ranking, then the
+    neighborhood expands as an explode of the next window-1 rank slots
+    equi-joined back on rank — fan-out window-1, never a range join.
+    Output (id_a, id_b, gap) with id_a the LOWER-ranked record."""
+    ranked = global_rank(records, [sort_col, id_col], num_ranges=num_ranges)
+    left = ranked.select(
+        F.col("rank").alias("r_a"),
+        F.col(id_col).alias(f"{id_col}_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + window - 1)
+        ).alias("r_b"),
+    )
+    right = ranked.select(
+        F.col("rank").alias("r_b"), F.col(id_col).alias(f"{id_col}_b")
+    )
+    return left.join(right, "r_b").select(
+        f"{id_col}_a",
+        f"{id_col}_b",
+        (F.col("r_b") - F.col("r_a")).cast("int").alias("gap"),
+    )
+
+
 def key_size_histogram(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """(bucket_size, n_keys): EXACT histogram of per-key group sizes — the
     skew diagnostic to run before any keyed join/agg at scale (a fat tail

@@ -93,3 +93,37 @@ def test_ngram_idf_builder(spark):
     # 'alp' appears in 2 of 3 surfaces, 'zzz' in 1 -> rarer gram gets more weight
     assert idf["zzz"] > idf["alp"] > 0
     assert idf["zzz"] == math.log(1 + 3 / 1)
+
+
+def test_global_rank_matches_total_order_any_partitioning(spark):
+    """global_rank == the position in the (key, id) total order, regardless
+    of how many range partitions the sampler chose — the rank is a
+    function of the order, not the boundaries."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"s{rng.randint(0, 999):03d}", f"id{i:03d}") for i in range(157)]
+    df = spark.createDataFrame(rows, "k string, id string")
+    want = {t: i + 1 for i, t in enumerate(sorted(rows))}
+    for n in (1, 3, 8):
+        got = {(r["k"], r["id"]): r["rank"]
+               for r in B.global_rank(df, ["k", "id"], num_ranges=n).collect()}
+        assert got == want, f"num_ranges={n}"
+
+
+def test_sorted_neighborhood_pairs_exact_window(spark):
+    """Every record pairs with exactly the next window-1 by sort order
+    (short tail at the end), gaps are 1..window-1, and the pair set is
+    identical across partition counts."""
+    rows = [(f"n{i:02d}", f"k{i:02d}") for i in range(11)]
+    df = spark.createDataFrame(rows, "surface string, skey string")
+    got = {(r["skey_a"], r["skey_b"], r["gap"])
+           for r in B.sorted_neighborhood_pairs(
+               df, "surface", "skey", window=4, num_ranges=3).collect()}
+    want = {(f"k{i:02d}", f"k{j:02d}", j - i)
+            for i in range(11) for j in range(i + 1, min(i + 4, 11))}
+    assert got == want
+    got2 = {(r["skey_a"], r["skey_b"], r["gap"])
+            for r in B.sorted_neighborhood_pairs(
+                df, "surface", "skey", window=4, num_ranges=7).collect()}
+    assert got2 == want

@@ -100,3 +100,30 @@ def test_psl_rule_join_broadcasts(spark):
     p = _plan(spark, "f_registrable_psl_rules")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize("name", ["a9_blocking_quality", "cc_density_audit"])
+def test_audit_queries_no_cartesian_products(spark, name):
+    # the blocking-quality candidate join is an equi-join on (scheme, bkey)
+    # and the density join two label lookups; the only broadcast crosses
+    # are the two single-row constant attaches (BNLJ, never CartesianProduct)
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_blocking_quality_candidate_join_is_hash_join(spark):
+    # the co-blocked self-join must stay a hash equi-join on (scheme, bkey)
+    p = _plan(spark, "a9_blocking_quality")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_sorted_neighborhood_no_cartesian_and_no_global_window(spark):
+    """j11: the neighborhood must be an equi-join on rank (explode fan-out,
+    never a range join / cartesian), and the ranking must never fall back
+    to a single-partition global window (the scale hazard global_rank
+    exists to avoid) — every Window in the plan is partitioned by the
+    range-partition id."""
+    p = _plan(spark, "j11_sorted_neighborhood")
+    assert "CartesianProduct" not in p
+    import re as _re
+    for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "_pid" in spec, spec
