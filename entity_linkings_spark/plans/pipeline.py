@@ -246,6 +246,45 @@ class LinkagePipeline:
             F.coalesce("prior_score", "scored_score", F.lit(0.0)).alias("score"),
         )
 
+    # ---- observability: blocking-scheme audit --------------------------------
+    def blocking_audit(
+        self,
+        surfaces: DataFrame,
+        keys: DataFrame | None = None,
+        golds: DataFrame | None = None,
+    ) -> DataFrame:
+        """Pair completeness / pair quality / reduction ratio of the
+        pipeline's OWN blocking keys, per key family (``tok`` / ``lsh`` by
+        block-key prefix) plus their union — one row per scheme, shaped
+        for the lifecycle metrics table (operators/evaluate.py
+        blocking_quality). ``golds`` is (skey, entity_id) labeled records;
+        by default the prior-resolved surfaces stand in as silver labels,
+        which is exactly the audit you can run at full scale with no
+        annotation. Run this BEFORE a big linkage job: at 10^12 turns the
+        blocking choice is the job cost, and a completeness drop here is
+        cheaper to catch than a recall drop after scoring."""
+        from entity_linkings_spark.operators.evaluate import blocking_quality
+
+        if keys is None:
+            keys = self.surface_keys(surfaces)
+        if golds is None:
+            golds = surfaces.where(F.col("prior_entity").isNotNull()).select(
+                "skey", F.col("prior_entity").alias("entity_id")
+            )
+        # families: "tok:*" is token blocking; the per-band "mh<i>:*" keys
+        # are all one LSH scheme (a pair is LSH-co-blocked if ANY band hits)
+        k = keys.join(golds.select("skey"), "skey").select(
+            F.when(F.col("block_key").startswith("tok:"), "tok")
+            .otherwise("lsh")
+            .alias("fam"),
+            "skey",
+            F.col("block_key").alias("bkey"),
+        )
+        keyed = k.select(F.col("fam").alias("scheme"), "skey", "bkey").unionByName(
+            k.select(F.lit("union").alias("scheme"), "skey", "bkey")
+        )
+        return blocking_quality(golds, keyed)
+
     # ---- full run ------------------------------------------------------------
     def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
         """Compose all stages. Shared intermediates are cached: surfaces,

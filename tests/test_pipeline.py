@@ -114,3 +114,30 @@ def test_resolve_with_reused_keys_identical(spark, tiny):
     a = sorted(map(tuple, pipe.resolve(surfaces).collect()))
     b = sorted(map(tuple, pipe.resolve(surfaces, keys).collect()))
     assert a == b
+
+
+def test_blocking_audit_shapes_and_dominance(spark, tiny):
+    """blocking_audit over the pipeline's own keys: one row per key family
+    (tok, lsh) plus union; the union scheme's completeness dominates each
+    family's and its candidate count is at least each family's; ratios
+    stay in [0, 1] and gold-pair counts are shared across schemes."""
+    pipe = LinkagePipeline(tiny["dictionary"], alias_counts=tiny["alias_counts"])
+    mentions = pipe.mentions(tiny["transcripts"])
+    surfaces = pipe.surfaces(mentions).cache()
+    keys = pipe.surface_keys(surfaces)
+    rows = {r["scheme"]: r.asDict()
+            for r in pipe.blocking_audit(surfaces, keys).collect()}
+    assert set(rows) == {"tok", "lsh", "union"}
+    golds = {r["n_gold_pairs"] for r in rows.values()}
+    assert len(golds) == 1  # label-derived constant, scheme-independent
+    for r in rows.values():
+        assert 0.0 <= r["pair_completeness"] <= 1.0
+        assert 0.0 <= r["pair_quality"] <= 1.0
+        assert 0.0 <= r["reduction_ratio"] <= 1.0
+    u = rows["union"]
+    for fam in ("tok", "lsh"):
+        assert u["pair_completeness"] >= rows[fam]["pair_completeness"]
+        assert u["n_cand_pairs"] >= rows[fam]["n_cand_pairs"]
+    # the pipeline's blocking must actually co-block most silver-labeled
+    # same-entity surface pairs on this corpus
+    assert u["pair_completeness"] >= 0.8
