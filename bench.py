@@ -106,6 +106,7 @@ HEADLINE = [
     "a9_blocking_quality",
     "cc_density_audit",
     "j11_sorted_neighborhood",
+    "j12_meta_blocking",
 ]
 
 _SCALE_SNIPPET = r"""

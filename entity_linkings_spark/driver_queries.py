@@ -4806,3 +4806,67 @@ def j11_sorted_neighborhood(spark, sf):
             (F.col("ent_a") == F.col("ent_b")).alias("is_match"),
         )
     )
+
+
+# ---- J12: meta-blocking, weighted node pruning (Papadakis et al. 2014) ------
+
+@register(
+    "j12_meta_blocking",
+    f"""
+    WITH {_BQ_RECORDS_SQL},
+    tk AS (SELECT DISTINCT skey, g AS bkey FROM
+           (SELECT skey,
+                   unnest(CASE WHEN length(surface) <= 3 THEN [surface]
+                          ELSE list_transform(
+                              generate_series(1, length(surface) - 2),
+                              i -> substr(surface, CAST(i AS INT), 3)) END) AS g
+            FROM records)),
+    capped AS (SELECT bkey FROM tk GROUP BY bkey HAVING COUNT(*) <= 500),
+    k2 AS (SELECT tk.skey, tk.bkey FROM tk JOIN capped USING (bkey)),
+    pairs AS (SELECT a.skey AS id_a, b.skey AS id_b,
+                     CAST(COUNT(*) AS BIGINT) AS cbs
+              FROM k2 a JOIN k2 b ON a.bkey = b.bkey AND a.skey < b.skey
+              GROUP BY 1, 2),
+    inc AS (SELECT id_a AS node, cbs FROM pairs
+            UNION ALL SELECT id_b, cbs FROM pairs),
+    stats AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg,
+                     CAST(SUM(cbs) AS BIGINT) AS wsum
+              FROM inc GROUP BY node)
+    SELECT p.id_a, p.id_b, p.cbs
+    FROM pairs p
+    JOIN stats sa ON sa.node = p.id_a
+    JOIN stats sb ON sb.node = p.id_b
+    WHERE p.cbs * sa.deg >= sa.wsum OR p.cbs * sb.deg >= sb.wsum
+    """,
+)
+def j12_meta_blocking(spark, sf):
+    """Meta-blocking WNP (operators/blocking.py meta_blocking_wnp) over
+    char-3-gram blocks of the shared 3-variant record table (gram blocks,
+    unlike whole tokens on this corpus's 2-token names, give pairs a real
+    weight SPECTRUM — same-entity variants share ~4 grams, cross-entity
+    surfaces 2-3 — so the prune has bite). Pairs are weighted by
+    common-block count and kept iff the weight reaches the local mean of
+    either endpoint; the comparison is integer arithmetic
+    (cbs * deg >= wsum), restated verbatim by the oracle — no float
+    threshold anywhere. Registered outside this round's 50-slot driver
+    window (pinned by the 39 r5-fresh + changed rows); verified by the
+    builder sweep at both scales and next round's rotation."""
+    from entity_linkings_spark.functions.strings import char_ngrams
+    from entity_linkings_spark.operators.blocking import meta_blocking_wnp
+
+    records = _bq_records(spark, sf)
+    tk = (
+        records.select(
+            "skey",
+            F.explode(F.array_distinct(char_ngrams("surface", 3))).alias(
+                "block_key"
+            ),
+        )
+        .distinct()
+    )
+    capped = (
+        tk.groupBy("block_key").agg(F.count("*").alias("c"))
+        .where(F.col("c") <= 500)
+        .select("block_key")
+    )
+    return meta_blocking_wnp(tk.join(capped, "block_key"), "skey")

@@ -195,6 +195,58 @@ def sorted_neighborhood_pairs(
     )
 
 
+def meta_blocking_wnp(keys: DataFrame, id_col: str = "skey") -> DataFrame:
+    """Meta-blocking with weighted node pruning (Papadakis et al., TKDE
+    2014): weight every co-blocked pair by its common-block count (CBS),
+    then keep a pair iff its weight is >= the local mean weight of EITHER
+    endpoint — the redundancy-positive prune that cuts the quadratic tail
+    of low-signal candidates while keeping every pair that is strong for
+    at least one of its nodes.
+
+    ``keys``: (id, block_key), df-capped upstream. Output
+    (id_a, id_b, cbs) for surviving pairs, id_a < id_b.
+
+    Exactness: the mean comparison is done in integers —
+    ``cbs * deg(node) >= sum_weights(node)`` — so an oracle can restate
+    it bit-identically with no float threshold. Shape: one block
+    self-join (bounded by the cap), one pair aggregate, one node
+    aggregate over both pair directions, two broadcast-size joins back;
+    no node ever compares against anything but its own incident pairs."""
+    a = keys.select("block_key", F.col(id_col).alias("id_a"))
+    b = keys.select("block_key", F.col(id_col).alias("id_b"))
+    pairs = (
+        a.join(b, "block_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("cbs"))
+    )
+    incident = pairs.select(F.col("id_a").alias("node"), "cbs").unionByName(
+        pairs.select(F.col("id_b").alias("node"), "cbs")
+    )
+    stats = incident.groupBy("node").agg(
+        F.count("*").alias("deg"), F.sum("cbs").alias("wsum")
+    )
+    return (
+        pairs.join(
+            stats.withColumnsRenamed(
+                {"node": "id_a", "deg": "deg_a", "wsum": "wsum_a"}
+            ),
+            "id_a",
+        )
+        .join(
+            stats.withColumnsRenamed(
+                {"node": "id_b", "deg": "deg_b", "wsum": "wsum_b"}
+            ),
+            "id_b",
+        )
+        .where(
+            (F.col("cbs") * F.col("deg_a") >= F.col("wsum_a"))
+            | (F.col("cbs") * F.col("deg_b") >= F.col("wsum_b"))
+        )
+        .select("id_a", "id_b", "cbs")
+    )
+
+
 def key_size_histogram(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """(bucket_size, n_keys): EXACT histogram of per-key group sizes — the
     skew diagnostic to run before any keyed join/agg at scale (a fat tail

@@ -127,3 +127,40 @@ def test_sorted_neighborhood_pairs_exact_window(spark):
             for r in B.sorted_neighborhood_pairs(
                 df, "surface", "skey", window=4, num_ranges=7).collect()}
     assert got2 == want
+
+
+def test_meta_blocking_wnp_hand_computed(spark):
+    """WNP on a hand-checkable graph: pairs weighted by common-block count;
+    a pair survives iff its weight reaches the local MEAN of either
+    endpoint (integer comparison cbs*deg >= wsum). Corpus: x,y share 2
+    blocks; x,z and y,z share 1; w pairs with z only (1). Means: x,y =
+    3/2 -> their weight-2 pair survives and their weight-1 pairs to z
+    fail BOTH endpoint tests at z's side too (z mean = 1 -> z keeps
+    them). OR semantics: kept."""
+    keys = spark.createDataFrame(
+        [("x", "b1"), ("y", "b1"), ("x", "b2"), ("y", "b2"),
+         ("x", "b3"), ("z", "b3"), ("y", "b4"), ("z", "b4"),
+         ("w", "b5"), ("z", "b5")],
+        "skey string, block_key string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["cbs"]
+           for r in B.meta_blocking_wnp(keys).collect()}
+    # all pairs: (x,y):2, (x,z):1, (y,z):1, (w,z):1
+    # means: x 4/3, y 4/3, z 3/3=1, w 1
+    # (x,y): 2 >= 4/3 -> kept; (x,z): 1 < 4/3 at x BUT 1 >= 1 at z -> kept
+    # (y,z), (w,z): kept via z/w side
+    assert got == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1, ("w", "z"): 1}
+    # now isolate a genuinely prunable pair: attach z to a high-weight hub
+    # so z's mean rises above 1 while x keeps its own mean above 1
+    keys2 = spark.createDataFrame(
+        [("x", "b1"), ("y", "b1"), ("x", "b2"), ("y", "b2"),
+         ("x", "b3"), ("z", "b3"),
+         ("z", "c1"), ("h", "c1"), ("z", "c2"), ("h", "c2"),
+         ("z", "c3"), ("h", "c3")],
+        "skey string, block_key string",
+    )
+    got2 = {(r["id_a"], r["id_b"]): r["cbs"]
+            for r in B.meta_blocking_wnp(keys2).collect()}
+    # pairs: (x,y):2, (x,z):1, (h,z):3; means: x 3/2, z 4/2=2, y 2, h 3
+    # (x,z): 1 < 3/2 AND 1 < 2 -> PRUNED; others kept
+    assert got2 == {("x", "y"): 2, ("h", "z"): 3}
