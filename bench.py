@@ -107,6 +107,7 @@ HEADLINE = [
     "cc_density_audit",
     "j11_sorted_neighborhood",
     "j12_meta_blocking",
+    "cc_repair_neighborhood",
 ]
 
 _SCALE_SNIPPET = r"""

@@ -4870,3 +4870,122 @@ def j12_meta_blocking(spark, sf):
         .select("block_key")
     )
     return meta_blocking_wnp(tk.join(capped, "block_key"), "skey")
+
+
+# ---- CC repair: split low-density (over-merged) clusters --------------------
+# The audit/repair pair for clusters, mirroring the IVF list rebalance:
+# sorted-neighborhood candidates verified at a SLOPPY gram-Jaccard 0.15
+# deliberately chain records along the sort order (the canonical over-merge
+# shape: size 8-16 clusters at density 0.44-0.79 on this corpus); the
+# density audit flags anything under 0.9 and the repair re-clusters flagged
+# nodes over strong (>= 0.3) intra-cluster edges only.
+
+_SN_SIMS_SQL = f"""
+    {_BQ_RECORDS_SQL},
+    ranked AS (SELECT skey, surface,
+                      row_number() OVER (ORDER BY surface, skey) AS rank
+               FROM records),
+    cand AS (SELECT a.skey AS id_a, b.skey AS id_b
+             FROM ranked a JOIN ranked b
+               ON b.rank > a.rank AND b.rank <= a.rank + 4),
+    grams AS (SELECT skey,
+                     list_distinct(CASE WHEN length(surface) <= 3 THEN [surface]
+                         ELSE list_transform(
+                             generate_series(1, length(surface) - 2),
+                             i -> substr(surface, CAST(i AS INT), 3)) END) AS g
+              FROM records),
+    sims AS (SELECT c.id_a, c.id_b,
+                    round(CAST(len(list_intersect(x.g, y.g)) AS DOUBLE) /
+                          greatest(len(x.g) + len(y.g)
+                                   - len(list_intersect(x.g, y.g)), 1),
+                          6) AS sim
+             FROM cand c JOIN grams x ON x.skey = c.id_a
+             JOIN grams y ON y.skey = c.id_b)
+"""
+
+
+@register(
+    "cc_repair_neighborhood",
+    f"""
+    WITH {_SN_SIMS_SQL},
+    weak AS (SELECT id_a, id_b FROM sims WHERE sim >= 0.15),
+    strong AS (SELECT id_a, id_b FROM sims WHERE sim >= 0.3),
+    edges AS (SELECT id_a AS u, id_b AS v FROM weak
+              UNION SELECT id_b, id_a FROM weak),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    rec AS (WITH RECURSIVE reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ) SELECT * FROM reach),
+    labels AS (SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+               FROM nodes n LEFT JOIN rec r ON r.src = n.node GROUP BY n.node),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+              FROM labels GROUP BY cluster_id),
+    intra AS (SELECT la.cluster_id, CAST(COUNT(*) AS BIGINT) AS e
+              FROM weak p JOIN labels la ON la.node = p.id_a
+              JOIN labels lb ON lb.node = p.id_b
+               AND lb.cluster_id = la.cluster_id
+              GROUP BY la.cluster_id),
+    flagged AS (SELECT s.cluster_id FROM sizes s
+                LEFT JOIN intra i ON i.cluster_id = s.cluster_id
+                WHERE s.sz >= 2
+                  AND CAST(2 * COALESCE(i.e, 0) AS DOUBLE)
+                      / (s.sz * (s.sz - 1)) < 0.9),
+    flnodes AS (SELECT l.node, l.cluster_id FROM labels l
+                JOIN flagged f ON f.cluster_id = l.cluster_id),
+    sdir AS (SELECT s.id_a AS u, s.id_b AS v FROM strong s
+             JOIN flnodes a ON a.node = s.id_a
+             JOIN flnodes b ON b.node = s.id_b
+              AND b.cluster_id = a.cluster_id),
+    sedges AS (SELECT u, v FROM sdir UNION SELECT v, u FROM sdir),
+    snodes AS (SELECT DISTINCT u AS node FROM sedges),
+    rec2 AS (WITH RECURSIVE reach2(src, dst) AS (
+        SELECT u, v FROM sedges
+        UNION SELECT r.src, e.v FROM reach2 r JOIN sedges e ON r.dst = e.u
+    ) SELECT * FROM reach2),
+    slabels AS (SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+                FROM snodes n LEFT JOIN rec2 r ON r.src = n.node
+                GROUP BY n.node)
+    SELECT l.node, l.cluster_id FROM labels l
+    WHERE l.cluster_id NOT IN (SELECT cluster_id FROM flagged)
+    UNION ALL
+    SELECT fn.node, COALESCE(sl.cluster_id, fn.node) AS cluster_id
+    FROM flnodes fn LEFT JOIN slabels sl ON sl.node = fn.node
+    """,
+)
+def cc_repair_neighborhood(spark, sf):
+    """Audit-and-repair over an over-merged clustering (operators/
+    clustering.py cluster_repair; detection = cluster_density): base
+    clusters come from sorted-neighborhood candidates verified at a
+    deliberately sloppy char-3-gram Jaccard (>= 0.15 — chains along the
+    sort order, densities 0.44-0.79), the audit flags density < 0.9, and
+    flagged clusters are re-clustered over strong (>= 0.3) intra-cluster
+    edges only; nodes losing every strong edge become singletons. The
+    oracle replays both connected-components passes as recursive CTEs.
+    Registered outside this round's pinned 50-slot driver window
+    (builder-sweep-verified at both scales; r8 rotation must include it,
+    tools/check_freshness.py reports it as NEW-UNCHECKED until then)."""
+    from entity_linkings_spark.functions.strings import char_ngrams
+    from entity_linkings_spark.operators.blocking import sorted_neighborhood_pairs
+    from entity_linkings_spark.operators.clustering import cluster_repair
+
+    records = _bq_records(spark, sf)
+    pairs = sorted_neighborhood_pairs(records, "surface", "skey", window=5)
+    grams = records.select(
+        "skey", F.array_distinct(char_ngrams("surface", 3)).alias("g")
+    )
+    j = (
+        pairs.join(grams.withColumnsRenamed({"skey": "skey_a", "g": "g_a"}), "skey_a")
+        .join(grams.withColumnsRenamed({"skey": "skey_b", "g": "g_b"}), "skey_b")
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    sims = j.select(
+        F.col("skey_a").alias("u"),
+        F.col("skey_b").alias("v"),
+        F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias("sim"),
+    ).localCheckpoint()  # weak + strong both read it; CC loops on top
+    weak = sims.where(F.col("sim") >= 0.15).select("u", "v")
+    strong = sims.where(F.col("sim") >= 0.3).select("u", "v")
+    labels = connected_components(weak)
+    return cluster_repair(labels, weak, 0.9, strong)

@@ -246,6 +246,52 @@ def clusters_with_singletons(assignments: DataFrame, all_nodes: DataFrame) -> Da
     return assignments.unionByName(singles)
 
 
+def cluster_repair(
+    labels: DataFrame,
+    edges: DataFrame,
+    min_density: float,
+    strong_edges: DataFrame,
+) -> DataFrame:
+    """The repair half of the over-merge audit (cluster_density is the
+    detection half — same audit/repair split as the IVF list rebalance):
+    clusters whose edge density reads below ``min_density`` are re-clustered
+    over ``strong_edges`` only (the caller's stricter threshold), restricted
+    to intra-cluster edges; flagged-cluster nodes that lose every strong
+    edge become singletons. Unflagged clusters pass through untouched.
+
+    New cluster ids cannot collide with kept ones: every id is the minimum
+    node of its component, components are disjoint node sets, and a
+    repaired component is a strict subset of a flagged (hence dropped)
+    cluster. Cost: one density audit + CC on the flagged SUBGRAPH only —
+    O(flagged edges), never a full-corpus recluster."""
+    flagged = (
+        cluster_density(labels, edges)
+        .where(F.col("density") < min_density)
+        .select("cluster_id")
+    )
+    fl_nodes = labels.join(F.broadcast(flagged), "cluster_id").select(
+        "node", "cluster_id"
+    )
+    sub = (
+        strong_edges.join(
+            fl_nodes.withColumnsRenamed({"node": "u", "cluster_id": "cu"}), "u"
+        )
+        .join(fl_nodes.withColumnsRenamed({"node": "v", "cluster_id": "cv"}), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .select("u", "v")
+    )
+    sub_labels = connected_components(sub)
+    repaired = (
+        fl_nodes.select("node")
+        .join(sub_labels, "node", "left")
+        .select("node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id"))
+    )
+    kept = labels.join(F.broadcast(flagged), "cluster_id", "left_anti").select(
+        "node", "cluster_id"
+    )
+    return kept.unionByName(repaired)
+
+
 def cluster_density(labels: DataFrame, edges: DataFrame) -> DataFrame:
     """Per-cluster edge density — the over-merge audit for a resolved
     clustering: a transitive-closure cluster glued together by one hub

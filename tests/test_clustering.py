@@ -235,3 +235,31 @@ def test_blocking_quality_metrics_exact(spark):
     assert (b["n_cand_pairs"], b["n_hit_pairs"]) == (1, 1)
     assert (b["pair_completeness"], b["pair_quality"], b["reduction_ratio"]) \
         == (0.5, 1.0, 5 / 6)
+
+
+def test_cluster_repair_splits_flagged_only(spark):
+    """cluster_repair: the merged star+clique+bridge cluster (density
+    11*2/72 < 0.9) is flagged and re-clustered over strong edges (the
+    clique only) — the clique survives as one repaired cluster, the hub
+    and leaves fall out as singletons; the dense pair cluster (p, q) is
+    untouched, id and all."""
+    from entity_linkings_spark.operators.clustering import cluster_repair
+
+    star = [("h", x) for x in ("l1", "l2", "l3", "l4")]
+    clique = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    weak = spark.createDataFrame(
+        star + clique + [("p", "q"), ("a", "h")], "u string, v string"
+    )
+    strong = spark.createDataFrame(clique + [("p", "q")], "u string, v string")
+    labels = connected_components(weak)
+    got = {r["node"]: r["cluster_id"]
+           for r in cluster_repair(labels, weak, 0.9, strong).collect()}
+    assert got["p"] == got["q"]                       # untouched cluster
+    assert got["a"] == got["b"] == got["c"] == got["d"] == "a"
+    for n in ("h", "l1", "l2", "l3", "l4"):           # lost all strong edges
+        assert got[n] == n
+    assert len(got) == 11
+    # nothing flagged -> pure pass-through (ids included)
+    got2 = {r["node"]: r["cluster_id"]
+            for r in cluster_repair(labels, weak, 0.05, strong).collect()}
+    assert got2 == {r["node"]: r["cluster_id"] for r in labels.collect()}
