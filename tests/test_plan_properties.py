@@ -127,3 +127,10 @@ def test_sorted_neighborhood_no_cartesian_and_no_global_window(spark):
     import re as _re
     for spec in _re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert "_pid" in spec, spec
+
+
+@pytest.mark.parametrize("name", ["j12_meta_blocking", "cc_repair_neighborhood"])
+def test_third_wave_no_cartesian_products(spark, name):
+    # the WNP block self-join and both repair-side label joins are
+    # equi-joins; nothing here may degenerate to a product
+    assert "CartesianProduct" not in _plan(spark, name)
