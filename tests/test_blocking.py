@@ -164,3 +164,43 @@ def test_meta_blocking_wnp_hand_computed(spark):
     # pairs: (x,y):2, (x,z):1, (h,z):3; means: x 3/2, z 4/2=2, y 2, h 3
     # (x,z): 1 < 3/2 AND 1 < 2 -> PRUNED; others kept
     assert got2 == {("x", "y"): 2, ("h", "z"): 3}
+
+
+def _wnp_py(keys):
+    """Pure-Python WNP model: weight = common-block count, keep a pair iff
+    weight >= local mean of either endpoint (integer form)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    blocks = defaultdict(set)
+    for k, b in keys:
+        blocks[b].add(k)
+    w = defaultdict(int)
+    for mem in blocks.values():
+        for x, y in combinations(sorted(mem), 2):
+            w[(x, y)] += 1
+    deg, s = defaultdict(int), defaultdict(int)
+    for (x, y), c in w.items():
+        deg[x] += 1
+        deg[y] += 1
+        s[x] += c
+        s[y] += c
+    return {p: c for p, c in w.items()
+            if c * deg[p[0]] >= s[p[0]] or c * deg[p[1]] >= s[p[1]]}
+
+
+def test_meta_blocking_wnp_matches_model_random(spark):
+    """Spark WNP == the pure-Python model on seeded random key tables
+    (varied block sizes, overlapping memberships, isolated records)."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        keys = sorted({
+            (f"r{rng.randint(0, 25):02d}", f"b{rng.randint(0, 12):02d}")
+            for _ in range(rng.randint(5, 60))
+        })
+        df = spark.createDataFrame(keys, "skey string, block_key string")
+        got = {(r["id_a"], r["id_b"]): r["cbs"]
+               for r in B.meta_blocking_wnp(df).collect()}
+        assert got == _wnp_py(keys), f"seed={seed}"

@@ -263,3 +263,53 @@ def test_cluster_repair_splits_flagged_only(spark):
     got2 = {r["node"]: r["cluster_id"]
             for r in cluster_repair(labels, weak, 0.05, strong).collect()}
     assert got2 == {r["node"]: r["cluster_id"] for r in labels.collect()}
+
+
+def _repair_py(weak, strong, tau):
+    """Pure-Python cluster_repair model over distinct canonical edges."""
+    from collections import defaultdict
+
+    lab = _uf(weak)
+    size, intra = defaultdict(int), defaultdict(int)
+    for n, c in lab.items():
+        size[c] += 1
+    for u, v in weak:
+        if lab[u] == lab[v]:
+            intra[lab[u]] += 1
+    flagged = {c for c in size
+               if size[c] >= 2 and 2 * intra[c] / (size[c] * (size[c] - 1)) < tau}
+    fln = {n for n, c in lab.items() if c in flagged}
+    sedges = [(u, v) for u, v in strong
+              if u in fln and v in fln and lab[u] == lab[v]]
+    slab = _uf(sedges)
+    out = {n: c for n, c in lab.items() if c not in flagged}
+    for n in fln:
+        out[n] = slab.get(n, n)
+    return out
+
+
+def test_cluster_repair_matches_model_random(spark):
+    """Spark cluster_repair == the pure-Python model on seeded random
+    graphs: weak = distinct canonical edges, strong = a deterministic
+    subset, densities land on both sides of the flag threshold."""
+    import random
+
+    from entity_linkings_spark.operators.clustering import cluster_repair
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        nodes = [f"n{i:02d}" for i in range(30)]
+        weak = sorted({
+            (min(a, b), max(a, b))
+            for a, b in ((rng.choice(nodes), rng.choice(nodes))
+                         for _ in range(45))
+            if a != b
+        })
+        strong = [e for i, e in enumerate(weak) if i % 3 != 0]
+        wdf = spark.createDataFrame(weak, "u string, v string")
+        sdf = spark.createDataFrame(strong, "u string, v string") \
+            if strong else spark.createDataFrame([], "u string, v string")
+        labels = connected_components(wdf)
+        got = {r["node"]: r["cluster_id"]
+               for r in cluster_repair(labels, wdf, 0.75, sdf).collect()}
+        assert got == _repair_py(weak, strong, 0.75), f"seed={seed}"
