@@ -177,6 +177,10 @@ def sorted_neighborhood_pairs(
     neighborhood expands as an explode of the next window-1 rank slots
     equi-joined back on rank — fan-out window-1, never a range join.
     Output (id_a, id_b, gap) with id_a the LOWER-ranked record."""
+    if window < 2:
+        # sequence(rank+1, rank+window-1) DESCENDS when window < 2 (Spark
+        # sequences run backwards for b < a) — it would silently self-pair
+        raise ValueError(f"window must be >= 2, got {window}")
     ranked = global_rank(records, [sort_col, id_col], num_ranges=num_ranges)
     left = ranked.select(
         F.col("rank").alias("r_a"),

@@ -264,14 +264,15 @@ def cluster_repair(
     repaired component is a strict subset of a flagged (hence dropped)
     cluster. Cost: one density audit + CC on the flagged SUBGRAPH only —
     O(flagged edges), never a full-corpus recluster."""
+    # no forced broadcast on flagged: its cardinality is data-dependent (a
+    # badly chosen threshold can flag most clusters) — AQE broadcasts it
+    # when it is actually small, which is the common case
     flagged = (
         cluster_density(labels, edges)
         .where(F.col("density") < min_density)
         .select("cluster_id")
     )
-    fl_nodes = labels.join(F.broadcast(flagged), "cluster_id").select(
-        "node", "cluster_id"
-    )
+    fl_nodes = labels.join(flagged, "cluster_id").select("node", "cluster_id")
     sub = (
         strong_edges.join(
             fl_nodes.withColumnsRenamed({"node": "u", "cluster_id": "cu"}), "u"
@@ -286,7 +287,7 @@ def cluster_repair(
         .join(sub_labels, "node", "left")
         .select("node", F.coalesce("cluster_id", F.col("node")).alias("cluster_id"))
     )
-    kept = labels.join(F.broadcast(flagged), "cluster_id", "left_anti").select(
+    kept = labels.join(flagged, "cluster_id", "left_anti").select(
         "node", "cluster_id"
     )
     return kept.unionByName(repaired)

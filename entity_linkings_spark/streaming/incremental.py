@@ -755,6 +755,9 @@ def apply_neardup_epoch(
                 new_bands.withColumnRenamed(id_col, "new_id"),
                 ["band_idx", "band_hash"],
             )
+            # a doc id re-sent in a LATER epoch (caller error, distinct from
+            # a replay) must not pair with its own stored bands
+            .where(F.col("old_id") != F.col("new_id"))
             .select(
                 F.least("old_id", "new_id").alias("id_a"),
                 F.greatest("old_id", "new_id").alias("id_b"),

@@ -204,3 +204,11 @@ def test_meta_blocking_wnp_matches_model_random(spark):
         got = {(r["id_a"], r["id_b"]): r["cbs"]
                for r in B.meta_blocking_wnp(df).collect()}
         assert got == _wnp_py(keys), f"seed={seed}"
+
+
+def test_sorted_neighborhood_rejects_degenerate_window(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", "k1")], "surface string, skey string")
+    with _pytest.raises(ValueError, match="window"):
+        B.sorted_neighborhood_pairs(df, "surface", "skey", window=1)

@@ -973,3 +973,29 @@ def test_band_store_compaction_preserves_semantics(spark, tmp_path):
     )
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (2, 40) in pairs and (24, 40) in pairs
+
+
+def test_neardup_epoch_resent_id_never_self_pairs(spark, tmp_path):
+    """A doc id re-sent in a LATER epoch (caller error, not a replay) must
+    not pair against its own stored bands — and still pairs normally with
+    genuinely distinct near-dups."""
+    from entity_linkings_spark.streaming.incremental import apply_neardup_epoch
+
+    store = str(tmp_path / "nd")
+    base = " ".join(f"b{j}" for j in range(20))
+    apply_neardup_epoch(
+        store,
+        spark.createDataFrame([(1, base)], "doc_id long, text string"),
+        0, n=3,
+    )
+    out = apply_neardup_epoch(
+        store,
+        spark.createDataFrame(
+            [(1, base), (2, base.replace("b9", "x9"))],
+            "doc_id long, text string",
+        ),
+        1, n=3,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 1) not in pairs and (2, 2) not in pairs
+    assert (1, 2) in pairs
