@@ -215,11 +215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration ORDER is the driver's check order, and the driver checks
     # a 50-entry window. Round-7 rotation policy (VERDICT r6 #1, the
     # fresh-within-2-rounds invariant): the 39 queries whose last driver
-    # row is round 5 plus this round's 2 NEW queries are the 41 rows r6
-    # did NOT cover — all in. The 9 remaining slots go to the flagships
-    # and the queries whose implementation or oracle CHANGED this round
-    # (containment stage composed into dataprep, url_host repeated
-    # alternation + stacked plants, rebalance seed-collect bound).
+    # row is round 5 MUST all be in, plus this round's new queries and the
+    # flagships/changed rows fill the 50 slots exactly. Two late-round-7
+    # queries (j12_meta_blocking, cc_repair_neighborhood) did NOT fit —
+    # they are builder-sweep-verified at both scales, reported as
+    # NEW-UNCHECKED by tools/check_freshness.py, and MUST take r8 slots.
     priority = [
         # flagships (dataprep gained the containment stage this round)
         "pipeline_linkage",
