@@ -4530,7 +4530,10 @@ def dataprep_pipeline(spark, sf):
     # the earliest holder keeps its text byte-identical
     cleaned2 = D.cut_duplicate_substring_runs(
         deduped.select("doc_id", "text"), k=10, min_len=25
-    ).join(deduped.select("doc_id", "source", "cluster_id"), "doc_id")
+    ).join(
+        deduped.select("doc_id", "source", "cluster_id"), "doc_id"
+    ).localCheckpoint()  # the gram spine feeds decontamination's probe AND
+    # its anti-join — uncheckpointed it executes twice in the one DAG
     benchmark = docs.where(d % 29 == 0).select(
         F.array_join(F.slice(F.split("text", " "), 1, 40), " ").alias("text")
     )
