@@ -219,6 +219,53 @@ def top1_accuracy(resolved: DataFrame, golds: DataFrame) -> DataFrame:
     )
 
 
+def bcubed_table(assignments: DataFrame, golds: DataFrame) -> DataFrame:
+    """B-cubed evaluation as an exact-integer overlap table — the third
+    classic ER clustering metric next to pairwise F1 and InKB micro-F1
+    (Bagga & Baldwin 1998): per (predicted cluster, gold class) cell,
+    the overlap count and both marginal sizes, plus the node-mass
+    contributions ``precision_mass = overlap^2 / cluster_size`` and
+    ``recall_mass = overlap^2 / class_size``. Global B-cubed precision /
+    recall are SUM(mass) / N — left to the consumer because a float sum
+    over cells is order-sensitive; every emitted column here is either an
+    exact integer or a single division of two exact integers, so an
+    oracle can restate the table bit-identically.
+
+    ``assignments``: (node, cluster_id); ``golds``: (node, entity_id).
+    Nodes missing from ``assignments`` count as singletons of themselves
+    (same convention as pairwise_f1). Shape: one equi-join + three hash
+    aggregates; never materializes node pairs."""
+    a = golds.join(assignments, "node", "left").select(
+        "node",
+        F.coalesce("cluster_id", F.col("node")).alias("cluster_id"),
+        "entity_id",
+    )
+    cells = a.groupBy("cluster_id", "entity_id").agg(
+        F.count("*").alias("overlap")
+    )
+    csize = a.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    gsize = a.groupBy("entity_id").agg(F.count("*").alias("class_size"))
+    return (
+        cells.join(csize, "cluster_id")
+        .join(gsize, "entity_id")
+        .select(
+            "cluster_id",
+            "entity_id",
+            "overlap",
+            "cluster_size",
+            "class_size",
+            (
+                (F.col("overlap") * F.col("overlap")).cast("double")
+                / F.col("cluster_size")
+            ).alias("precision_mass"),
+            (
+                (F.col("overlap") * F.col("overlap")).cast("double")
+                / F.col("class_size")
+            ).alias("recall_mass"),
+        )
+    )
+
+
 def blocking_quality(records: DataFrame, keys: DataFrame) -> DataFrame:
     """Blocking-scheme evaluation: pair completeness / pair quality /
     reduction ratio per scheme — the standard ER triad for choosing a

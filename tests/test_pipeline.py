@@ -141,3 +141,42 @@ def test_blocking_audit_shapes_and_dominance(spark, tiny):
     # the pipeline's blocking must actually co-block most silver-labeled
     # same-entity surface pairs on this corpus
     assert u["pair_completeness"] >= 0.8
+
+
+def test_bcubed_table_hand_computed(spark):
+    """B-cubed cells on the textbook example: clusters {a,b,c} (a,b gold X;
+    c gold Y) and {d} (gold Y). Precision mass per cell = overlap^2 /
+    cluster_size, recall mass = overlap^2 / class_size; global B3
+    P = (4/3 + 1/3 + 1)/4 = 2/3, R = (4/2 + 1/2 + 1/2)/4 = 3/4 when the
+    consumer sums the masses. A node missing from assignments counts as
+    its own singleton cluster."""
+    from entity_linkings_spark.operators.evaluate import bcubed_table
+
+    assignments = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1")], "node string, cluster_id string"
+    )  # d missing -> singleton
+    golds = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "Y"), ("d", "Y")],
+        "node string, entity_id string",
+    )
+    rows = {(r["cluster_id"], r["entity_id"]): r.asDict()
+            for r in bcubed_table(assignments, golds).collect()}
+    assert rows[("c1", "X")]["overlap"] == 2
+    assert rows[("c1", "X")]["cluster_size"] == 3
+    assert rows[("c1", "X")]["class_size"] == 2
+    assert rows[("c1", "X")]["precision_mass"] == 4 / 3
+    assert rows[("c1", "X")]["recall_mass"] == 4 / 2
+    assert rows[("c1", "Y")]["precision_mass"] == 1 / 3
+    assert rows[("d", "Y")]["cluster_size"] == 1  # singleton fill
+    n = 4
+    p = sum(r["precision_mass"] for r in rows.values()) / n
+    rcl = sum(r["recall_mass"] for r in rows.values()) / n
+    assert abs(p - 2 / 3) < 1e-12 and abs(rcl - 3 / 4) < 1e-12
+    # perfect clustering -> every mass sums to N on both sides
+    perfect = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", "Y"), ("d", "Y")],
+        "node string, cluster_id string",
+    )
+    tot = bcubed_table(perfect, golds).collect()
+    assert sum(r["precision_mass"] for r in tot) == n
+    assert sum(r["recall_mass"] for r in tot) == n
