@@ -999,3 +999,38 @@ def test_neardup_epoch_resent_id_never_self_pairs(spark, tmp_path):
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 1) not in pairs and (2, 2) not in pairs
     assert (1, 2) in pairs
+
+
+def test_band_store_stray_below_base_delta_ignored(spark, tmp_path):
+    """Crash window between the BASE swap and the delta cleanup: a stray
+    at-or-below-base delta dir must be invisible to readers and to a
+    second compaction (same contract as the gram store)."""
+    from entity_linkings_spark.streaming.incremental import (
+        apply_neardup_epoch,
+        compact_band_store,
+        read_band_store,
+    )
+
+    texts = _neardup_corpus()
+    store = str(tmp_path / "nd")
+    for e, ids in enumerate([range(1, 11), range(11, 21)]):
+        apply_neardup_epoch(
+            store,
+            spark.createDataFrame(
+                [(d, texts[d]) for d in ids], "doc_id long, text string"
+            ),
+            e, n=3,
+        )
+    assert compact_band_store(store, spark) == 4
+    bands, sh = read_band_store(spark, store)
+    before = (bands.count(), sh.count())
+    # stray deltas at or below base (epoch 1) reappear after a "crash"
+    spark.createDataFrame(
+        [(999, 0, "deadbeef")], "doc_id long, band_idx int, band_hash string"
+    ).write.parquet(os.path.join(store, "bands-epoch-1"))
+    spark.createDataFrame(
+        [(999, "deadbeef")], "doc_id long, sh string"
+    ).write.parquet(os.path.join(store, "shingles-epoch-1"))
+    bands2, sh2 = read_band_store(spark, store)
+    assert (bands2.count(), sh2.count()) == before
+    assert compact_band_store(store, spark) == 0
