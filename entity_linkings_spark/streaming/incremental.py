@@ -711,10 +711,14 @@ def apply_neardup_epoch(
     CURRENT swap, so a replay at or below CURRENT serves the committed
     edges without recomputing (re-banding arrivals against a store already
     holding their own bands would pair every doc with itself). Per-epoch
-    cost: banding O(delta), one band equi-join delta x store (bucketed by
-    band hash — never all-pairs), Jaccard verify on candidates only. The
-    parquet dirs stand in for Iceberg append-only partitions;
-    compact_band_store folds them."""
+    cost, stated honestly: banding and the WRITES are O(delta), but the
+    band join and the shingle verify must READ the store — with a
+    micro-batch-sized delta AQE broadcasts the delta side, so the store
+    is scanned once per epoch, never reshuffled; at production scale the
+    store lives as a table clustered/bucketed on (band_hash) and
+    (doc_id) respectively (Iceberg sort-order or bucketBy), which turns
+    the scan into partition-pruned probes. The parquet dirs stand in for
+    Iceberg append-only partitions; compact_band_store folds them."""
     import os
 
     from entity_linkings_spark.operators.dedup import (
