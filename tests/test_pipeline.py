@@ -180,3 +180,60 @@ def test_bcubed_table_hand_computed(spark):
     tot = bcubed_table(perfect, golds).collect()
     assert sum(r["precision_mass"] for r in tot) == n
     assert sum(r["recall_mass"] for r in tot) == n
+
+
+def test_cluster_repair_recovers_precision_on_real_scored_pairs(spark, tiny):
+    """Audit -> repair on the REAL scorer's output in the similarity-only
+    regime (the over-merge-prone path per the module docstring; the
+    engine's shipping path is resolution-first): a sloppy 0.70 edge
+    threshold chains confusable surfaces, the density audit flags the
+    chained clusters, and repairing over strong (>= 0.90) edges
+    (a) only ever SPLITS — predicted-match pairs after repair are a
+    subset of before, (b) raises pairwise precision on the labeled gate
+    pairs by a wide margin. Recall drops correspondingly — repair is a
+    precision instrument; the F1-optimal operating point remains
+    resolution-first clustering (pairwise F1 = 1.0, test_pipeline)."""
+    from entity_linkings_spark.operators.clustering import (
+        cluster_density,
+        cluster_repair,
+        clusters_with_singletons,
+        connected_components,
+    )
+    from entity_linkings_spark.operators.evaluate import (
+        gold_surface_pairs,
+        pairwise_f1,
+    )
+
+    lp = gold_surface_pairs(tiny["gold"], tiny["transcripts"]).localCheckpoint()
+    pipe = LinkagePipeline(tiny["dictionary"])
+    mentions = pipe.mentions(tiny["transcripts"]).cache()
+    surfaces = pipe.surfaces(mentions).cache()
+    scored = pipe.scored_pairs(
+        pipe.pairs(surfaces, pipe.surface_keys(surfaces)), surfaces
+    ).localCheckpoint()
+    nodes = surfaces.select(F.col("skey").alias("node"))
+    weak = scored.where(F.col("combined") >= 0.70).select(
+        F.col("skey_a").alias("u"), F.col("skey_b").alias("v")
+    ).localCheckpoint()
+    labels = connected_components(weak)
+    assert cluster_density(labels, weak).where("density < 0.99").count() > 0
+    strong = scored.where(F.col("combined") >= 0.90).select(
+        F.col("skey_a").alias("u"), F.col("skey_b").alias("v")
+    )
+    repaired = cluster_repair(labels, weak, 0.99, strong)
+
+    def stats(assign):
+        return pairwise_f1(clusters_with_singletons(assign, nodes), lp).collect()[0]
+
+    def matched_pairs(assign):
+        full = clusters_with_singletons(assign, nodes)
+        side = lambda s: full.select(  # noqa: E731
+            F.col("node").alias(f"skey_{s}"), F.col("cluster_id").alias(f"c_{s}")
+        )
+        j = lp.join(side("a"), "skey_a").join(side("b"), "skey_b")
+        return {(r["skey_a"], r["skey_b"])
+                for r in j.where(F.col("c_a") == F.col("c_b")).collect()}
+
+    before, after = stats(labels), stats(repaired)
+    assert after["precision"] > before["precision"] + 0.2  # 0.50 -> 0.90 here
+    assert matched_pairs(repaired) <= matched_pairs(labels)  # split-only
