@@ -1034,3 +1034,13 @@ def test_band_store_stray_below_base_delta_ignored(spark, tmp_path):
     bands2, sh2 = read_band_store(spark, store)
     assert (bands2.count(), sh2.count()) == before
     assert compact_band_store(store, spark) == 0
+    # replay AFTER compaction: epoch outputs are never folded, so a
+    # replayed epoch still serves its committed edges verbatim
+    df1 = spark.createDataFrame(
+        [(d, texts[d]) for d in range(11, 21)], "doc_id long, text string"
+    )
+    replay = {(r["id_a"], r["id_b"])
+              for r in apply_neardup_epoch(store, df1, 1, n=3).collect()}
+    committed = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(
+        os.path.join(store, "out-epoch-1")).collect()}
+    assert replay == committed and (7, 15) in replay
