@@ -212,3 +212,58 @@ def test_sorted_neighborhood_rejects_degenerate_window(spark):
     df = spark.createDataFrame([("a", "k1")], "surface string, skey string")
     with _pytest.raises(ValueError, match="window"):
         B.sorted_neighborhood_pairs(df, "surface", "skey", window=1)
+
+
+def _blocking_quality_py(records, keys):
+    """Pure-Python model: records = {skey: entity}, keys = [(scheme, skey,
+    bkey)] distinct."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    blocks = defaultdict(set)
+    for sch, k, b in keys:
+        blocks[(sch, b)].add(k)
+    cand = defaultdict(set)
+    for (sch, _), mem in blocks.items():
+        for x, y in combinations(sorted(mem), 2):
+            cand[sch].add((x, y))
+    n = len(records)
+    total = n * (n - 1) // 2
+    per_ent = defaultdict(int)
+    for e in records.values():
+        per_ent[e] += 1
+    gold = sum(m * (m - 1) // 2 for m in per_ent.values())
+    out = {}
+    for sch, pairs in cand.items():
+        hits = sum(records[a] == records[b] for a, b in pairs)
+        out[sch] = (n, gold, len(pairs), hits,
+                    hits / gold, hits / len(pairs),
+                    (total - len(pairs)) / total)
+    return out
+
+
+def test_blocking_quality_matches_model_random(spark):
+    from entity_linkings_spark.operators.evaluate import blocking_quality
+    import random
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        records = {f"r{i:02d}": f"e{rng.randint(0, 6)}" for i in range(20)}
+        keys = sorted({
+            (rng.choice("AB"), rng.choice(list(records)), f"b{rng.randint(0, 8)}")
+            for _ in range(rng.randint(10, 60))
+        })
+        rdf = spark.createDataFrame(list(records.items()),
+                                    "skey string, entity_id string")
+        kdf = spark.createDataFrame(keys, "scheme string, skey string, bkey string")
+        got = {r["scheme"]: (r["n_records"], r["n_gold_pairs"], r["n_cand_pairs"],
+                             r["n_hit_pairs"], r["pair_completeness"],
+                             r["pair_quality"], r["reduction_ratio"])
+               for r in blocking_quality(rdf, kdf).collect()}
+        assert got == _blocking_quality_py(records, keys), f"seed={seed}"
+
+
+def test_global_rank_empty_input(spark):
+    df = spark.createDataFrame([], "k string, id string")
+    assert B.global_rank(df, ["k", "id"]).count() == 0
+    assert B.sorted_neighborhood_pairs(df, "k", "id").count() == 0

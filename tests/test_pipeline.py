@@ -237,3 +237,39 @@ def test_cluster_repair_recovers_precision_on_real_scored_pairs(spark, tiny):
     before, after = stats(labels), stats(repaired)
     assert after["precision"] > before["precision"] + 0.2  # 0.50 -> 0.90 here
     assert matched_pairs(repaired) <= matched_pairs(labels)  # split-only
+
+
+def test_bcubed_on_resolution_first_clusters(spark, tiny):
+    """B-cubed masses on the SHIPPING path: the resolution-first clustering
+    that scores pairwise F1 = 1.0 should also be (near-)perfect under
+    B-cubed over the gold surface classes — both global masses sum to ~N.
+    Gold classes come from unambiguous planted surfaces (the same
+    derivation gold_surface_pairs uses)."""
+    from entity_linkings_spark.functions.strings import mention_substring, norm_exact
+    from entity_linkings_spark.operators.evaluate import bcubed_table
+
+    pipe = LinkagePipeline(tiny["dictionary"], alias_counts=tiny["alias_counts"])
+    out = pipe.run(tiny["transcripts"])
+    golds = (
+        tiny["gold"].join(
+            tiny["transcripts"].select("conv_id", "turn_idx", "text"),
+            ["conv_id", "turn_idx"],
+        )
+        .select(
+            norm_exact(mention_substring("text", "start", "end")).alias("surface"),
+            F.element_at("label", 1).alias("entity_id"),
+        )
+        .groupBy("surface")
+        .agg(F.collect_set("entity_id").alias("ents"))
+        .where(F.size("ents") == 1)
+        .select(
+            F.md5("surface").alias("node"),
+            F.element_at("ents", 1).alias("entity_id"),
+        )
+    )
+    assignments = out["clusters"].select("node", "cluster_id")
+    cells = bcubed_table(assignments, golds).collect()
+    n = golds.count()
+    p = sum(r["precision_mass"] for r in cells) / n
+    r_ = sum(r["recall_mass"] for r in cells) / n
+    assert p >= 0.99 and r_ >= 0.99, (p, r_)
