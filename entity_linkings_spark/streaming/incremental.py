@@ -851,6 +851,37 @@ def neardup_maintenance_processor(
     return process
 
 
+def prune_epoch_outputs(store_dir: str, keep_last: int = 2) -> list[str]:
+    """Bound the disk the epoch OUTPUTS hold: every apply_*_epoch commit
+    leaves its result under ``out-epoch-<id>`` so replays serve committed
+    data — but foreachBatch only ever replays the LAST epoch, so outputs
+    older than ``keep_last`` epochs below CURRENT are dead weight (for the
+    substring store each holds the epoch's full cleaned text — retaining
+    all of them duplicates the corpus over time). Deletes
+    ``out-epoch-<k>`` for k <= CURRENT - keep_last and returns the pruned
+    dir names. A replay of a pruned epoch fails LOUDLY (missing path)
+    instead of silently recomputing against a store that already holds its
+    rows — by the time outputs age past the streaming checkpoint such a
+    replay cannot legitimately occur. Gram/band/shingle DELTAS are never
+    touched (readers still need them; compact_* folds those)."""
+    import os
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    ptr = os.path.join(store_dir, "CURRENT")
+    if not os.path.exists(ptr):
+        return []
+    with open(ptr) as f:
+        cur = int(f.read().strip().rsplit("-", 1)[1])
+    pruned = []
+    for d in sorted(os.listdir(store_dir)):
+        if d.startswith("out-epoch-") and int(d.rsplit("-", 1)[1]) <= cur - keep_last:
+            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
+            pruned.append(d)
+    return pruned
+
+
 def compact_band_store(store_dir: str, spark: SparkSession) -> int:
     """Fold the committed band + shingle epoch deltas into one base each so
     read_band_store's union stops growing with epoch count — same

@@ -1044,3 +1044,49 @@ def test_band_store_stray_below_base_delta_ignored(spark, tmp_path):
     committed = {(r["id_a"], r["id_b"]) for r in spark.read.parquet(
         os.path.join(store, "out-epoch-1")).collect()}
     assert replay == committed and (7, 15) in replay
+
+
+def test_prune_epoch_outputs_bounds_disk(spark, tmp_path):
+    """prune_epoch_outputs: outputs older than keep_last epochs below
+    CURRENT are deleted (the corpus-duplication bound for the substring
+    store); the retained window still replays verbatim, deltas are
+    untouched (readers unaffected), and a pruned epoch's replay fails
+    loudly instead of recomputing."""
+    from entity_linkings_spark.streaming.incremental import (
+        apply_neardup_epoch,
+        prune_epoch_outputs,
+        read_band_store,
+    )
+
+    texts = _neardup_corpus()
+    store = str(tmp_path / "nd")
+    for e, ids in enumerate([range(1, 11), range(11, 21), range(21, 31)]):
+        apply_neardup_epoch(
+            store,
+            spark.createDataFrame(
+                [(d, texts[d]) for d in ids], "doc_id long, text string"
+            ),
+            e, n=3,
+        )
+    bands, sh = read_band_store(spark, store)
+    before = (bands.count(), sh.count())
+    assert prune_epoch_outputs(store, keep_last=1) == ["out-epoch-0", "out-epoch-1"]
+    assert os.path.isdir(os.path.join(store, "out-epoch-2"))
+    # deltas untouched -> readers identical
+    bands2, sh2 = read_band_store(spark, store)
+    assert (bands2.count(), sh2.count()) == before
+    # retained epoch replays verbatim
+    df2 = spark.createDataFrame(
+        [(d, texts[d]) for d in range(21, 31)], "doc_id long, text string"
+    )
+    assert apply_neardup_epoch(store, df2, 2, n=3).count() > 0
+    # pruned epoch replay fails loudly (no silent recompute)
+    df1 = spark.createDataFrame(
+        [(d, texts[d]) for d in range(11, 21)], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        apply_neardup_epoch(store, df1, 1, n=3).count()
+    # idempotent; keep_last validation
+    assert prune_epoch_outputs(store, keep_last=1) == []
+    with pytest.raises(ValueError):
+        prune_epoch_outputs(store, keep_last=0)
