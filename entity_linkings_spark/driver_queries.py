@@ -4609,7 +4609,8 @@ _BQ_SQL = f"""
         SELECT 'token' AS scheme, skey, bkey FROM tok
         UNION ALL SELECT 'prefix', skey, bkey FROM pfx
         UNION ALL SELECT 'union', skey, bkey FROM tok
-        UNION ALL SELECT 'union', skey, bkey FROM pfx),
+        UNION ALL SELECT 'union', skey, bkey FROM pfx
+        UNION ALL SELECT 'exact', skey, 'E:' || surface FROM records),
     capped AS (SELECT scheme, bkey FROM keyed
                GROUP BY scheme, bkey HAVING COUNT(*) <= 500),
     k2 AS (SELECT k.scheme, k.skey, k.bkey FROM keyed k
@@ -4617,7 +4618,7 @@ _BQ_SQL = f"""
     cand AS (SELECT DISTINCT a.scheme, a.skey AS skey_a, b.skey AS skey_b
              FROM k2 a JOIN k2 b ON a.scheme = b.scheme AND a.bkey = b.bkey
               AND a.skey < b.skey),
-    per AS (SELECT c.scheme,
+    counted AS (SELECT c.scheme,
                    CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
                    CAST(SUM(CASE WHEN ra.ent = rb.ent THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_hit_pairs
@@ -4625,6 +4626,11 @@ _BQ_SQL = f"""
             JOIN records ra ON ra.skey = c.skey_a
             JOIN records rb ON rb.skey = c.skey_b
             GROUP BY c.scheme),
+    per AS (SELECT s.scheme,
+                   CAST(COALESCE(n_cand_pairs, 0) AS BIGINT) AS n_cand_pairs,
+                   CAST(COALESCE(n_hit_pairs, 0) AS BIGINT) AS n_hit_pairs
+            FROM (SELECT DISTINCT scheme FROM k2) s
+            LEFT JOIN counted USING (scheme)),
     consts AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
                       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS total_pairs
                FROM records),
@@ -4632,7 +4638,9 @@ _BQ_SQL = f"""
              (SELECT COUNT(*) AS m FROM records GROUP BY ent))
     SELECT scheme, n_records, n_gold_pairs, n_cand_pairs, n_hit_pairs,
            CAST(n_hit_pairs AS DOUBLE) / n_gold_pairs AS pair_completeness,
-           CAST(n_hit_pairs AS DOUBLE) / n_cand_pairs AS pair_quality,
+           CASE WHEN n_cand_pairs = 0 THEN 0.0
+                ELSE CAST(n_hit_pairs AS DOUBLE) / n_cand_pairs
+           END AS pair_quality,
            CAST(total_pairs - n_cand_pairs AS DOUBLE) / total_pairs AS reduction_ratio
     FROM per, consts, gold
 """
@@ -4671,11 +4679,17 @@ def _bq_records(spark, sf) -> DataFrame:
 @register("a9_blocking_quality", _BQ_SQL)
 def a9_blocking_quality(spark, sf):
     """Blocking-scheme audit (operators/evaluate.py blocking_quality): pair
-    completeness / pair quality / reduction ratio for token, prefix, and
-    union blocking over 3 surface variants per part name. All ratios are
-    single divisions of exact integers; block sizes are df-capped at 500
-    in both engines (over-cap blocks dropped, the production stop-key
-    rule), so the candidate join is bounded per block at any scale."""
+    completeness / pair quality / reduction ratio for token, prefix,
+    union, and exact-surface blocking over 3 surface variants per part
+    name. The exact scheme blocks on the full surface — every record
+    table surface is distinct by construction, so every block is a
+    singleton and the scheme generates ZERO candidate pairs: the row the
+    audit exists to surface (pair_completeness 0, pair_quality 0,
+    reduction_ratio 1 — ADVICE r7: a plain groupBy dropped exactly this
+    scheme). All ratios are single divisions of exact integers; block
+    sizes are df-capped at 500 in both engines (over-cap blocks dropped,
+    the production stop-key rule), so the candidate join is bounded per
+    block at any scale."""
     from entity_linkings_spark.operators.evaluate import blocking_quality
 
     records = _bq_records(spark, sf)
@@ -4691,11 +4705,15 @@ def a9_blocking_quality(spark, sf):
             F.lit("P:"), F.substring(F.regexp_replace("surface", " ", ""), 1, 4)
         ).alias("bkey"),
     )
+    exact = records.select(
+        "skey", F.concat(F.lit("E:"), F.col("surface")).alias("bkey")
+    )
     keyed = (
         tok.select(F.lit("token").alias("scheme"), "skey", "bkey")
         .unionByName(pfx.select(F.lit("prefix").alias("scheme"), "skey", "bkey"))
         .unionByName(tok.select(F.lit("union").alias("scheme"), "skey", "bkey"))
         .unionByName(pfx.select(F.lit("union").alias("scheme"), "skey", "bkey"))
+        .unionByName(exact.select(F.lit("exact").alias("scheme"), "skey", "bkey"))
     )
     capped = (
         keyed.groupBy("scheme", "bkey")
@@ -4704,6 +4722,65 @@ def a9_blocking_quality(spark, sf):
         .select("scheme", "bkey")
     )
     return blocking_quality(records, keyed.join(capped, ["scheme", "bkey"]))
+
+
+# ---- B-cubed: per-cell overlap table on a deliberately imperfect clustering -
+
+_BCUBED_SQL = f"""
+    WITH {_BQ_RECORDS_SQL},
+    golds AS (SELECT skey AS node, ent AS entity_id, surface FROM records),
+    assign AS (
+        SELECT node, 'C:' || string_split(surface, ' ')[1] AS cluster_id
+        FROM golds WHERE length(surface) % 7 <> 0),
+    a AS (SELECT g.node, COALESCE(s.cluster_id, g.node) AS cluster_id,
+                 g.entity_id
+          FROM golds g LEFT JOIN assign s USING (node)),
+    cells AS (SELECT cluster_id, entity_id,
+                     CAST(COUNT(*) AS BIGINT) AS overlap
+              FROM a GROUP BY cluster_id, entity_id),
+    csize AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM a GROUP BY cluster_id),
+    gsize AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS class_size
+              FROM a GROUP BY entity_id)
+    SELECT c.cluster_id, c.entity_id, c.overlap, cs.cluster_size,
+           gs.class_size,
+           CAST(c.overlap * c.overlap AS DOUBLE) / cs.cluster_size
+               AS precision_mass,
+           CAST(c.overlap * c.overlap AS DOUBLE) / gs.class_size
+               AS recall_mass
+    FROM cells c
+    JOIN csize cs ON cs.cluster_id = c.cluster_id
+    JOIN gsize gs ON gs.entity_id = c.entity_id
+"""
+
+
+@register("a10_bcubed", _BCUBED_SQL)
+def a10_bcubed(spark, sf):
+    """B-cubed overlap table (operators/evaluate.py bcubed_table) over the
+    blocking-audit record corpus: gold class = the surface's entity, the
+    PREDICTED clustering groups surfaces by their first space-delimited
+    token — deliberately imperfect both ways (different entities sharing a
+    first name merge; an entity's despaced variant has a different "first
+    token" and splits off). Surfaces whose length is divisible by 7 are
+    withheld from the assignment table to exercise the missing-node ->
+    self-singleton convention (evaluate.py: COALESCE(cluster_id, node)).
+    Every emitted column is an exact integer or a single int/int division,
+    so the DuckDB oracle restates the table bit-identically; the global
+    B-cubed precision/recall are SUM(mass)/N, left to the consumer by
+    design (a float sum over cells is order-sensitive)."""
+    from entity_linkings_spark.operators.evaluate import bcubed_table
+
+    records = _bq_records(spark, sf)
+    golds = records.select(
+        F.col("skey").alias("node"), F.col("entity_id"), "surface"
+    )
+    assignments = golds.where(F.length("surface") % 7 != 0).select(
+        "node",
+        F.concat(F.lit("C:"), F.split("surface", " ").getItem(0)).alias(
+            "cluster_id"
+        ),
+    )
+    return bcubed_table(assignments, golds.select("node", "entity_id"))
 
 
 # ---- CC density audit: over-merge detection on resolved clusters ------------

@@ -279,7 +279,9 @@ def blocking_quality(records: DataFrame, keys: DataFrame) -> DataFrame:
     several schemes at once. Returns one row per scheme:
       n_records, n_gold_pairs      — label-derived constants
       n_cand_pairs, n_hit_pairs    — distinct co-blocked pairs / same-entity
-      pair_completeness = hits/gold, pair_quality = hits/cand,
+      pair_completeness = hits/gold, pair_quality = hits/cand (0.0 when a
+      scheme generates no candidate pairs at all — such a scheme still
+      gets its row; the under-generating scheme is the audit's point),
       reduction_ratio = (total_pairs - cand)/total_pairs
     All ratios are single divisions of exact integers (oracle-replayable
     bit-identically). No pairwise expansion beyond the co-blocked pairs
@@ -296,7 +298,7 @@ def blocking_quality(records: DataFrame, keys: DataFrame) -> DataFrame:
         .distinct()
     )
     ent = records.select("skey", "entity_id")
-    per = (
+    counted = (
         cand.join(ent.withColumnsRenamed({"skey": "skey_a", "entity_id": "ent_a"}), "skey_a")
         .join(ent.withColumnsRenamed({"skey": "skey_b", "entity_id": "ent_b"}), "skey_b")
         .groupBy("scheme")
@@ -306,6 +308,18 @@ def blocking_quality(records: DataFrame, keys: DataFrame) -> DataFrame:
                 F.when(F.col("ent_a") == F.col("ent_b"), 1).otherwise(0)
             ).cast("long").alias("n_hit_pairs"),
         )
+    )
+    # a scheme whose keys generate ZERO candidate pairs (e.g. every block a
+    # singleton) must still appear in the audit — completeness 0 is the
+    # finding, and a plain groupBy over cand would silently drop exactly
+    # the catastrophically under-generating scheme (ADVICE r7). Left-join
+    # from the distinct schemes present in ``keys`` and fill zeros; the
+    # scheme dimension is tiny, so the join broadcasts.
+    per = (
+        keys.select("scheme")
+        .distinct()
+        .join(counted, "scheme", "left")
+        .na.fill({"n_cand_pairs": 0, "n_hit_pairs": 0})
     )
     consts = records.agg(F.count("*").alias("n_records")).select(
         "n_records",
@@ -325,9 +339,11 @@ def blocking_quality(records: DataFrame, keys: DataFrame) -> DataFrame:
         (F.col("n_hit_pairs").cast("double") / F.col("n_gold_pairs")).alias(
             "pair_completeness"
         ),
-        (F.col("n_hit_pairs").cast("double") / F.col("n_cand_pairs")).alias(
-            "pair_quality"
-        ),
+        F.when(F.col("n_cand_pairs") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_hit_pairs").cast("double") / F.col("n_cand_pairs")
+        )
+        .alias("pair_quality"),
         (
             (F.col("total_pairs") - F.col("n_cand_pairs")).cast("double")
             / F.col("total_pairs")

@@ -769,10 +769,19 @@ def apply_neardup_epoch(
             .distinct()
         )
         cand = inbatch.unionByName(cross).distinct()
-        all_sh = prior_sh.unionByName(new_sh)
+        # a re-sent doc id's shingle rows exist in BOTH prior_sh and
+        # new_sh (and, once committed twice, in two store deltas) — without
+        # a (id, sh) dedupe its sizes and intersections double-count and
+        # every Jaccard involving it silently shifts, which can flip
+        # tau-threshold edges. One dedupe here covers the in-epoch, the
+        # cross-epoch, and the already-committed-twice case alike; the
+        # groupBy/joins below scan this table anyway, so the extra
+        # exchange is marginal (production would instead reject overlap
+        # between arriving and stored ids at ingest).
+        all_sh = prior_sh.unionByName(new_sh).dropDuplicates([id_col, "sh"])
     else:
         cand = inbatch
-        all_sh = new_sh
+        all_sh = new_sh.dropDuplicates([id_col, "sh"])
     # exact set-Jaccard on candidates only: shingle rows are distinct per
     # doc, so |A ∩ B| is a two-sided equi-join count and sizes are one agg
     sizes = all_sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))

@@ -234,10 +234,13 @@ def _blocking_quality_py(records, keys):
         per_ent[e] += 1
     gold = sum(m * (m - 1) // 2 for m in per_ent.values())
     out = {}
-    for sch, pairs in cand.items():
+    # every scheme PRESENT IN KEYS gets a row — a scheme whose blocks are
+    # all singletons reports (0 cand, 0 hits, PQ 0.0), it does not vanish
+    for sch in {s for s, _, _ in keys}:
+        pairs = cand.get(sch, set())
         hits = sum(records[a] == records[b] for a, b in pairs)
         out[sch] = (n, gold, len(pairs), hits,
-                    hits / gold, hits / len(pairs),
+                    hits / gold, hits / len(pairs) if pairs else 0.0,
                     (total - len(pairs)) / total)
     return out
 

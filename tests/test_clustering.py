@@ -211,7 +211,10 @@ def test_blocking_quality_metrics_exact(spark):
     """blocking_quality on a hand-computable corpus: 4 records, 2 entities,
     one scheme co-blocks 3 pairs (2 hits), total pairs C(4,2)=6, gold
     pairs 2 -> PC=1.0, PQ=2/3, RR=0.5; a second scheme with one block of
-    2 same-entity records -> PC=0.5, PQ=1.0, RR=5/6."""
+    2 same-entity records -> PC=0.5, PQ=1.0, RR=5/6; a third scheme whose
+    blocks are ALL singletons (zero candidate pairs) must still get a row
+    — PC=0, PQ=0.0, RR=1.0 — instead of vanishing from the audit
+    (ADVICE r7: the worst scheme was the one that disappeared)."""
     from entity_linkings_spark.operators.evaluate import blocking_quality
 
     records = spark.createDataFrame(
@@ -223,10 +226,18 @@ def test_blocking_quality_metrics_exact(spark):
         [("A", "k1", "b1"), ("A", "k2", "b1"), ("A", "k3", "b1"),
          ("A", "k3", "b2"), ("A", "k4", "b2"),
          # scheme B: one block {k1,k2}
-         ("B", "k1", "c1"), ("B", "k2", "c1")],
+         ("B", "k1", "c1"), ("B", "k2", "c1"),
+         # scheme C: four singleton blocks -> zero candidate pairs
+         ("C", "k1", "d1"), ("C", "k2", "d2"),
+         ("C", "k3", "d3"), ("C", "k4", "d4")],
         "scheme string, skey string, bkey string",
     )
     got = {r["scheme"]: r.asDict() for r in blocking_quality(records, keys).collect()}
+    assert set(got) == {"A", "B", "C"}
+    c = got["C"]
+    assert (c["n_cand_pairs"], c["n_hit_pairs"]) == (0, 0)
+    assert (c["pair_completeness"], c["pair_quality"], c["reduction_ratio"]) \
+        == (0.0, 0.0, 1.0)
     a, b = got["A"], got["B"]
     assert (a["n_records"], a["n_gold_pairs"], a["n_cand_pairs"], a["n_hit_pairs"]) \
         == (4, 2, 4, 2)

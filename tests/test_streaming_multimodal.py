@@ -978,7 +978,10 @@ def test_band_store_compaction_preserves_semantics(spark, tmp_path):
 def test_neardup_epoch_resent_id_never_self_pairs(spark, tmp_path):
     """A doc id re-sent in a LATER epoch (caller error, not a replay) must
     not pair against its own stored bands — and still pairs normally with
-    genuinely distinct near-dups."""
+    genuinely distinct near-dups, at the CORRECT Jaccard: its shingle rows
+    exist in both the store and the arriving delta, and without the
+    (id, sh) dedupe sizes and intersections double-count, silently shifting
+    every Jaccard the re-sent doc participates in (ADVICE r7)."""
     from entity_linkings_spark.streaming.incremental import apply_neardup_epoch
 
     store = str(tmp_path / "nd")
@@ -996,9 +999,14 @@ def test_neardup_epoch_resent_id_never_self_pairs(spark, tmp_path):
         ),
         1, n=3,
     )
-    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    pairs = set(rows)
     assert (1, 1) not in pairs and (2, 2) not in pairs
     assert (1, 2) in pairs
+    # 20 tokens -> 18 3-shingles per doc; replacing b9 rewrites the 3
+    # shingles that cover it, so |A ∩ B| = 15, |A ∪ B| = 21. The doubled
+    # rows would have read 30/(36 + 18 - 30) = 1.25 — not even a Jaccard.
+    assert rows[(1, 2)] == round(15 / 21, 6)
 
 
 def test_band_store_stray_below_base_delta_ignored(spark, tmp_path):
