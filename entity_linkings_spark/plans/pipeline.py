@@ -65,6 +65,17 @@ class LinkageConfig:
     n_salt: int = 8
     use_idf: bool = False  # corpus-IDF-weighted ngram cosine (thresholds are
     # calibrated for uniform weights; re-calibrate when enabling)
+    # -- optional audit/prune hooks (VERDICT r7 #5; all off by default so
+    #    the default plan is byte-identical to round 7) --
+    wnp_prune: bool = False  # meta-blocking WNP prune between blocking and
+    # scoring: pairs kept only when their common-block weight reaches the
+    # local mean of either endpoint — cuts the scored-pair volume (the
+    # dominant cost at scale) while keeping every redundancy-positive pair
+    repair_min_density: float | None = None  # similarity-only regime:
+    # after CC, re-cluster clusters whose edge density falls below this
+    # over strong edges only (over-merge repair; clusters() resolution-first
+    # output never needs it — entity clusters are label-glued, not edge-glued)
+    repair_strong_threshold: float = 0.97  # "strong" edge floor for repair
 
 
 class LinkagePipeline:
@@ -102,7 +113,9 @@ class LinkagePipeline:
         )
 
     def pairs(self, surfaces: DataFrame, keys: DataFrame | None = None) -> DataFrame:
-        return B.blocking_pairs(
+        if keys is None:
+            keys = self.surface_keys(surfaces)
+        base = B.blocking_pairs(
             surfaces,
             max_block_size=self.cfg.max_block_size,
             num_bands=self.cfg.num_bands,
@@ -110,6 +123,29 @@ class LinkagePipeline:
             hot_threshold=self.cfg.hot_block_threshold,
             n_salt=self.cfg.n_salt,
             keys=keys,
+        )
+        if not self.cfg.wnp_prune:
+            return base
+        # config-gated meta-blocking prune (operators/blocking.py
+        # meta_blocking_wnp): survivors are pairs whose common-block count
+        # reaches the local mean weight of either endpoint. The WNP weight
+        # graph re-derives co-blocked pairs from the SAME capped keys the
+        # pair generator used (one extra bounded block self-join + two
+        # aggregates) — at scale that second pass is cheap next to the
+        # Arrow scoring stage it shrinks, which is the whole point of
+        # pruning BEFORE scoring rather than thresholding after.
+        keep = B.meta_blocking_wnp(
+            B.cap_blocks(keys, self.cfg.max_block_size).select(
+                "skey", "block_key"
+            ),
+            id_col="skey",
+        )
+        return base.join(
+            keep.select(
+                F.col("id_a").alias("skey_a"), F.col("id_b").alias("skey_b")
+            ),
+            ["skey_a", "skey_b"],
+            "left_semi",
         )
 
     def idf(self, surfaces: DataFrame) -> dict[str, float] | None:
@@ -159,10 +195,26 @@ class LinkagePipeline:
 
     # ---- alternative: pure pairwise-threshold clustering ---------------------
     def clusters_by_similarity(self, scored: DataFrame, surfaces: DataFrame) -> DataFrame:
+        """Similarity-only clustering (ignore the dictionary). With
+        ``repair_min_density`` set, the over-merge audit/repair hook runs
+        after CC (operators/clustering.py cluster_density + cluster_repair):
+        clusters glued together by a few borderline edges read a low edge
+        density, get flagged, and are re-clustered over strong edges
+        (``combined >= repair_strong_threshold``) only — splits only, never
+        merges, and only on the flagged subgraph. The resolution-first
+        clusters() path never needs this: its entity clusters are
+        label-glued, not edge-glued."""
         edges = scored.where("is_match").select(
             F.col("skey_a").alias("u"), F.col("skey_b").alias("v")
         )
         assign = C.connected_components(edges)
+        if self.cfg.repair_min_density is not None:
+            strong = scored.where(
+                F.col("combined") >= self.cfg.repair_strong_threshold
+            ).select(F.col("skey_a").alias("u"), F.col("skey_b").alias("v"))
+            assign = C.cluster_repair(
+                assign, edges, self.cfg.repair_min_density, strong
+            )
         return C.clusters_with_singletons(
             assign, surfaces.select(F.col("skey").alias("node"))
         )

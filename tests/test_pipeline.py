@@ -239,6 +239,84 @@ def test_cluster_repair_recovers_precision_on_real_scored_pairs(spark, tiny):
     assert matched_pairs(repaired) <= matched_pairs(labels)  # split-only
 
 
+def test_wnp_prune_hook_cuts_pairs_at_full_f1(spark, tiny):
+    """The config-gated meta-blocking hook (LinkageConfig.wnp_prune,
+    VERDICT r7 #5): with the prune on, the scored-pair volume shrinks by
+    >= 30% AND the composed pipeline still scores pairwise F1 = 1.0 on
+    the labeled gate pairs — the prune removes only redundancy-negative
+    candidates, never the pairs that carry the clustering. Also proves
+    the pruned pair set is a strict subset of the unpruned one (the
+    hook can only remove work, never add or alter pairs)."""
+    from entity_linkings_spark.operators.evaluate import (
+        gold_surface_pairs,
+        pairwise_f1,
+    )
+    from entity_linkings_spark.plans.pipeline import LinkageConfig
+
+    lp = gold_surface_pairs(tiny["gold"], tiny["transcripts"]).localCheckpoint()
+
+    def pair_set(cfg):
+        pipe = LinkagePipeline(tiny["dictionary"], config=cfg)
+        surfaces = pipe.surfaces(pipe.mentions(tiny["transcripts"])).cache()
+        keys = pipe.surface_keys(surfaces)
+        return pipe, {
+            (r["skey_a"], r["skey_b"])
+            for r in pipe.pairs(surfaces, keys).select("skey_a", "skey_b").collect()
+        }
+
+    _, base = pair_set(LinkageConfig())
+    pruned_pipe, pruned = pair_set(LinkageConfig(wnp_prune=True))
+    assert pruned < base  # strictly shrinks, and is a subset
+    assert len(pruned) <= 0.7 * len(base), (len(pruned), len(base))
+    out = pruned_pipe.run(tiny["transcripts"])
+    row = pairwise_f1(out["clusters"], lp).collect()[0]
+    assert row["f1"] == 1.0 and row["precision"] == 1.0 and row["recall"] == 1.0
+
+
+def test_repair_hook_in_similarity_regime(spark, tiny):
+    """The config-gated repair hook (LinkageConfig.repair_min_density):
+    clusters_by_similarity at a sloppy 0.70 match threshold chains
+    confusable surfaces; with the hook on, the density audit + strong-edge
+    (>= 0.90) repair runs INSIDE the composed method and (a) only ever
+    splits — predicted-match pairs are a subset of the unhooked run's,
+    (b) raises pairwise precision by a wide margin (0.50 -> 0.90 on this
+    corpus when driven manually, test_cluster_repair_recovers_precision)."""
+    from entity_linkings_spark.operators.evaluate import (
+        gold_surface_pairs,
+        pairwise_f1,
+    )
+    from entity_linkings_spark.plans.pipeline import LinkageConfig
+
+    lp = gold_surface_pairs(tiny["gold"], tiny["transcripts"]).localCheckpoint()
+
+    def run_sim(cfg):
+        pipe = LinkagePipeline(tiny["dictionary"], config=cfg)
+        surfaces = pipe.surfaces(pipe.mentions(tiny["transcripts"])).cache()
+        scored = pipe.scored_pairs(
+            pipe.pairs(surfaces, pipe.surface_keys(surfaces)), surfaces
+        ).localCheckpoint()
+        clusters = pipe.clusters_by_similarity(scored, surfaces).cache()
+        f1row = pairwise_f1(clusters, lp).collect()[0]
+        side = lambda s: clusters.select(  # noqa: E731
+            F.col("node").alias(f"skey_{s}"), F.col("cluster_id").alias(f"c_{s}")
+        )
+        j = lp.join(side("a"), "skey_a").join(side("b"), "skey_b")
+        matched = {(r["skey_a"], r["skey_b"])
+                   for r in j.where(F.col("c_a") == F.col("c_b")).collect()}
+        return f1row, matched
+
+    before, m_before = run_sim(LinkageConfig(match_threshold=0.70))
+    after, m_after = run_sim(
+        LinkageConfig(
+            match_threshold=0.70,
+            repair_min_density=0.99,
+            repair_strong_threshold=0.90,
+        )
+    )
+    assert after["precision"] > before["precision"] + 0.2
+    assert m_after <= m_before  # split-only
+
+
 def test_bcubed_on_resolution_first_clusters(spark, tiny):
     """B-cubed masses on the SHIPPING path: the resolution-first clustering
     that scores pairwise F1 = 1.0 should also be (near-)perfect under
