@@ -187,11 +187,9 @@ def read_cluster_labels(spark: SparkSession, labels_dir: str) -> DataFrame | Non
     half-written epoch."""
     import os
 
-    ptr = os.path.join(labels_dir, "CURRENT")
-    if not os.path.exists(ptr):
+    name = _read_ptr(os.path.join(labels_dir, "CURRENT"))
+    if name is None:
         return None
-    with open(ptr) as f:
-        name = f.read().strip()
     return spark.read.parquet(os.path.join(labels_dir, name))
 
 
@@ -224,23 +222,18 @@ def apply_edge_epoch(labels_dir: str, edges: DataFrame, epoch_id: int) -> DataFr
     name = f"epoch-{epoch_id}"
     out_dir = os.path.join(labels_dir, name)
     ptr = os.path.join(labels_dir, "CURRENT")
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            if f.read().strip() == name:
-                # this epoch already committed: a foreachBatch replay after
-                # commit must be a pure no-op (and must NOT overwrite the
-                # very files the CURRENT table is being read from)
-                return spark.read.parquet(out_dir)
+    if _read_ptr(ptr) == name:
+        # this epoch already committed: a foreachBatch replay after
+        # commit must be a pure no-op (and must NOT overwrite the
+        # very files the CURRENT table is being read from)
+        return spark.read.parquet(out_dir)
     cur = read_cluster_labels(spark, labels_dir)
     updated = (
         connected_components(edges) if cur is None
         else incremental_components(cur, edges)
     )
     updated.write.mode("overwrite").parquet(out_dir)
-    ptr_tmp = os.path.join(labels_dir, "CURRENT.tmp")
-    with open(ptr_tmp, "w") as f:
-        f.write(name)
-    os.replace(ptr_tmp, ptr)  # atomic commit
+    _swap_ptr(ptr, name)  # atomic commit
     return spark.read.parquet(out_dir)
 
 
@@ -301,11 +294,9 @@ def read_vector_index(index_dir: str, spark: SparkSession):
     CURRENT epoch committed one."""
     import os
 
-    ptr = os.path.join(index_dir, "CURRENT")
-    if not os.path.exists(ptr):
+    name = _read_ptr(os.path.join(index_dir, "CURRENT"))
+    if name is None:
         return None
-    with open(ptr) as f:
-        name = f.read().strip()
     cent_ids, cmat = _load_epoch_codebook(index_dir, spark, name)
     return cent_ids, cmat, spark.read.parquet(os.path.join(index_dir, name))
 
@@ -368,9 +359,8 @@ def apply_vector_epoch(
             "cid long, centroid array<double>",
         ).write.mode("overwrite").parquet(path)
 
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            cur_name = f.read().strip()
+    cur_name = _read_ptr(ptr)
+    if cur_name is not None:
         cent_ids, cmat = _load_epoch_codebook(index_dir, spark, cur_name)
         # Replay guard (ADVICE r5): ANY epoch at or below CURRENT is a
         # replay and must no-op on the committed table — unlike the edge
@@ -404,10 +394,7 @@ def apply_vector_epoch(
             write_codebook(os.path.join(index_dir, f"codebook-{name}"),
                            cent_ids, cmat)
     lists.write.mode("overwrite").parquet(out_dir)
-    ptr_tmp = ptr + ".tmp"
-    with open(ptr_tmp, "w") as f:
-        f.write(name)
-    os.replace(ptr_tmp, ptr)  # atomic commit
+    _swap_ptr(ptr, name)  # atomic commit
     return cent_ids, cmat, spark.read.parquet(out_dir)
 
 
@@ -460,35 +447,20 @@ def stream_dedup_exact(
     return hashed.dropDuplicatesWithinWatermark(["text_hash"])
 
 
+def _gram_store(store_dir: str) -> "EpochStore":
+    return EpochStore(
+        store_dir,
+        ["grams"],
+        {"grams": lambda df: df.groupBy("h").agg(F.min("gm").alias("gm"))},
+    )
+
+
 def read_gram_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
     """The committed gram-minima view: the UNION of every epoch's
-    append-only ``grams-epoch-<id>`` delta at or below CURRENT, reduced to
-    the earliest holder per gram hash. None before the first commit."""
-    import os
-
-    ptr = os.path.join(store_dir, "CURRENT")
-    if not os.path.exists(ptr):
-        return None
-    with open(ptr) as f:
-        cur = int(f.read().strip().rsplit("-", 1)[1])
-    # a compacted BASE (compact_gram_store) subsumes every delta at or
-    # below it; deltas <= base may still exist after a crash between the
-    # BASE swap and the cleanup delete — ignored here, harmless on disk
-    base_ptr = os.path.join(store_dir, "BASE")
-    base_e = -1
-    if os.path.exists(base_ptr):
-        with open(base_ptr) as f:
-            base_e = int(f.read().strip())
-    dirs = [
-        os.path.join(store_dir, d)
-        for d in sorted(os.listdir(store_dir))
-        if d.startswith("grams-epoch-")
-        and base_e < int(d.rsplit("-", 1)[1]) <= cur
-    ]
-    if base_e >= 0:
-        dirs.append(os.path.join(store_dir, f"grams-base-{base_e}"))
-    store = spark.read.parquet(*dirs)
-    return store.groupBy("h").agg(F.min("gm").alias("gm"))
+    append-only ``grams-epoch-<id>`` delta at or below CURRENT (plus the
+    compacted base, ignoring crash-stray deltas at or below it), reduced
+    to the earliest holder per gram hash. None before the first commit."""
+    return _gram_store(store_dir).read(spark, "grams")
 
 
 def apply_substring_epoch(
@@ -527,8 +499,6 @@ def apply_substring_epoch(
     corpus re-read; at production scale the store union is a partitioned
     table compacted periodically (Iceberg merge-on-read), which this
     parquet layout stands in for."""
-    import os
-
     from entity_linkings_spark.operators.dedup import (
         apply_cut_intervals,
         gram_islands,
@@ -536,16 +506,10 @@ def apply_substring_epoch(
     )
 
     spark = docs.sparkSession
-    os.makedirs(store_dir, exist_ok=True)
-    name = f"epoch-{epoch_id}"
-    ptr = os.path.join(store_dir, "CURRENT")
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            cur = int(f.read().strip().rsplit("-", 1)[1])
-        if epoch_id <= cur:  # replay: serve the committed output
-            return spark.read.parquet(
-                os.path.join(store_dir, f"out-epoch-{epoch_id}")
-            )
+    store = _gram_store(store_dir)
+    replay = store.replay_output(spark, epoch_id)
+    if replay is not None:  # replay: serve the committed output
+        return replay
     prior = read_gram_store(spark, store_dir)
     grams = positional_grams(docs, id_col, text_col, k)
     epoch_min = grams.groupBy("h").agg(F.min(id_col).alias("egm"))
@@ -567,72 +531,23 @@ def apply_substring_epoch(
     out = apply_cut_intervals(
         docs.select(id_col, text_col), cuts, id_col, text_col
     )
-    # commit order: gram delta + output are durable BEFORE the swap
-    epoch_min.select("h", F.col("egm").alias("gm")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(store_dir, f"grams-{name}"))
-    out.write.mode("overwrite").parquet(
-        os.path.join(store_dir, f"out-{name}")
+    # commit order (EpochStore.commit): gram delta + output are durable
+    # BEFORE the CURRENT swap
+    return store.commit(
+        epoch_id,
+        {"grams": epoch_min.select("h", F.col("egm").alias("gm"))},
+        out,
     )
-    ptr_tmp = ptr + ".tmp"
-    with open(ptr_tmp, "w") as f:
-        f.write(name)
-    os.replace(ptr_tmp, ptr)  # atomic commit
-    return spark.read.parquet(os.path.join(store_dir, f"out-{name}"))
 
 
 def compact_gram_store(store_dir: str, spark: SparkSession) -> int:
     """Fold the committed epoch gram deltas into one min-reduced base so
     read_gram_store's union stops growing with epoch count (the unbounded-
     stream companion of apply_substring_epoch; the parquet stand-in for an
-    Iceberg rewrite-data-files compaction).
-
-    Commit protocol: the merged table lands in ``grams-base-<CURRENT
-    epoch>``, then the ``BASE`` pointer swaps atomically; only AFTER the
-    swap are the folded delta dirs (and any previous base) deleted.
-    Crash-safe at every window: before the swap readers still resolve the
-    old base + all deltas; after the swap they resolve the new base and
-    IGNORE deltas at or below it (read_gram_store filters on epoch >
-    base), so a crash between swap and delete leaves dead-but-harmless
-    files. Epoch outputs (``out-epoch-*``) are never touched — replays
-    keep serving committed results. Returns the number of directories
-    folded (0 = nothing to do)."""
-    import os
-    import shutil
-
-    ptr = os.path.join(store_dir, "CURRENT")
-    if not os.path.exists(ptr):
-        return 0
-    with open(ptr) as f:
-        cur = int(f.read().strip().rsplit("-", 1)[1])
-    base_ptr = os.path.join(store_dir, "BASE")
-    base_e = -1
-    if os.path.exists(base_ptr):
-        with open(base_ptr) as f:
-            base_e = int(f.read().strip())
-    folds = []
-    if base_e >= 0:
-        folds.append(os.path.join(store_dir, f"grams-base-{base_e}"))
-    folds += [
-        os.path.join(store_dir, d)
-        for d in sorted(os.listdir(store_dir))
-        if d.startswith("grams-epoch-")
-        and base_e < int(d.rsplit("-", 1)[1]) <= cur
-    ]
-    if len(folds) <= 1:
-        return 0
-    merged = (
-        spark.read.parquet(*folds).groupBy("h").agg(F.min("gm").alias("gm"))
-    )
-    new_base = os.path.join(store_dir, f"grams-base-{cur}")
-    merged.write.mode("overwrite").parquet(new_base)
-    tmp = base_ptr + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(cur))
-    os.replace(tmp, base_ptr)  # atomic: readers flip to the new base
-    for d in folds:  # now dead — removal is cleanup, not correctness
-        shutil.rmtree(d, ignore_errors=True)
-    return len(folds)
+    Iceberg rewrite-data-files compaction). Crash-window guarantees and
+    the BASE-pointer protocol: EpochStore.compact; the min-reduce runs at
+    fold time, so the base is already reduced."""
+    return _gram_store(store_dir).compact(spark)
 
 
 def _store_epoch_dirs(store_dir: str, prefix: str, cur: int, base_e: int) -> list[str]:
@@ -652,6 +567,173 @@ def _store_epoch_dirs(store_dir: str, prefix: str, cur: int, base_e: int) -> lis
     return dirs
 
 
+def _read_ptr(path: str) -> str | None:
+    """Pointer-file read shared by every store family (CURRENT/BASE)."""
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return f.read().strip()
+
+
+def _swap_ptr(path: str, value: str) -> None:
+    """Atomic pointer swap (write ``<path>.tmp``, os.replace) — the single
+    commit point of every store family here; a crash on either side of the
+    replace leaves a readable store."""
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(value)
+    os.replace(tmp, path)
+
+
+class EpochStore:
+    """The shared append-only epoch-store protocol (VERDICT r7 #7: the
+    gram/substring, band/near-dup — and now counter — stores carried this
+    as hand-rolled copies; one implementation, one set of crash-window
+    guarantees): per-epoch immutable delta dirs ``<prefix>-epoch-<id>``
+    (O(delta) rows written, one family per ``prefixes`` entry); the
+    epoch's OUTPUT committed under ``out-epoch-<id>`` BEFORE the atomic
+    CURRENT swap so a replay at or below CURRENT serves the committed
+    result instead of re-applying an epoch against a store that already
+    holds its own rows; read = union of deltas above BASE plus the
+    compacted base, through the prefix's optional ``reducer`` (min for
+    gram minima, sum for counters, identity for disjoint-row families);
+    compaction = fold each prefix into ``<prefix>-base-<cur>`` (reduced),
+    swap the shared BASE pointer atomically, delete folded dirs only
+    AFTER the swap — readers ignore deltas at or below BASE, so every
+    crash window is safe and stray dirs are dead weight, not corruption;
+    output pruning bounds replay-output disk. The vector index and the
+    cluster-label table intentionally do NOT run on this class: they
+    commit full tables per epoch (grown IVF lists, the relabeled
+    assignment), not deltas — they share only _read_ptr/_swap_ptr and
+    the replay-guard shape."""
+
+    def __init__(self, store_dir: str, prefixes: list[str],
+                 reducers: dict | None = None):
+        self.store_dir = store_dir
+        self.prefixes = list(prefixes)
+        self.reducers = reducers or {}
+
+    # ---- pointers -----------------------------------------------------
+    def current_epoch(self) -> int | None:
+        import os
+
+        cur = _read_ptr(os.path.join(self.store_dir, "CURRENT"))
+        return None if cur is None else int(cur.rsplit("-", 1)[1])
+
+    def base_epoch(self) -> int:
+        import os
+
+        base = _read_ptr(os.path.join(self.store_dir, "BASE"))
+        return -1 if base is None else int(base)
+
+    # ---- replay / read --------------------------------------------------
+    def replay_output(self, spark: SparkSession, epoch_id: int):
+        """The committed output when ``epoch_id`` is a replay (at or below
+        CURRENT), else None (the epoch is new and must be computed)."""
+        import os
+
+        cur = self.current_epoch()
+        if cur is None or epoch_id > cur:
+            return None
+        return spark.read.parquet(
+            os.path.join(self.store_dir, f"out-epoch-{epoch_id}")
+        )
+
+    def read(self, spark: SparkSession, prefix: str) -> DataFrame | None:
+        """Committed view of one delta family: union of deltas above BASE
+        plus the base, reduced. None before the first commit."""
+        cur = self.current_epoch()
+        if cur is None:
+            return None
+        dirs = _store_epoch_dirs(self.store_dir, prefix, cur, self.base_epoch())
+        df = spark.read.parquet(*dirs)
+        reducer = self.reducers.get(prefix)
+        return reducer(df) if reducer else df
+
+    # ---- commit ----------------------------------------------------------
+    def commit(self, epoch_id: int, deltas: dict[str, DataFrame],
+               output: DataFrame) -> DataFrame:
+        """Write every delta + the output durably, THEN swap CURRENT.
+        Returns the committed output re-read from disk (what a replay of
+        this epoch will serve)."""
+        import os
+
+        spark = output.sparkSession
+        os.makedirs(self.store_dir, exist_ok=True)
+        name = f"epoch-{epoch_id}"
+        for prefix, df in deltas.items():
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.store_dir, f"{prefix}-{name}")
+            )
+        out_dir = os.path.join(self.store_dir, f"out-{name}")
+        output.write.mode("overwrite").parquet(out_dir)
+        _swap_ptr(os.path.join(self.store_dir, "CURRENT"), name)
+        return spark.read.parquet(out_dir)
+
+    # ---- maintenance ----------------------------------------------------
+    def compact(self, spark: SparkSession) -> int:
+        """Fold every prefix's committed deltas into one reduced base each
+        under the shared BASE pointer. Returns directories folded (0 =
+        nothing to do). Epoch outputs are never touched — replays keep
+        serving committed results."""
+        import os
+        import shutil
+
+        cur = self.current_epoch()
+        if cur is None:
+            return 0
+        base_e = self.base_epoch()
+        folds_by_prefix = {
+            p: _store_epoch_dirs(self.store_dir, p, cur, base_e)
+            for p in self.prefixes
+        }
+        if all(len(dirs) <= 1 for dirs in folds_by_prefix.values()):
+            return 0
+        for p, dirs in folds_by_prefix.items():
+            merged = spark.read.parquet(*dirs)
+            reducer = self.reducers.get(p)
+            if reducer:
+                merged = reducer(merged)
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.store_dir, f"{p}-base-{cur}")
+            )
+        _swap_ptr(os.path.join(self.store_dir, "BASE"), str(cur))
+        for dirs in folds_by_prefix.values():  # dead — cleanup, not correctness
+            for d in dirs:
+                shutil.rmtree(d, ignore_errors=True)
+        return sum(len(dirs) for dirs in folds_by_prefix.values())
+
+    def prune_outputs(self, keep_last: int = 2) -> list[str]:
+        """Delete ``out-epoch-<k>`` for k <= CURRENT - keep_last; a replay
+        of a pruned epoch fails LOUDLY (missing path) — by the time
+        outputs age past the streaming checkpoint such a replay cannot
+        legitimately occur. Delta dirs are never touched."""
+        import os
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        cur = self.current_epoch()
+        if cur is None:
+            return []
+        pruned = []
+        for d in sorted(os.listdir(self.store_dir)):
+            if (d.startswith("out-epoch-")
+                    and int(d.rsplit("-", 1)[1]) <= cur - keep_last):
+                shutil.rmtree(os.path.join(self.store_dir, d),
+                              ignore_errors=True)
+                pruned.append(d)
+        return pruned
+
+
+def _band_store(store_dir: str) -> "EpochStore":
+    return EpochStore(store_dir, ["bands", "shingles"])
+
+
 def read_band_store(
     spark: SparkSession, store_dir: str
 ) -> tuple[DataFrame, DataFrame] | None:
@@ -661,21 +743,11 @@ def read_band_store(
     distinct (doc_id, sh) shingle hashes that make exact Jaccard
     verification an equi-join (no stored text, no corpus re-read).
     None before the first commit."""
-    import os
-
-    ptr = os.path.join(store_dir, "CURRENT")
-    if not os.path.exists(ptr):
+    store = _band_store(store_dir)
+    bands = store.read(spark, "bands")
+    if bands is None:
         return None
-    with open(ptr) as f:
-        cur = int(f.read().strip().rsplit("-", 1)[1])
-    base_ptr = os.path.join(store_dir, "BASE")
-    base_e = -1
-    if os.path.exists(base_ptr):
-        with open(base_ptr) as f:
-            base_e = int(f.read().strip())
-    bands = spark.read.parquet(*_store_epoch_dirs(store_dir, "bands", cur, base_e))
-    sh = spark.read.parquet(*_store_epoch_dirs(store_dir, "shingles", cur, base_e))
-    return bands, sh
+    return bands, store.read(spark, "shingles")
 
 
 def apply_neardup_epoch(
@@ -719,8 +791,6 @@ def apply_neardup_epoch(
     (doc_id) respectively (Iceberg sort-order or bucketBy), which turns
     the scan into partition-pruned probes. The parquet dirs stand in for
     Iceberg append-only partitions; compact_band_store folds them."""
-    import os
-
     from entity_linkings_spark.operators.dedup import (
         band_pairs,
         minhash_bands,
@@ -728,16 +798,10 @@ def apply_neardup_epoch(
     )
 
     spark = docs.sparkSession
-    os.makedirs(store_dir, exist_ok=True)
-    name = f"epoch-{epoch_id}"
-    ptr = os.path.join(store_dir, "CURRENT")
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            cur = int(f.read().strip().rsplit("-", 1)[1])
-        if epoch_id <= cur:  # replay: serve the committed edges
-            return spark.read.parquet(
-                os.path.join(store_dir, f"out-epoch-{epoch_id}")
-            )
+    store = _band_store(store_dir)
+    replay = store.replay_output(spark, epoch_id)
+    if replay is not None:  # replay: serve the committed edges
+        return replay
     new_bands = minhash_bands(
         docs, id_col, word_shingles(text_col, n), num_bands, rows_per_band
     ).localCheckpoint()  # consumed 3x (store join, in-batch join, commit)
@@ -809,19 +873,10 @@ def apply_neardup_epoch(
         )
         .where(F.col("jaccard") >= tau)
     )
-    # commit order: deltas + output are durable BEFORE the swap
-    new_bands.write.mode("overwrite").parquet(
-        os.path.join(store_dir, f"bands-{name}")
+    # commit order (EpochStore.commit): deltas + output durable BEFORE the swap
+    return store.commit(
+        epoch_id, {"bands": new_bands, "shingles": new_sh}, edges
     )
-    new_sh.write.mode("overwrite").parquet(
-        os.path.join(store_dir, f"shingles-{name}")
-    )
-    edges.write.mode("overwrite").parquet(os.path.join(store_dir, f"out-{name}"))
-    ptr_tmp = ptr + ".tmp"
-    with open(ptr_tmp, "w") as f:
-        f.write(name)
-    os.replace(ptr_tmp, ptr)  # atomic commit
-    return spark.read.parquet(os.path.join(store_dir, f"out-{name}"))
 
 
 def neardup_maintenance_processor(
@@ -860,72 +915,86 @@ def neardup_maintenance_processor(
     return process
 
 
-def prune_epoch_outputs(store_dir: str, keep_last: int = 2) -> list[str]:
-    """Bound the disk the epoch OUTPUTS hold: every apply_*_epoch commit
-    leaves its result under ``out-epoch-<id>`` so replays serve committed
-    data — but foreachBatch only ever replays the LAST epoch, so outputs
-    older than ``keep_last`` epochs below CURRENT are dead weight (for the
-    substring store each holds the epoch's full cleaned text — retaining
-    all of them duplicates the corpus over time). Deletes
-    ``out-epoch-<k>`` for k <= CURRENT - keep_last and returns the pruned
-    dir names. A replay of a pruned epoch fails LOUDLY (missing path)
-    instead of silently recomputing against a store that already holds its
-    rows — by the time outputs age past the streaming checkpoint such a
-    replay cannot legitimately occur. Gram/band/shingle DELTAS are never
-    touched (readers still need them; compact_* folds those)."""
-    import os
-    import shutil
+def _counter_store(store_dir: str) -> "EpochStore":
+    return EpochStore(
+        store_dir,
+        ["counts"],
+        {
+            "counts": lambda df: df.groupBy("mention", "entity_id").agg(
+                F.sum("count").alias("count")
+            )
+        },
+    )
 
-    if keep_last < 1:
-        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
-    ptr = os.path.join(store_dir, "CURRENT")
-    if not os.path.exists(ptr):
-        return []
-    with open(ptr) as f:
-        cur = int(f.read().strip().rsplit("-", 1)[1])
-    pruned = []
-    for d in sorted(os.listdir(store_dir)):
-        if d.startswith("out-epoch-") and int(d.rsplit("-", 1)[1]) <= cur - keep_last:
-            shutil.rmtree(os.path.join(store_dir, d), ignore_errors=True)
-            pruned.append(d)
-    return pruned
+
+def apply_counter_epoch(
+    store_dir: str,
+    resolved_mentions: DataFrame,
+    epoch_id: int,
+    mention_col: str = "mention",
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Epoch-incremental mention-counter maintenance — the streaming twin
+    of the S4 mention-counter source + A1 counter merge (reference:
+    prior/indexer.py:22-37 merges colliding mention counts by sum; this
+    keeps that dictionary CURRENT as resolved mentions stream in, so the
+    prior cascade's evidence tracks the corpus instead of a one-shot
+    build). Each epoch commits ONLY its own (mention, entity_id, count)
+    aggregate as an append-only delta; readers sum-reduce the union
+    (read_counter_store), whose output is schema-identical to the S4
+    table — it plugs straight into LinkagePipeline(alias_counts=...) /
+    resolve_by_prior. O(delta) written per epoch; compaction
+    (compact_counter_store) folds deltas into one summed base.
+
+    The fourth store family on the shared EpochStore protocol — and the
+    demonstration that a new family is ~40 lines: delta derivation here,
+    sum reducer above, everything else (replay-by-committed-output,
+    atomic CURRENT/BASE swaps, crash windows, output pruning) inherited."""
+    spark = resolved_mentions.sparkSession
+    store = _counter_store(store_dir)
+    replay = store.replay_output(spark, epoch_id)
+    if replay is not None:
+        return replay
+    delta = (
+        resolved_mentions.where(F.col(entity_col).isNotNull())
+        .select(
+            F.lower(F.trim(F.col(mention_col))).alias("mention"),
+            F.col(entity_col).cast("string").alias("entity_id"),
+        )
+        .groupBy("mention", "entity_id")
+        .agg(F.count("*").cast("long").alias("count"))
+    )
+    return store.commit(epoch_id, {"counts": delta}, delta)
+
+
+def read_counter_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Committed (mention, entity_id, count) view — the union of every
+    epoch delta sum-reduced; schema-identical to the S4 alias-counts
+    table. None before the first commit."""
+    return _counter_store(store_dir).read(spark, "counts")
+
+
+def compact_counter_store(store_dir: str, spark: SparkSession) -> int:
+    """Fold counter deltas into one summed base (shared EpochStore
+    protocol; the reducer runs at fold time, so the base holds one row
+    per (mention, entity_id))."""
+    return _counter_store(store_dir).compact(spark)
+
+
+def prune_epoch_outputs(store_dir: str, keep_last: int = 2) -> list[str]:
+    """Bound the disk the epoch OUTPUTS hold (for the substring store each
+    output holds the epoch's full cleaned text — retaining all of them
+    duplicates the corpus over time); foreachBatch only ever replays the
+    LAST epoch, so older outputs are dead weight. Semantics and the
+    loud-failure contract for pruned replays: EpochStore.prune_outputs
+    (prefix-agnostic — replay outputs are named identically across store
+    families); deltas are never touched."""
+    return EpochStore(store_dir, []).prune_outputs(keep_last)
 
 
 def compact_band_store(store_dir: str, spark: SparkSession) -> int:
     """Fold the committed band + shingle epoch deltas into one base each so
-    read_band_store's union stops growing with epoch count — same
-    crash-safe protocol as compact_gram_store (write ``<prefix>-base-<cur>``,
-    swap the shared BASE pointer atomically, delete folded dirs after the
-    swap; readers ignore deltas at or below BASE). Rows are plain-unioned:
-    a document's rows live in exactly one epoch delta, so no reduce step is
-    needed. Epoch outputs are never touched. Returns directories folded."""
-    import os
-    import shutil
-
-    ptr = os.path.join(store_dir, "CURRENT")
-    if not os.path.exists(ptr):
-        return 0
-    with open(ptr) as f:
-        cur = int(f.read().strip().rsplit("-", 1)[1])
-    base_ptr = os.path.join(store_dir, "BASE")
-    base_e = -1
-    if os.path.exists(base_ptr):
-        with open(base_ptr) as f:
-            base_e = int(f.read().strip())
-    band_folds = _store_epoch_dirs(store_dir, "bands", cur, base_e)
-    sh_folds = _store_epoch_dirs(store_dir, "shingles", cur, base_e)
-    if len(band_folds) <= 1 and len(sh_folds) <= 1:
-        return 0
-    spark.read.parquet(*band_folds).write.mode("overwrite").parquet(
-        os.path.join(store_dir, f"bands-base-{cur}")
-    )
-    spark.read.parquet(*sh_folds).write.mode("overwrite").parquet(
-        os.path.join(store_dir, f"shingles-base-{cur}")
-    )
-    tmp = base_ptr + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(cur))
-    os.replace(tmp, base_ptr)  # atomic: readers flip to the new bases
-    for d in band_folds + sh_folds:  # dead — cleanup, not correctness
-        shutil.rmtree(d, ignore_errors=True)
-    return len(band_folds) + len(sh_folds)
+    read_band_store's union stops growing with epoch count. Rows are
+    plain-unioned (no reducer): a document's rows live in exactly one
+    epoch delta. Crash windows and the BASE protocol: EpochStore.compact."""
+    return _band_store(store_dir).compact(spark)

@@ -1054,6 +1054,75 @@ def test_band_store_stray_below_base_delta_ignored(spark, tmp_path):
     assert replay == committed and (7, 15) in replay
 
 
+def test_counter_store_parity_replay_compaction(spark, tmp_path):
+    """The 4th store family on the shared EpochStore protocol
+    (apply_counter_epoch): 3-epoch sum == one-shot batch counts; a replay
+    serves the committed delta without growing the store; compaction
+    folds deltas into one summed base with a row-identical reader view;
+    and the committed view is schema-identical to the S4 alias-counts
+    table — it drives resolve_by_prior directly."""
+    from entity_linkings_spark.operators.prior import resolve_by_prior
+    from entity_linkings_spark.streaming.incremental import (
+        apply_counter_epoch,
+        compact_counter_store,
+        read_counter_store,
+    )
+
+    store = str(tmp_path / "counts")
+    epochs = [
+        [("Vera Tanaka", "E1"), ("vera tanaka", "E1"), ("V. Tanaka", "E1")],
+        [("Vera Tanaka", "E1"), ("Sara Ito", "E2"), ("sara ito", "E2")],
+        [("Sara Ito", "E2"), ("Vera Tanaka", "E3")],  # ambiguous surface
+    ]
+    for e, rows in enumerate(epochs):
+        apply_counter_epoch(
+            store,
+            spark.createDataFrame(rows, "mention string, entity_id string"),
+            e,
+        )
+    got = {(r["mention"], r["entity_id"]): r["count"]
+           for r in read_counter_store(spark, store).collect()}
+    # batch model: lowercase+trim then count
+    from collections import Counter
+    want = Counter((m.lower().strip(), ent) for rows in epochs for m, ent in rows)
+    assert got == dict(want)
+    assert got[("vera tanaka", "E1")] == 3 and got[("vera tanaka", "E3")] == 1
+    # replay of epoch 1: committed delta served, reader view unchanged
+    replay = apply_counter_epoch(
+        store,
+        spark.createDataFrame([("SHOULD NOT", "COUNT")],
+                              "mention string, entity_id string"),
+        1,
+    )
+    assert {(r["mention"], r["entity_id"], r["count"]) for r in replay.collect()} \
+        == {("vera tanaka", "E1", 1), ("sara ito", "E2", 2)}
+    assert {(r["mention"], r["entity_id"]): r["count"]
+            for r in read_counter_store(spark, store).collect()} == got
+    # compaction: 3 delta dirs fold into one summed base, view identical
+    assert compact_counter_store(store, spark) == 3
+    assert {(r["mention"], r["entity_id"]): r["count"]
+            for r in read_counter_store(spark, store).collect()} == got
+    assert not any(d.startswith("counts-epoch-") for d in os.listdir(store))
+    # epoch 3 composes against the base; the committed view then drives
+    # the prior cascade (schema-identical to the S4 alias-counts table)
+    apply_counter_epoch(
+        store,
+        spark.createDataFrame([("Vera Tanaka", "E1")],
+                              "mention string, entity_id string"),
+        3,
+    )
+    counts = read_counter_store(spark, store)
+    surfaces = spark.createDataFrame(
+        [("s1", "vera tanaka"), ("s2", "sara ito"), ("s3", "unknown name")],
+        "skey string, surface string",
+    )
+    resolved = {r["skey"]: r["prior_entity"]
+                for r in resolve_by_prior(surfaces, counts).collect()}
+    assert resolved["s1"] == "E1"  # 4-vs-1 argmax beats the E3 noise
+    assert resolved["s2"] == "E2"
+    assert resolved["s3"] is None
+
+
 def test_prune_epoch_outputs_bounds_disk(spark, tmp_path):
     """prune_epoch_outputs: outputs older than keep_last epochs below
     CURRENT are deleted (the corpus-duplication bound for the substring
