@@ -41,6 +41,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .blocking import sorted_neighborhood_pairs
+
 
 def comparison_levels(
     scored: DataFrame, thresholds: dict[str, list[float]]
@@ -99,6 +101,7 @@ def em_fit(
     n_levels: dict[str, int],
     n_iter: int = 30,
     init_lambda: float = 0.1,
+    fixed_u: tuple[tuple[float, ...], ...] | None = None,
 ) -> FSParams:
     """EM under conditional independence on the aggregated pattern table.
 
@@ -109,7 +112,15 @@ def em_fit(
     fixed, and all arithmetic is driver-side Python floats over exact
     integer counts — reruns reproduce the parameters bit-for-bit.
     Labels are never used: this is the unsupervised half of the audit
-    story (compare the learned weights against silver labels in tests)."""
+    story (compare the learned weights against silver labels in tests).
+
+    ``fixed_u``: hold the non-match conditionals at these values and fit
+    only lambda and m — the production recipe (Splink's public training
+    design) when u comes from ``estimate_u`` over random pairs: blocked
+    candidate pairs OVER-represent agreeing non-matches, so free EM's u
+    absorbs that selection bias; u measured on uniform random pairs is
+    unbiased, and fixing it removes the biggest identifiability failure
+    mode of the two-class mixture."""
     if isinstance(patterns, DataFrame):
         rows = [
             (tuple(int(r[f"gamma_{f}"]) for f in features), int(r["n"]))
@@ -138,7 +149,14 @@ def em_fit(
 
     lam = init_lambda
     m = [ramp(L[k], up=True) for k in range(K)]
-    u = [ramp(L[k], up=False) for k in range(K)]
+    if fixed_u is not None:
+        if tuple(len(row) for row in fixed_u) != tuple(L):
+            raise ValueError(
+                f"fixed_u level counts {[len(r) for r in fixed_u]} != {L}"
+            )
+        u = [list(row) for row in fixed_u]
+    else:
+        u = [ramp(L[k], up=False) for k in range(K)]
     delta = float("inf")
     for _ in range(n_iter):
         # E-step: match posterior per pattern
@@ -163,6 +181,8 @@ def em_fit(
             for l in range(L[k]):
                 new_m[k][l] = new_m[k][l] / wm if wm > 0 else 1.0 / L[k]
                 new_u[k][l] = new_u[k][l] / wu if wu > 0 else 1.0 / L[k]
+        if fixed_u is not None:
+            new_u = u  # u is data, not a parameter, in this regime
         delta = max(
             abs(new_lam - lam),
             max(
@@ -186,6 +206,20 @@ def em_fit(
     )
 
 
+def _bf_expr(params: FSParams, k: int) -> Column:
+    """Chained-when literal expression for feature k's log2 Bayes factor
+    at the row's gamma level."""
+    col = F.col(f"gamma_{params.features[k]}")
+    expr: Column = F.lit(float(params.log2_bf(k, 0)))
+    for l in range(1, params.n_levels[k]):
+        expr = F.when(col == l, float(params.log2_bf(k, l))).otherwise(expr)
+    return expr
+
+
+def _posterior(weight_col: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -weight_col))
+
+
 def fs_score(levels: DataFrame, params: FSParams) -> DataFrame:
     """Attach ``fs_weight`` (prior log-odds + sum of per-feature log2
     Bayes factors) and ``fs_posterior`` (= sigmoid in base 2). The fitted
@@ -193,17 +227,31 @@ def fs_score(levels: DataFrame, params: FSParams) -> DataFrame:
     scoring stage is Catalyst arithmetic inside whole-stage codegen: no
     join, no UDF, no shuffle."""
     weight: Column = F.lit(float(params.prior_odds_log2))
-    for k, feat in enumerate(params.features):
-        col = F.col(f"gamma_{feat}")
-        expr: Column = F.lit(float(params.log2_bf(k, 0)))
-        for l in range(1, params.n_levels[k]):
-            expr = F.when(col == l, float(params.log2_bf(k, l))).otherwise(expr)
-        weight = weight + expr
+    for k in range(len(params.features)):
+        weight = weight + _bf_expr(params, k)
     out = levels.withColumn("fs_weight", weight)
-    return out.withColumn(
-        "fs_posterior",
-        F.lit(1.0) / (F.lit(1.0) + F.pow(F.lit(2.0), -F.col("fs_weight"))),
+    return out.withColumn("fs_posterior", _posterior(F.col("fs_weight")))
+
+
+def fs_explain(levels: DataFrame, params: FSParams) -> DataFrame:
+    """The match-weight waterfall (the audit view Splink renders as a
+    chart): one ``bf_<feature>`` column per feature holding that
+    feature's log2 Bayes-factor contribution at the row's gamma level,
+    plus the constant ``prior_log2_odds`` — so
+    ``prior_log2_odds + sum(bf_*) == fs_weight`` EXACTLY (same literal
+    expressions, same float addition order as fs_score). Per-pair
+    explanations therefore cost one codegen projection, no second scoring
+    pass, and a reviewer can read off which feature carried or killed any
+    decision."""
+    out = levels.withColumn(
+        "prior_log2_odds", F.lit(float(params.prior_odds_log2))
     )
+    weight: Column = F.col("prior_log2_odds")
+    for k, feat in enumerate(params.features):
+        out = out.withColumn(f"bf_{feat}", _bf_expr(params, k))
+        weight = weight + F.col(f"bf_{feat}")
+    out = out.withColumn("fs_weight", weight)
+    return out.withColumn("fs_posterior", _posterior(F.col("fs_weight")))
 
 
 def fit_fs_model(
@@ -225,3 +273,150 @@ def fit_fs_model(
         init_lambda=init_lambda,
     )
     return fs_score(levels, params), params
+
+
+# --------------------------------------------------------------------------
+# Term-frequency adjustments (Winkler 1988; Splink's tf_adjustments)
+# --------------------------------------------------------------------------
+
+def term_frequencies(records: DataFrame, value_col: str) -> DataFrame:
+    """(value, n, tf): relative term frequency of each non-null value in
+    the record corpus. One hash aggregate plus a single-row broadcast
+    cross join for the total — the tf table itself stays distributed
+    (it is vocabulary-sized, NOT bounded; never collect it)."""
+    vals = records.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("value")
+    )
+    counts = vals.groupBy("value").agg(F.count("*").alias("n"))
+    total = vals.groupBy().agg(F.count("*").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "value", "n", (F.col("n") / F.col("_total")).alias("tf")
+    )
+
+
+def agreement_u(tf: DataFrame) -> float:
+    """P(two uniform random records agree on the column) = sum_v tf(v)^2
+    — the value-averaged u-probability of the exact-agreement level that
+    the per-value adjustment is taken RELATIVE to. One aggregate, one
+    scalar collected."""
+    row = tf.groupBy().agg(F.sum(F.col("tf") * F.col("tf")).alias("u")).collect()
+    return float(row[0]["u"]) if row and row[0]["u"] is not None else 0.0
+
+
+def tf_adjusted_score(
+    scored_fs: DataFrame,
+    params: FSParams,
+    feat: str,
+    tf: DataFrame,
+    value_a: str = "surface_a",
+    value_b: str = "surface_b",
+    u_bar: float | None = None,
+    min_tf: float = 1e-12,
+) -> DataFrame:
+    """Per-value term-frequency adjustment of the match weight for one
+    feature's EXACT-agreement level — Winkler's 1988 refinement, in
+    Splink's published formulation: agreement on "john smith" is much
+    weaker evidence than agreement on a rare name, because the average
+    Bayes factor m/u uses u = sum_v tf(v)^2 while agreement specifically
+    on value v has u_v = tf(v)^2 and m_v ≈ m·tf(v), giving
+    BF_v = m/tf(v) — i.e. an additive log2 correction of
+    ``log2(u_bar / tf(v))``: positive (more evidence) for values rarer
+    than average, negative for stock values.
+
+    Applies only where the pair EXACTLY agrees (``value_a == value_b``)
+    AND sits at the feature's top gamma level; all other rows get
+    adjustment 0. Shape: one equi-join of the pair table against the
+    vocabulary-sized tf table on the agreed value — AQE picks broadcast
+    vs shuffle by the tf table's real size; no UDF, no extra shuffle on
+    the pair side beyond the join itself.
+
+    Adds ``tf_adj_<feat>``, ``fs_weight_tf``, ``fs_posterior_tf``.
+    ``u_bar`` may be precomputed via ``agreement_u`` (pass it when
+    adjusting several features off the same tf table)."""
+    if u_bar is None:
+        u_bar = agreement_u(tf)
+    top = params.n_levels[params.features.index(feat)] - 1
+    agrees = (F.col(value_a) == F.col(value_b)) & (
+        F.col(f"gamma_{feat}") == top
+    )
+    joined = scored_fs.join(
+        tf.select(
+            F.col("value").alias(value_a), F.col("tf").alias("_tf")
+        ),
+        value_a,
+        "left",
+    )
+    adj = F.when(
+        agrees & F.col("_tf").isNotNull(),
+        F.log2(
+            F.lit(float(max(u_bar, min_tf)))
+            / F.greatest(F.col("_tf"), F.lit(float(min_tf)))
+        ),
+    ).otherwise(F.lit(0.0))
+    out = (
+        joined.withColumn(f"tf_adj_{feat}", adj)
+        .withColumn(
+            "fs_weight_tf", F.col("fs_weight") + F.col(f"tf_adj_{feat}")
+        )
+        .drop("_tf")
+    )
+    return out.withColumn("fs_posterior_tf", _posterior(F.col("fs_weight_tf")))
+
+
+# --------------------------------------------------------------------------
+# u-estimation from deterministic random pairs (Splink's
+# estimate_u_using_random_sampling, made reproducible)
+# --------------------------------------------------------------------------
+
+def random_comparison_pairs(
+    records: DataFrame,
+    id_col: str = "skey",
+    salt: str = "u-est",
+    k: int = 1,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """~k·N uniform-random record pairs, DETERMINISTICALLY: order the
+    corpus by md5(salt ‖ id) — random with respect to any entity
+    structure, identical across reruns — and pair each record with its
+    next k neighbors in that order. Reuses sorted_neighborhood_pairs'
+    scale shape (bounded-collect global rank + explode/equi-join, linear
+    candidate volume); the only new ingredient is the hash sort key.
+    Output (id_a, id_b, gap); the tail's last k records pair fewer times
+    (non-wrapping), which is immaterial at estimation sample sizes."""
+    hashed = records.select(
+        F.col(id_col),
+        F.md5(F.concat(F.lit(salt), F.lit("\x1f"), F.col(id_col).cast("string"))).alias("_hkey"),
+    )
+    return sorted_neighborhood_pairs(
+        hashed, "_hkey", id_col=id_col, window=k + 1, num_ranges=num_ranges
+    )
+
+
+def estimate_u(
+    levels: DataFrame, features: list[str], n_levels: dict[str, int]
+) -> tuple[tuple[float, ...], ...]:
+    """Per-feature level distributions over a RANDOM-pair comparison
+    table = the unbiased u-probabilities (at realistic match prevalence,
+    a uniform random pair is a non-match with probability ≈ 1; the
+    O(lambda) contamination is the standard, documented approximation).
+    One bounded pattern aggregate, marginalized driver-side. Feed the
+    result to ``em_fit(..., fixed_u=...)`` over the BLOCKED pairs — the
+    blocked sample is the right place to learn m (it is match-dense) and
+    the wrong place to learn u (selection bias), so each distribution is
+    estimated where it is identifiable."""
+    rows = [
+        (tuple(int(r[f"gamma_{f}"]) for f in features), int(r["n"]))
+        for r in pattern_counts(levels, features).collect()  # bounded
+    ]
+    rows.sort()
+    total = sum(n for _, n in rows)
+    if total == 0:
+        raise ValueError("estimate_u needs at least one pair")
+    L = [n_levels[f] for f in features]
+    u = [[0.0] * L[k] for k in range(len(features))]
+    for gamma, n in rows:
+        for k in range(len(features)):
+            u[k][gamma[k]] += n
+    return tuple(
+        tuple(x / total for x in row) for row in u
+    )
