@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from entity_linkings_spark.operators import blocking as B
 from entity_linkings_spark.operators import clustering as C
+from entity_linkings_spark.operators import linkage_model as L
 from entity_linkings_spark.operators import prior as P
 from entity_linkings_spark.operators import scoring as S
 from entity_linkings_spark.operators.mentions import extract_mentions
@@ -76,6 +77,17 @@ class LinkageConfig:
     # over strong edges only (over-merge repair; clusters() resolution-first
     # output never needs it — entity clusters are label-glued, not edge-glued)
     repair_strong_threshold: float = 0.97  # "strong" edge floor for repair
+    fs_match: bool = False  # learn Fellegi-Sunter weights over the scored
+    # pairs (unsupervised EM on one bounded pattern aggregate,
+    # operators/linkage_model.py) and decide NIL-NIL matches by posterior
+    # instead of the hand-fixed blend threshold. Adds gamma_*/fs_weight/
+    # fs_posterior columns to scored_pairs() and switches the NIL string
+    # edge to the learned decision; the resolution-first entity path is
+    # untouched. Costs one extra bounded job (the pattern aggregate) and a
+    # localCheckpoint of the scored pairs (consumed twice: fit + score).
+    fs_posterior_threshold: float = 0.5  # the UNTUNED Bayes point; the
+    # fs-vs-blend tests show it reproduces the blend's best operating
+    # point on the tiny corpus without any threshold search
 
 
 class LinkagePipeline:
@@ -158,16 +170,42 @@ class LinkagePipeline:
         the NIL-NIL string threshold."""
         ev = surfaces.select("skey", "prior_entity")
         scored = S.score_pairs(pairs, self.idf(surfaces))
-        return (
-            scored.join(ev.withColumnsRenamed({"skey": "skey_a", "prior_entity": "ent_a"}), "skey_a", "left")
-            .join(ev.withColumnsRenamed({"skey": "skey_b", "prior_entity": "ent_b"}), "skey_b", "left")
-            .withColumn(
-                "is_match",
-                F.when(
-                    F.col("ent_a").isNotNull() & F.col("ent_b").isNotNull(),
-                    F.col("ent_a") == F.col("ent_b"),
-                ).otherwise(F.col("combined") >= F.lit(self.cfg.match_threshold)),
+        joined = scored.join(
+            ev.withColumnsRenamed({"skey": "skey_a", "prior_entity": "ent_a"}), "skey_a", "left"
+        ).join(
+            ev.withColumnsRenamed({"skey": "skey_b", "prior_entity": "ent_b"}), "skey_b", "left"
+        )
+        if self.cfg.fs_match:
+            # config-gated Fellegi-Sunter decision (operators/
+            # linkage_model.py): discretize the scorer's features, fit
+            # m/u/lambda by EM on ONE bounded pattern aggregate (the
+            # checkpoint keeps the Arrow scoring pass from running twice),
+            # then decide string matches at the untuned posterior 0.5
+            # instead of the hand-calibrated blend threshold.
+            joined = joined.localCheckpoint()
+            ths = {
+                "jaro_winkler": [0.80, 0.94],
+                "lev_ratio": [0.60, 0.90],
+                "ngram_jaccard": [0.30, 0.70],
+            }
+            levels = L.comparison_levels(joined, ths)
+            params = L.em_fit(
+                L.pattern_counts(levels, list(ths)),
+                list(ths),
+                {f: len(t) + 1 for f, t in ths.items()},
             )
+            joined = L.fs_score(levels, params)
+            string_match = F.col("fs_posterior") > F.lit(
+                self.cfg.fs_posterior_threshold
+            )
+        else:
+            string_match = F.col("combined") >= F.lit(self.cfg.match_threshold)
+        return joined.withColumn(
+            "is_match",
+            F.when(
+                F.col("ent_a").isNotNull() & F.col("ent_b").isNotNull(),
+                F.col("ent_a") == F.col("ent_b"),
+            ).otherwise(string_match),
         )
 
     # ---- stage 5: clustering (resolution-first) ------------------------------
@@ -181,8 +219,16 @@ class LinkagePipeline:
             F.concat(F.lit("ent:"), "entity_id").alias("cluster_id"),
         )
         nil_keys = resolved.where(F.col("entity_id") == NIL_ID).select("skey")
+        # with fs_match on, NIL string edges come from the learned
+        # posterior; default stays the calibrated blend threshold (the
+        # expression below is byte-identical to the pre-hook plan)
+        edge_pred = (
+            F.col("fs_posterior") > F.lit(self.cfg.fs_posterior_threshold)
+            if self.cfg.fs_match
+            else F.col("combined") >= self.cfg.match_threshold
+        )
         nil_edges = (
-            scored.where(F.col("combined") >= self.cfg.match_threshold)
+            scored.where(edge_pred)
             .join(nil_keys.withColumnRenamed("skey", "skey_a"), "skey_a")
             .join(nil_keys.withColumnRenamed("skey", "skey_b"), "skey_b")
             .select(F.col("skey_a").alias("u"), F.col("skey_b").alias("v"))

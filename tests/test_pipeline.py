@@ -351,3 +351,40 @@ def test_bcubed_on_resolution_first_clusters(spark, tiny):
     p = sum(r["precision_mass"] for r in cells) / n
     r_ = sum(r["recall_mass"] for r in cells) / n
     assert p >= 0.99 and r_ >= 0.99, (p, r_)
+
+
+def test_fs_match_hook_composed_pipeline(spark, tiny):
+    """The config-gated Fellegi-Sunter hook (LinkageConfig.fs_match):
+    with it on, scored_pairs carries the learned gamma/fs columns and
+    NIL-NIL string decisions come from the untuned posterior 0.5 instead
+    of the calibrated blend threshold — and the composed resolution-first
+    pipeline still scores pairwise F1 = 1.0 on the labeled gate pairs
+    (entity clusters are label-glued, so the learned string decision must
+    not over-link the NIL remainder). With it off, the scored schema is
+    unchanged (no fs columns: the default plan stays the round-7 one)."""
+    from entity_linkings_spark.operators.evaluate import (
+        gold_surface_pairs,
+        pairwise_f1,
+    )
+    from entity_linkings_spark.plans.pipeline import LinkageConfig
+
+    lp = gold_surface_pairs(tiny["gold"], tiny["transcripts"]).localCheckpoint()
+    base_pipe = LinkagePipeline(tiny["dictionary"])
+    base_cols = set(
+        base_pipe.scored_pairs(
+            base_pipe.pairs(
+                base_pipe.surfaces(base_pipe.mentions(tiny["transcripts"]))
+            ),
+            base_pipe.surfaces(base_pipe.mentions(tiny["transcripts"])),
+        ).columns
+    )
+    assert not any(c.startswith(("fs_", "gamma_")) for c in base_cols)
+
+    pipe = LinkagePipeline(
+        tiny["dictionary"], config=LinkageConfig(fs_match=True)
+    )
+    out = pipe.run(tiny["transcripts"])
+    cols = set(out["scored"].columns)
+    assert {"fs_weight", "fs_posterior", "gamma_jaro_winkler"} <= cols
+    row = pairwise_f1(out["clusters"], lp).collect()[0]
+    assert row["f1"] == 1.0 and row["precision"] == 1.0 and row["recall"] == 1.0
