@@ -349,3 +349,70 @@ def blocking_quality(records: DataFrame, keys: DataFrame) -> DataFrame:
             / F.col("total_pairs")
         ).alias("reduction_ratio"),
     )
+
+
+def unlinkables_table(
+    records: DataFrame,
+    scored: DataFrame,
+    thresholds: list[float],
+    id_col: str = "skey",
+    score_col: str = "combined",
+) -> DataFrame:
+    """The unlinkables audit (the feasibility chart Splink publishes
+    before anyone tunes a threshold): for each candidate threshold, how
+    many records could NOT link to anything — their best score across
+    every candidate pair sits below it. Read it to pick an operating
+    point (how much of the corpus a threshold abandons) and to detect
+    blocking failures (a record with NO candidate pairs at all is
+    unlinkable at every threshold; this table counts those — the worst
+    case must not vanish from its own audit, the blocking_quality
+    zero-pair lesson applied here).
+
+    Output (threshold, n_unlinkable, prop_unlinkable, n_no_pairs),
+    one row per threshold, exact integers plus the rational proportion.
+
+    Shape: both pair directions unioned -> one max-agg per record ->
+    left join onto the record spine -> explode over the threshold
+    literals (fan-out = len(thresholds), a constant) -> one count agg.
+    No collect, no UDF; pair volume is touched exactly once.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    best = (
+        scored.select(F.col(f"{id_col}_a").alias("node"),
+                      F.col(score_col).alias("s"))
+        .unionByName(
+            scored.select(F.col(f"{id_col}_b").alias("node"),
+                          F.col(score_col).alias("s"))
+        )
+        .groupBy("node")
+        .agg(F.max("s").alias("best"))
+    )
+    spine = records.select(F.col(id_col).alias("node")).join(best, "node", "left")
+    total = spine.groupBy().agg(F.count("*").alias("_total"))
+    th = F.explode(
+        F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
+    ).alias("threshold")
+    exploded = spine.select("node", "best", th)
+    return (
+        exploded.groupBy("threshold")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("best").isNull() | (F.col("best") < F.col("threshold")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_unlinkable"),
+            F.sum(F.when(F.col("best").isNull(), 1).otherwise(0)).alias(
+                "n_no_pairs"
+            ),
+        )
+        .crossJoin(F.broadcast(total))  # single-row total: stays lazy
+        .select(
+            "threshold",
+            "n_unlinkable",
+            (F.col("n_unlinkable") / F.col("_total")).alias("prop_unlinkable"),
+            "n_no_pairs",
+        )
+        .orderBy("threshold")
+    )

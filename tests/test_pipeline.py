@@ -388,3 +388,58 @@ def test_fs_match_hook_composed_pipeline(spark, tiny):
     assert {"fs_weight", "fs_posterior", "gamma_jaro_winkler"} <= cols
     row = pairwise_f1(out["clusters"], lp).collect()[0]
     assert row["f1"] == 1.0 and row["precision"] == 1.0 and row["recall"] == 1.0
+
+
+def test_unlinkables_table_exact_and_counts_no_pair_records(spark):
+    """unlinkables_table == a pure-Python model on a hand corpus; a
+    record with NO candidate pairs counts as unlinkable at EVERY
+    threshold and is reported in n_no_pairs (the audit's worst case must
+    not vanish from the audit)."""
+    from entity_linkings_spark.operators.evaluate import unlinkables_table
+
+    records = spark.createDataFrame(
+        [("r1",), ("r2",), ("r3",), ("r4",)], "skey string"
+    )
+    scored = spark.createDataFrame(
+        [
+            ("r1", "r2", 0.95),
+            ("r1", "r3", 0.40),
+            ("r2", "r3", 0.70),
+        ],
+        "skey_a string, skey_b string, combined double",
+    )  # best: r1=0.95 r2=0.95 r3=0.70; r4 has no pairs
+    ths = [0.5, 0.8, 0.99]
+    got = {
+        r["threshold"]: (r["n_unlinkable"], r["prop_unlinkable"], r["n_no_pairs"])
+        for r in unlinkables_table(records, scored, ths).collect()
+    }
+    best = {"r1": 0.95, "r2": 0.95, "r3": 0.70, "r4": None}
+    for t in ths:
+        n = sum(1 for b in best.values() if b is None or b < t)
+        assert got[t] == (n, n / 4, 1), (t, got[t])
+    assert got[0.5] == (1, 0.25, 1)    # only r4
+    assert got[0.8] == (2, 0.5, 1)     # r3 + r4
+    assert got[0.99] == (4, 1.0, 1)    # everyone
+    # monotone: raising the threshold never links more records
+    ordered = [got[t][0] for t in sorted(ths)]
+    assert ordered == sorted(ordered)
+
+
+def test_unlinkables_on_real_scored_pairs(spark, tiny):
+    """On the real pipeline's scored pairs: the proportion is monotone in
+    the threshold, surfaces with no candidates are counted, and at the
+    shipping match threshold the unlinkable share includes every
+    singleton surface (those the blocker found nothing for)."""
+    from entity_linkings_spark.operators.evaluate import unlinkables_table
+
+    pipe = LinkagePipeline(tiny["dictionary"])
+    surfaces = pipe.surfaces(pipe.mentions(tiny["transcripts"])).cache()
+    scored = pipe.scored_pairs(pipe.pairs(surfaces), surfaces)
+    tab = unlinkables_table(
+        surfaces, scored, [0.5, 0.90, 0.999]
+    ).collect()
+    props = [r["prop_unlinkable"] for r in tab]
+    assert props == sorted(props)
+    assert all(r["n_no_pairs"] == tab[0]["n_no_pairs"] for r in tab)
+    assert all(r["n_unlinkable"] >= r["n_no_pairs"] for r in tab)
+    assert 0.0 < props[0] < 1.0
