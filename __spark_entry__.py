@@ -138,10 +138,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return out["resolved_mentions"]
 
 
+# Retired from the DRIVER registry (round 8): the four J5 ranked-retrieval
+# variants now share ONE slot, j5_tfidf_suite, whose oracle is the UNION ALL
+# of their exact per-variant oracles — identical value-check strength, three
+# registry slots returned. Context: the driver checks a 50-entry window and
+# the freshness invariant is window ∪ previous record, so the registry
+# ceiling is 100; at 99 registered the rotation was one CHANGED query away
+# from saturating (ROUND8_NOTES.md). The variants stay in
+# driver_queries.QUERIES for bench.py (frozen cross-round comparability
+# rows) and the plan-shape tests; only the driver-facing registry shrinks.
+RETIRED = frozenset({
+    "j5_tfidf_topk",
+    "j5_tfidf_topk_maxdf",
+    "j5_tfidf_topk_gemm",
+    "j5_tfidf_topk_auto",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from entity_linkings_spark.driver_queries import QUERIES
 
-    qs = dict(QUERIES)
+    qs = {n: fn for n, fn in QUERIES.items() if n not in RETIRED}
 
     def pipeline_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -295,7 +312,7 @@ def oracle_sql() -> dict[str, str]:
         top1_accuracy_sql,
     )
 
-    out = dict(ORACLES)
+    out = {n: sql for n, sql in ORACLES.items() if n not in RETIRED}
     # the flagship's oracle: a stage-for-stage DuckDB replica of the whole
     # pipeline (entity_linkings_spark/oracle_pipeline.py)
     out["pipeline_linkage"] = pipeline_linkage_sql()

@@ -111,6 +111,12 @@ HEADLINE = [
     # round-8 addition: the B-cubed overlap table (plus the a9 audit grew
     # a 4th always-zero scheme in place)
     "a10_bcubed",
+    # round-8 second wave: the Fellegi-Sunter front end (discretization +
+    # the bounded pattern aggregate the EM fit consumes) and the
+    # unlinkables feasibility audit; the four J5 variants above keep their
+    # frozen rows, so the folded j5_tfidf_suite is NOT benched separately
+    "fs_gamma_patterns",
+    "unlinkables",
 ]
 
 # the composed flagships get a third timed run (VERDICT r7: min-of-2 left
@@ -180,7 +186,10 @@ from pyspark.sql import functions as F
 spark.range(0, 5_000_000, 1, 64).agg(F.sum("id")).collect()
 spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-q = entrymod.queries()[name]
+# retired driver-registry names (the folded J5 variants) stay benchable:
+# their frozen cross-round rows live on in driver_queries.QUERIES
+from entity_linkings_spark.driver_queries import QUERIES as _all_queries
+q = entrymod.queries().get(name) or _all_queries[name]
 runs, rows = [], None
 for _ in range(nruns):
     t0 = time.time()

@@ -2704,6 +2704,42 @@ def j5_tfidf_topk_auto(spark, sf):
     return tfidf_topk_auto(ents, qs, k=5)
 
 
+# One UNION of all four J5 ranked-retrieval regimes, each row tagged with
+# its form. Registered so the four variants can share ONE driver-window
+# slot (round-8 registry-ceiling relief — see __spark_entry__.RETIRED):
+# the oracle is the UNION ALL of the exact per-variant oracles, so the
+# value check is as strong as the four separate rows were (the gemm/auto
+# forms intentionally re-assert the postings contract — identical rows,
+# different physical plan — exactly as their retired rows did).
+_TFIDF_SUITE_SQL = f"""
+    SELECT 'postings' AS form, * FROM ({_TFIDF_TOPK_SQL})
+    UNION ALL SELECT 'maxdf' AS form, * FROM ({_TFIDF_MAXDF_SQL})
+    UNION ALL SELECT 'gemm' AS form, * FROM ({_TFIDF_TOPK_SQL})
+    UNION ALL SELECT 'auto' AS form, * FROM ({_TFIDF_TOPK_SQL})
+"""
+
+
+@register("j5_tfidf_suite", _TFIDF_SUITE_SQL)
+def j5_tfidf_suite(spark, sf):
+    """J5 ranked retrieval, all four regimes in one gated table: the unpruned
+    postings join (the all-dense worst case), max-DF pruning on the mixed
+    sku+name dictionary, the broadcast-GEMM dense-regime tool, and the
+    measured-density auto dispatcher (which must land on GEMM here). Each
+    form keeps the exact oracle its standalone row had (reference
+    search_knn contract: bm25/indexer.py:85-114)."""
+    parts = [
+        ("postings", j5_tfidf_topk),
+        ("maxdf", j5_tfidf_topk_maxdf),
+        ("gemm", j5_tfidf_topk_gemm),
+        ("auto", j5_tfidf_topk_auto),
+    ]
+    out = None
+    for form, fn in parts:
+        tagged = fn(spark, sf).select(F.lit(form).alias("form"), "*")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 @register(
     "dedup_simhash_pairs_capped",
     f"""
@@ -5069,3 +5105,107 @@ def cc_repair_neighborhood(spark, sf):
     strong = sims.where(F.col("sim") >= 0.3).select("u", "v")
     labels = connected_components(weak)
     return cluster_repair(labels, weak, 0.9, strong)
+
+
+# ---- Fellegi-Sunter front end + unlinkables audit (round 8) ------------------
+
+# Gamma thresholds over the driver scorer's ROUNDED feature columns
+# (score_pairs is value-hash-identical across engines, so >= against the
+# same parsed literals discretizes identically — no float derivation
+# happens here, only comparisons of already-gated doubles).
+_FS_GAMMA_THRESHOLDS: dict[str, list[float]] = {
+    "jaro_winkler": [0.88, 0.94],
+    "osa_ratio": [0.80, 0.95],
+    "ngram_jaccard": [0.50],
+}
+
+
+def _gamma_case_sql(feat: str, ths: list[float]) -> str:
+    ind = " + ".join(f"(CASE WHEN {feat} >= {t} THEN 1 ELSE 0 END)" for t in ths)
+    return f"CAST({ind} AS INT) AS gamma_{feat}"
+
+
+_FS_GAMMA_SQL = f"""
+    WITH scored AS ({_SCORE_PAIRS_SQL})
+    SELECT {", ".join(_gamma_case_sql(f, t) for f, t in _FS_GAMMA_THRESHOLDS.items())},
+           count(*) AS n
+    FROM scored
+    GROUP BY ALL
+"""
+
+
+@register("fs_gamma_patterns", _FS_GAMMA_SQL)
+def fs_gamma_patterns(spark, sf):
+    """The Fellegi-Sunter model's entire distributed surface, driver-gated:
+    comparison-vector discretization (operators/linkage_model.py
+    comparison_levels — ordinal gamma level per feature = thresholds
+    reached) and the ONE bounded pattern-count aggregate (pattern_counts)
+    the EM fit consumes. The table is at most prod(levels) = 18 rows at
+    ANY corpus size — this aggregate is exactly what makes the fit scale
+    to 100 TB of pairs. The fit itself (driver-side deterministic EM on
+    these exact integers) is pytest-gated with a pure-Python recurrence
+    bridge; this row pins the Spark side of the contract."""
+    from entity_linkings_spark.operators.linkage_model import (
+        comparison_levels,
+        pattern_counts,
+    )
+
+    scored = score_pairs_query(spark, sf)
+    levels = comparison_levels(scored, _FS_GAMMA_THRESHOLDS)
+    return pattern_counts(levels, list(_FS_GAMMA_THRESHOLDS))
+
+
+_UNLINKABLES_SQL = f"""
+    WITH scored AS ({_SCORE_PAIRS_SQL}),
+    pairs AS (SELECT pair_id AS rid_a, -pair_id AS rid_b, combined
+              FROM scored WHERE pair_id % 3 <> 0),
+    best AS (SELECT rid, max(s) AS best FROM (
+                 SELECT rid_a AS rid, combined AS s FROM pairs
+                 UNION ALL
+                 SELECT rid_b AS rid, combined AS s FROM pairs)
+             GROUP BY rid),
+    spine AS (SELECT p_partkey AS rid FROM part),
+    j AS (SELECT spine.rid, best.best FROM spine LEFT JOIN best USING (rid)),
+    th AS (SELECT CAST(t AS DOUBLE) AS threshold
+           FROM (VALUES (0.5), (0.8), (0.9), (0.95), (0.99)) v(t))
+    SELECT threshold,
+           CAST(count(*) FILTER (WHERE best IS NULL OR best < threshold)
+                AS BIGINT) AS n_unlinkable,
+           round(count(*) FILTER (WHERE best IS NULL OR best < threshold)
+                 ::DOUBLE / (SELECT count(*) FROM spine), 6) AS prop_unlinkable,
+           CAST(count(*) FILTER (WHERE best IS NULL) AS BIGINT) AS n_no_pairs
+    FROM j CROSS JOIN th
+    GROUP BY threshold
+"""
+
+
+@register("unlinkables", _UNLINKABLES_SQL)
+def unlinkables(spark, sf):
+    """The unlinkables feasibility audit (operators/evaluate.py
+    unlinkables_table — the chart Splink publishes before anyone tunes a
+    threshold) on the driver corpus: the spine is every part key, candidate
+    pairs are the scorer's typo pairs with every 3rd record's pair dropped,
+    so ~1/3 of the spine has NO candidate at all and the n_no_pairs path
+    (the blocking-failure worst case the audit exists to surface) is
+    exercised, not just compiled. Pair partners are sentinel ids outside
+    the spine — the audit counts spine records only, which this also
+    pins."""
+    from entity_linkings_spark.operators.evaluate import unlinkables_table
+
+    scored = score_pairs_query(spark, sf).where(F.col("pair_id") % 3 != 0)
+    pairs = scored.select(
+        F.col("pair_id").alias("rid_a"),
+        (-F.col("pair_id")).alias("rid_b"),
+        "combined",
+    )
+    records = _part(spark, sf).select(F.col("p_partkey").alias("rid"))
+    out = unlinkables_table(
+        records, pairs, [0.5, 0.8, 0.9, 0.95, 0.99],
+        id_col="rid", score_col="combined",
+    )
+    return out.select(
+        "threshold",
+        "n_unlinkable",
+        F.round("prop_unlinkable", 6).alias("prop_unlinkable"),
+        "n_no_pairs",
+    )

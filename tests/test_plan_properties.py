@@ -7,8 +7,11 @@ import re
 import pytest
 
 import __spark_entry__ as entry
+from entity_linkings_spark.driver_queries import QUERIES as _ALL
 
-QUERIES = entry.queries()
+# driver-facing registry + the retired (suite-folded) J5 variants, whose
+# physical-plan gates still run against the standalone callables
+QUERIES = {**_ALL, **entry.queries()}
 SF = "/root/testdata/sf0.001"
 
 
