@@ -117,6 +117,7 @@ HEADLINE = [
     # frozen rows, so the folded j5_tfidf_suite is NOT benched separately
     "fs_gamma_patterns",
     "unlinkables",
+    "a11_threshold_sweep",
 ]
 
 # the composed flagships get a third timed run (VERDICT r7: min-of-2 left

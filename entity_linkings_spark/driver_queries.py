@@ -5209,3 +5209,65 @@ def unlinkables(spark, sf):
         F.round("prop_unlinkable", 6).alias("prop_unlinkable"),
         "n_no_pairs",
     )
+
+
+_SWEEP_SQL = f"""
+    WITH scored AS ({_SCORE_PAIRS_SQL}),
+    sc AS (SELECT -pair_id AS _pa, pair_id AS _pb, max(combined) AS s
+           FROM scored WHERE pair_id % 5 <> 0 GROUP BY 1, 2),
+    lab AS (SELECT -pair_id AS _pa, pair_id AS _pb,
+                   (pair_id % 4 <> 1) AS m
+            FROM scored),
+    j AS (SELECT lab._pa, lab._pb, lab.m, sc.s
+          FROM lab LEFT JOIN sc USING (_pa, _pb)),
+    th AS (SELECT CAST(t AS DOUBLE) AS threshold
+           FROM (VALUES (0.5), (0.8), (0.9), (0.95), (0.99)) v(t)),
+    agg AS (SELECT threshold,
+                   CAST(count(*) FILTER (WHERE s IS NOT NULL AND s >= threshold AND m) AS BIGINT) AS tp,
+                   CAST(count(*) FILTER (WHERE s IS NOT NULL AND s >= threshold AND NOT m) AS BIGINT) AS fp,
+                   CAST(count(*) FILTER (WHERE (s IS NULL OR s < threshold) AND m) AS BIGINT) AS fn,
+                   CAST(count(*) FILTER (WHERE (s IS NULL OR s < threshold) AND NOT m) AS BIGINT) AS tn
+            FROM j CROSS JOIN th GROUP BY threshold)
+    SELECT threshold, tp, fp, fn, tn,
+           round(tp::DOUBLE / greatest(tp + fp, 1), 6) AS precision,
+           round(tp::DOUBLE / greatest(tp + fn, 1), 6) AS recall,
+           round(2.0 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1
+    FROM agg
+"""
+
+
+@register("a11_threshold_sweep", _SWEEP_SQL)
+def a11_threshold_sweep(spark, sf):
+    """Per-threshold pairwise accuracy vs a labeled pair table
+    (operators/evaluate.py threshold_sweep — the Splink
+    accuracy_analysis_from_labels_table analogue) on the driver corpus:
+    the scorer's typo pairs are labeled by construction class
+    (transposition / duplication / identity = match, deletion =
+    non-match), every 5th pair is withheld from the scored side so
+    labeled matches the scorer never saw count as fn at every threshold
+    (and withheld non-matches as tn) — the blocking-miss path gated, not
+    just compiled. One outer join + constant threshold fan-out + one
+    aggregate; exact integers and single rational divisions."""
+    from entity_linkings_spark.operators.evaluate import threshold_sweep
+
+    base = score_pairs_query(spark, sf)
+    scored = base.where(F.col("pair_id") % 5 != 0).select(
+        (-F.col("pair_id")).alias("rid_a"),
+        F.col("pair_id").alias("rid_b"),
+        "combined",
+    )
+    labels = base.select(
+        (-F.col("pair_id")).alias("rid_a"),
+        F.col("pair_id").alias("rid_b"),
+        (F.col("pair_id") % 4 != 1).alias("is_match"),
+    )
+    out = threshold_sweep(
+        scored, labels, [0.5, 0.8, 0.9, 0.95, 0.99],
+        id_a="rid_a", id_b="rid_b",
+    )
+    return out.select(
+        "threshold", "tp", "fp", "fn", "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )

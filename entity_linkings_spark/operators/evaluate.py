@@ -416,3 +416,84 @@ def unlinkables_table(
         )
         .orderBy("threshold")
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    labels: DataFrame,
+    thresholds: list[float],
+    id_a: str = "skey_a",
+    id_b: str = "skey_b",
+    score_col: str = "combined",
+    label_col: str = "is_match",
+) -> DataFrame:
+    """Per-threshold pairwise accuracy against a labeled pair table (the
+    Splink accuracy_analysis_from_labels_table analogue; the operating-point
+    companion to unlinkables_table — that one says how much of the corpus a
+    threshold ABANDONS, this one says how well it DECIDES): for each
+    candidate threshold, tp / fp / fn / tn plus precision, recall, F1 of
+    "link iff score >= threshold", evaluated ONLY on labeled pairs —
+    a scored pair nobody labeled is ignored, exactly the Splink contract
+    (an unlabeled candidate is unknown, not a false positive).
+
+    ``labels`` carries the same ``id_a``/``id_b`` columns plus a boolean
+    ``label_col``. Pairs are canonicalized (unordered) on BOTH sides, so
+    orientation never splits a pair into a phantom fp+fn. A labeled MATCH
+    the scorer never saw counts as fn at EVERY threshold (the
+    blocking-miss path — absent rows must not vanish from their own
+    audit); a labeled non-match never scored is a tn at every threshold.
+    Every output column is an exact integer or a single rational division.
+
+    Shape: one full outer join on the canonical pair key, a constant
+    len(thresholds) fan-out, one hash aggregate. Pair volume is touched
+    once; output is len(thresholds) rows regardless of corpus size.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+
+    def canon(df: DataFrame, extra: list) -> DataFrame:
+        a, b = F.col(id_a), F.col(id_b)
+        return df.select(
+            F.least(a, b).alias("_pa"), F.greatest(a, b).alias("_pb"), *extra
+        )
+
+    s = (
+        canon(scored, [F.col(score_col).alias("_s")])
+        .groupBy("_pa", "_pb")
+        .agg(F.max("_s").alias("_s"))
+    )
+    g = (
+        canon(labels, [F.col(label_col).cast("boolean").alias("_m")])
+        .groupBy("_pa", "_pb")
+        .agg(F.max("_m").alias("_m"))
+    )
+    j = g.join(s, ["_pa", "_pb"], "left")  # labeled pairs only
+    th = F.explode(
+        F.array(*[F.lit(float(t)) for t in sorted(thresholds)])
+    ).alias("threshold")
+    x = j.select("_s", "_m", th)
+    linked = F.col("_s").isNotNull() & (F.col("_s") >= F.col("threshold"))
+    agg = x.groupBy("threshold").agg(
+        F.sum(F.when(linked & F.col("_m"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(linked & ~F.col("_m"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~linked & F.col("_m"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~linked & ~F.col("_m"), 1).otherwise(0)).alias("tn"),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))).alias(
+            "precision"
+        ),
+        (F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))).alias(
+            "recall"
+        ),
+        (
+            2.0
+            * F.col("tp")
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1))
+        ).alias("f1"),
+    ).orderBy("threshold")

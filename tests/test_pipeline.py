@@ -443,3 +443,94 @@ def test_unlinkables_on_real_scored_pairs(spark, tiny):
     assert all(r["n_no_pairs"] == tab[0]["n_no_pairs"] for r in tab)
     assert all(r["n_unlinkable"] >= r["n_no_pairs"] for r in tab)
     assert 0.0 < props[0] < 1.0
+
+
+def test_threshold_sweep_exact_vs_hand_model(spark):
+    """threshold_sweep == a pure-Python model on a hand corpus covering
+    every row class: labeled match scored high (tp), labeled match scored
+    low (tp->fn as t rises), labeled non-match scored (fp until t passes
+    it), labeled match the scorer NEVER saw (fn at every threshold — the
+    blocking-miss path), labeled non-match never scored (tn everywhere),
+    an UNLABELED scored pair (ignored entirely — the Splink contract),
+    and reversed orientation on both sides (canonicalization)."""
+    from entity_linkings_spark.operators.evaluate import threshold_sweep
+
+    scored = spark.createDataFrame(
+        [
+            ("a", "b", 0.95),   # labeled match, high
+            ("c", "a", 0.60),   # labeled match (reversed orientation), mid
+            ("b", "c", 0.70),   # labeled NON-match
+            ("d", "e", 0.20),   # labeled NON-match, low
+            ("x", "y", 0.99),   # UNLABELED: must not appear in any count
+        ],
+        "skey_a string, skey_b string, combined double",
+    )
+    labels = spark.createDataFrame(
+        [
+            ("a", "b", True),
+            ("a", "c", True),
+            ("f", "a", True),   # never scored: fn at every threshold
+            ("c", "b", False),  # reversed orientation on the label side
+            ("d", "e", False),
+            ("g", "h", False),  # never scored: tn at every threshold
+        ],
+        "skey_a string, skey_b string, is_match boolean",
+    )
+    ths = [0.5, 0.65, 0.9, 0.99]
+    model_scored = {("a", "b"): 0.95, ("a", "c"): 0.60, ("b", "c"): 0.70,
+                    ("d", "e"): 0.20}
+    model = {("a", "b"): True, ("a", "c"): True, ("a", "f"): True,
+             ("b", "c"): False, ("d", "e"): False, ("g", "h"): False}
+    got = {r["threshold"]: r.asDict()
+           for r in threshold_sweep(scored, labels, ths).collect()}
+    for t in ths:
+        linked = {p for p, s in model_scored.items() if s >= t}
+        tp = sum(1 for p, m in model.items() if m and p in linked)
+        fp = sum(1 for p, m in model.items() if not m and p in linked)
+        fn = sum(1 for p, m in model.items() if m and p not in linked)
+        tn = sum(1 for p, m in model.items() if not m and p not in linked)
+        r = got[t]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn), (t, r)
+        assert r["precision"] == tp / max(tp + fp, 1)
+        assert r["recall"] == tp / max(tp + fn, 1)
+        assert r["f1"] == 2.0 * tp / max(2 * tp + fp + fn, 1)
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == len(model)
+    # the never-scored labeled match is fn at EVERY threshold
+    assert all(got[t]["fn"] >= 1 for t in ths)
+    # monotone: tp and fp never rise, fn and tn never fall
+    seq = [got[t] for t in sorted(ths)]
+    assert all(x["tp"] >= y["tp"] and x["fp"] >= y["fp"]
+               and x["fn"] <= y["fn"] and x["tn"] <= y["tn"]
+               for x, y in zip(seq, seq[1:]))
+
+
+def test_threshold_sweep_on_real_scored_pairs(spark, tiny):
+    """On the real pipeline's scored pairs vs the planted labeled-pair
+    table (gold_surface_pairs — positives AND negatives): some threshold
+    decides this corpus at the quality pairwise_f1 reports for the full
+    pipeline, and extreme thresholds degrade in the expected directions."""
+    from entity_linkings_spark.operators.evaluate import (
+        gold_surface_pairs,
+        threshold_sweep,
+    )
+
+    pipe = LinkagePipeline(tiny["dictionary"])
+    surfaces = pipe.surfaces(pipe.mentions(tiny["transcripts"])).cache()
+    scored = pipe.scored_pairs(pipe.pairs(surfaces), surfaces)
+    lp = gold_surface_pairs(tiny["gold"], tiny["transcripts"])
+    sc = scored.select("skey_a", "skey_b", "combined")
+    grid = [0.05, 0.5, 0.75, 0.90, 0.9999]
+    tab = {r["threshold"]: r for r in threshold_sweep(sc, lp, grid).collect()}
+    # the sweep's whole point: a bare pair-score cut is measurably WEAKER
+    # than the composed pipeline (whose pairwise_f1 is 1.0 on this corpus
+    # via priors + clustering transitivity) — best single-threshold F1 is
+    # ~0.85 at 0.75, and the sweep is the tool that reveals where
+    best = max(tab.values(), key=lambda r: r["f1"])
+    assert 0.80 < best["f1"] < 1.0 and 0.05 < best["threshold"] < 0.9999
+    # extremes degrade in the expected directions
+    assert tab[0.05]["recall"] == 1.0          # links every scored pair
+    assert tab[0.9999]["precision"] in (0.0, 1.0)  # links (almost) nothing
+    assert tab[0.9999]["fp"] <= tab[0.05]["fp"]
+    # label volume is conserved at every threshold
+    n = lp.count()
+    assert all(r["tp"] + r["fp"] + r["fn"] + r["tn"] == n for r in tab.values())
