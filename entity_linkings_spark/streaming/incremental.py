@@ -981,6 +981,92 @@ def compact_counter_store(store_dir: str, spark: SparkSession) -> int:
     return _counter_store(store_dir).compact(spark)
 
 
+def _sum_pattern_counts(df: DataFrame) -> DataFrame:
+    """Sum-reduce a gamma pattern-count table on every non-``n`` column
+    (feature-agnostic: the gamma key set is whatever the store was built
+    with)."""
+    keys = [c for c in df.columns if c != "n"]
+    return df.groupBy(*keys).agg(F.sum("n").alias("n"))
+
+
+def _fs_pattern_store(store_dir: str) -> "EpochStore":
+    return EpochStore(store_dir, ["patterns"], {"patterns": _sum_pattern_counts})
+
+
+def apply_fs_pattern_epoch(
+    store_dir: str,
+    levels: DataFrame,
+    epoch_id: int,
+    features: list[str],
+) -> DataFrame:
+    """Epoch-incremental Fellegi-Sunter sufficient statistics — the fifth
+    store family on the shared EpochStore protocol, and the one that makes
+    the linkage MODEL itself streaming-updatable: the FS fit's entire
+    distributed input is the gamma pattern-count table
+    (linkage_model.pattern_counts), which is a sum of exact integers over
+    pairs — so each epoch commits ONLY its own pattern aggregate (at most
+    prod(n_levels) rows, O(1) in pair volume) and the committed union
+    sum-reduces to exactly the batch table over all pairs seen so far.
+    ``em_fit`` on the committed view is then bit-identical to a batch fit
+    on the concatenated pair stream (em_fit canonically sorts its rows, so
+    neither epoch boundaries nor partitioning can leak into the
+    parameters). The reference has no analogue (its reranker retrains
+    offline, crossencoder.py:142-162); the classical model refreshing
+    O(delta) per epoch is the streaming twin of fit_fs_model.
+
+    ``levels``: the epoch's pairs AFTER comparison_levels (gamma_* columns
+    present). The feature list is fixed per store — deltas must share one
+    schema. The committed OUTPUT is the cumulative pattern table at this
+    epoch (bounded rows), so a replay serves the exact fit input the
+    epoch's consumers saw."""
+    from ..operators.linkage_model import pattern_counts
+
+    spark = levels.sparkSession
+    store = _fs_pattern_store(store_dir)
+    replay = store.replay_output(spark, epoch_id)
+    if replay is not None:
+        return replay
+    delta = pattern_counts(levels, features)
+    prior = store.read(spark, "patterns")
+    cum = delta if prior is None else _sum_pattern_counts(
+        prior.unionByName(delta)
+    )
+    return store.commit(epoch_id, {"patterns": delta}, cum)
+
+
+def read_fs_pattern_store(
+    spark: SparkSession, store_dir: str
+) -> DataFrame | None:
+    """Committed cumulative gamma pattern-count table (sum-reduced union of
+    every epoch delta) — exactly the em_fit input. None before the first
+    commit."""
+    return _fs_pattern_store(store_dir).read(spark, "patterns")
+
+
+def fit_fs_from_store(
+    spark: SparkSession,
+    store_dir: str,
+    features: list[str],
+    n_levels: dict[str, int],
+    **em_kwargs,
+):
+    """em_fit on the committed pattern view — the streaming model refresh.
+    Raises if the store has no committed epoch yet (a model fit on nothing
+    should fail loudly, not return a default)."""
+    from ..operators.linkage_model import em_fit
+
+    patterns = read_fs_pattern_store(spark, store_dir)
+    if patterns is None:
+        raise ValueError(f"fs pattern store at {store_dir} has no committed epoch")
+    return em_fit(patterns, features, n_levels, **em_kwargs)
+
+
+def compact_fs_pattern_store(store_dir: str, spark: SparkSession) -> int:
+    """Fold pattern deltas into one sum-reduced base (shared protocol; the
+    base holds at most prod(n_levels) rows)."""
+    return _fs_pattern_store(store_dir).compact(spark)
+
+
 def prune_epoch_outputs(store_dir: str, keep_last: int = 2) -> list[str]:
     """Bound the disk the epoch OUTPUTS hold (for the substring store each
     output holds the epoch's full cleaned text — retaining all of them

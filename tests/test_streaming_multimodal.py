@@ -1167,3 +1167,121 @@ def test_prune_epoch_outputs_bounds_disk(spark, tmp_path):
     assert prune_epoch_outputs(store, keep_last=1) == []
     with pytest.raises(ValueError):
         prune_epoch_outputs(store, keep_last=0)
+
+def test_fs_pattern_store_streaming_fit_matches_batch(spark, tmp_path):
+    """The 5th store family (apply_fs_pattern_epoch): the FS model's entire
+    distributed input is the gamma pattern-count aggregate, so per-epoch
+    deltas sum-reduce to EXACTLY the batch table and em_fit on the
+    committed view is bit-identical to a batch fit on the concatenated
+    pair stream — the linkage model refreshes O(delta) per epoch. Also:
+    replay serves the committed cumulative table (no double counting),
+    compaction keeps the reader view row-identical, and an empty store
+    fails loudly on fit."""
+    from entity_linkings_spark.operators.linkage_model import (
+        comparison_levels,
+        em_fit,
+        fs_score,
+        pattern_counts,
+    )
+    from entity_linkings_spark.streaming.incremental import (
+        apply_fs_pattern_epoch,
+        compact_fs_pattern_store,
+        fit_fs_from_store,
+        read_fs_pattern_store,
+    )
+
+    ths = {"jw": [0.7, 0.9], "tok": [0.5]}
+    features = list(ths)
+    n_levels = {"jw": 3, "tok": 2}
+    # deterministic synthetic pair stream: matches sit high on both
+    # features, non-matches low, with a band of ambiguous pairs
+    def pairs(seed0, n):
+        rows = []
+        for i in range(n):
+            h = (seed0 * 131 + i * 17) % 100
+            if h < 20:      # match-like
+                rows.append((0.92 + (h % 5) * 0.01, 0.8))
+            elif h < 35:    # ambiguous
+                rows.append((0.75, 0.55 if h % 2 else 0.3))
+            else:           # non-match-like
+                rows.append((0.3 + (h % 7) * 0.05, 0.1))
+        return rows
+
+    epochs = [pairs(s, n) for s, n in [(1, 40), (2, 55), (3, 25)]]
+    store = str(tmp_path / "fs")
+
+    with pytest.raises(ValueError, match="no committed epoch"):
+        fit_fs_from_store(spark, store, features, n_levels)
+
+    for e, rows in enumerate(epochs):
+        df = spark.createDataFrame(rows, "jw double, tok double")
+        apply_fs_pattern_epoch(store, comparison_levels(df, ths), e, features)
+
+    # cumulative committed view == batch pattern_counts on all pairs
+    allp = spark.createDataFrame(
+        [r for rows in epochs for r in rows], "jw double, tok double"
+    )
+    batch_pat = {
+        (r["gamma_jw"], r["gamma_tok"]): r["n"]
+        for r in pattern_counts(comparison_levels(allp, ths), features).collect()
+    }
+    store_pat = {
+        (r["gamma_jw"], r["gamma_tok"]): r["n"]
+        for r in read_fs_pattern_store(spark, store).collect()
+    }
+    assert store_pat == batch_pat
+
+    # em_fit bit-identical: streaming fit == batch fit (canonical sort
+    # inside em_fit makes epoch boundaries and partitioning invisible)
+    p_stream = fit_fs_from_store(spark, store, features, n_levels)
+    p_batch = em_fit(
+        pattern_counts(comparison_levels(allp, ths), features),
+        features, n_levels,
+    )
+    assert p_stream == p_batch  # dataclass equality over float tuples
+
+    # replay of epoch 1 serves the committed cumulative-at-1 table —
+    # garbage input is ignored, reader view unchanged
+    garbage = comparison_levels(
+        spark.createDataFrame([(0.99, 0.99)] * 10, "jw double, tok double"), ths
+    )
+    replay = apply_fs_pattern_epoch(store, garbage, 1, features)
+    want01 = {}
+    for rows in epochs[:2]:
+        df = spark.createDataFrame(rows, "jw double, tok double")
+        for r in pattern_counts(comparison_levels(df, ths), features).collect():
+            k = (r["gamma_jw"], r["gamma_tok"])
+            want01[k] = want01.get(k, 0) + r["n"]
+    got01 = {(r["gamma_jw"], r["gamma_tok"]): r["n"] for r in replay.collect()}
+    assert got01 == want01
+    assert {
+        (r["gamma_jw"], r["gamma_tok"]): r["n"]
+        for r in read_fs_pattern_store(spark, store).collect()
+    } == batch_pat
+
+    # compaction folds the 3 deltas into one sum-reduced base, view identical
+    assert compact_fs_pattern_store(store, spark) == 3
+    assert {
+        (r["gamma_jw"], r["gamma_tok"]): r["n"]
+        for r in read_fs_pattern_store(spark, store).collect()
+    } == batch_pat
+    assert not any(d.startswith("patterns-epoch-") for d in os.listdir(store))
+
+    # a post-compaction epoch composes against the base; the refreshed
+    # model scores identically to a full batch refit
+    extra = pairs(9, 30)
+    df = spark.createDataFrame(extra, "jw double, tok double")
+    apply_fs_pattern_epoch(store, comparison_levels(df, ths), 3, features)
+    p2_stream = fit_fs_from_store(spark, store, features, n_levels)
+    all2 = spark.createDataFrame(
+        [r for rows in epochs for r in rows] + extra, "jw double, tok double"
+    )
+    p2_batch = em_fit(
+        pattern_counts(comparison_levels(all2, ths), features),
+        features, n_levels,
+    )
+    assert p2_stream == p2_batch
+    scored = fs_score(comparison_levels(df, ths), p2_stream).select(
+        "fs_posterior"
+    ).collect()
+    assert all(0.0 <= r["fs_posterior"] <= 1.0 for r in scored)
