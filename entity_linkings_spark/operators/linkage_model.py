@@ -420,3 +420,131 @@ def estimate_u(
     return tuple(
         tuple(x / total for x in row) for row in u
     )
+
+
+# --------------------------------------------------------------------------
+# lambda from deterministic rules (Splink's
+# estimate_probability_two_random_records_match_from_deterministic_rules)
+# --------------------------------------------------------------------------
+
+def estimate_lambda_deterministic(
+    records: DataFrame,
+    rules: list[list[str]],
+    recall: float = 1.0,
+) -> float:
+    """Prior match probability lambda from high-precision deterministic
+    equality rules — the third leg of the Splink training recipe (u from
+    random pairs, m from EM, lambda from deterministic rules): count the
+    record pairs matched by ANY rule, divide by the pairs the rules can
+    see (``recall`` discounts the matches the rules are known to miss),
+    over C(N, 2) possible pairs.
+
+    Each rule is a list of columns whose EQUALITY (non-null) declares a
+    match. The union count uses inclusion-exclusion over rule subsets —
+    pairs agreeing on rules i and j simultaneously agree on the UNION of
+    their key columns — so the whole estimate is 2^R - 1 bounded
+    ``sum C(n, 2)`` group aggregates and NEVER materializes a pair: the
+    group-size arithmetic of blocking_quality's gold-pair count, applied
+    to rule keys. R is 2-4 in practice; group sizes don't matter (no
+    join, no explode), so a stock value like a common surname costs the
+    same as a unique key. Exact integers everywhere; one float division
+    at the end."""
+    if not rules or any(not r for r in rules):
+        raise ValueError("rules must be a non-empty list of non-empty column lists")
+    if not (0.0 < recall <= 1.0):
+        raise ValueError(f"recall must be in (0, 1], got {recall}")
+
+    def pairs_on(cols: list[str]) -> int:
+        grouped = (
+            records.na.drop(subset=cols)
+            .groupBy(*cols)
+            .agg(F.count("*").alias("_n"))
+            .groupBy()
+            .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_p"))
+            .collect()  # single row
+        )
+        v = grouped[0]["_p"]
+        return int(v) if v is not None else 0
+
+    from itertools import combinations
+
+    n_total = records.count()
+    possible = n_total * (n_total - 1) // 2
+    if possible == 0:
+        raise ValueError("need at least two records")
+    matched = 0
+    for size in range(1, len(rules) + 1):
+        sign = 1 if size % 2 == 1 else -1
+        for subset in combinations(range(len(rules)), size):
+            union_cols = sorted({c for i in subset for c in rules[i]})
+            matched += sign * pairs_on(union_cols)
+    lam = matched / recall / possible
+    return min(max(lam, 0.0), 1.0)
+
+
+def fs_parameter_table(spark, params: FSParams) -> DataFrame:
+    """The fitted model as an audit table — (feature, level, m, u,
+    log2_bf), one row per (feature, level): the tabular form of Splink's
+    m/u parameter chart, joinable against fs_explain output so a reviewer
+    can see WHICH learned weight a decision used. Driver-side literals
+    (the params are already driver-resident); bounded rows."""
+    rows = [
+        (f, l, params.m[k][l], params.u[k][l], params.log2_bf(k, l))
+        for k, f in enumerate(params.features)
+        for l in range(params.n_levels[k])
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, level int, m double, u double, log2_bf double"
+    )
+
+
+def review_queue(
+    scored_fs: DataFrame,
+    bands: list[float],
+    per_band: int,
+    id_cols: tuple[str, str] = ("skey_a", "skey_b"),
+    posterior_col: str = "fs_posterior",
+    salt: str = "review",
+) -> DataFrame:
+    """Deterministic clerical-review sample: the ambiguous middle of the
+    posterior distribution is where human labels buy the most model
+    improvement, so stratify pairs into posterior bands and take
+    ``per_band`` per band — ordered by md5(salt ‖ pair key), so the queue
+    is uniform WITHIN a band, identical across reruns, and grows stably
+    as data arrives (no Python RNG, no collect). One window per band
+    partition (the band count is a literal handful; the heavy ordering
+    runs distributed under the band-partitioned row_number). Output:
+    band_lo/band_hi, review_rank, and the pair row."""
+    if sorted(bands) != list(bands) or len(bands) < 2:
+        raise ValueError(f"bands must be >= 2 ascending edges: {bands}")
+    a, b = id_cols
+    band_idx: Column = F.lit(None).cast("int")
+    for i in range(len(bands) - 1):
+        cond = (F.col(posterior_col) >= bands[i]) & (
+            (F.col(posterior_col) < bands[i + 1])
+            if i < len(bands) - 2
+            else (F.col(posterior_col) <= bands[i + 1])
+        )
+        band_idx = F.when(cond, i).otherwise(band_idx)
+    lo = F.element_at(
+        F.array(*[F.lit(float(x)) for x in bands[:-1]]), F.col("_band") + 1
+    )
+    hi = F.element_at(
+        F.array(*[F.lit(float(x)) for x in bands[1:]]), F.col("_band") + 1
+    )
+    from pyspark.sql.window import Window
+
+    order_key = F.md5(
+        F.concat_ws("\x1f", F.lit(salt), F.col(a).cast("string"),
+                    F.col(b).cast("string"))
+    )
+    w = Window.partitionBy("_band").orderBy(order_key)
+    return (
+        scored_fs.withColumn("_band", band_idx)
+        .where(F.col("_band").isNotNull())
+        .withColumn("review_rank", F.row_number().over(w))
+        .where(F.col("review_rank") <= per_band)
+        .withColumn("band_lo", lo)
+        .withColumn("band_hi", hi)
+        .drop("_band")
+    )

@@ -520,3 +520,140 @@ def test_fixed_u_recipe_end_to_end_on_real_pairs(spark, tiny):
     # is salt-dependent); both fits land within one pair of each other
     assert f_fixed >= 0.85, f_fixed
     assert f_fixed >= f_free - 0.05, (f_fixed, f_free)
+
+
+def test_estimate_lambda_deterministic_matches_brute_force(spark):
+    """Inclusion-exclusion over rule-key group sizes == brute-force pair
+    enumeration, on a corpus with overlapping rules (pairs matched by
+    BOTH rules must count once), null keys (can't match), and a stock
+    value shared by many records (group size must not matter)."""
+    from entity_linkings_spark.operators.linkage_model import (
+        estimate_lambda_deterministic,
+    )
+
+    rows = []
+    # family A: same email AND same phone (overlap between rules)
+    for i in range(4):
+        rows.append((f"a{i}", "kai@x.zz", "555-01", f"n{i}"))
+    # family B: same phone only
+    for i in range(3):
+        rows.append((f"b{i}", f"b{i}@y.zz", "555-02", "pat lee"))
+    # family C: same (zip-ish) name only — the stock value
+    for i in range(6):
+        rows.append((f"c{i}", f"c{i}@z.zz", f"555-1{i}", "alex kim"))
+    # nulls: never match on the null column
+    rows.append(("n0", None, "555-02", None))
+    rows.append(("n1", None, None, "alex kim"))
+    df = spark.createDataFrame(
+        rows, "skey string, email string, phone string, name string"
+    )
+    rules = [["email"], ["phone"], ["name"]]
+
+    # brute force over the same semantics
+    def match(r1, r2):
+        return any(
+            all(r1[c] is not None and r1[c] == r2[c] for c in rule)
+            for rule in rules
+        )
+
+    import itertools
+
+    matched = sum(
+        1 for r1, r2 in itertools.combinations(rows, 2)
+        if match(dict(zip(["skey", "email", "phone", "name"], r1)),
+                 dict(zip(["skey", "email", "phone", "name"], r2)))
+    )
+    n = len(rows)
+    want = matched / (n * (n - 1) / 2)
+    got = estimate_lambda_deterministic(df, rules)
+    assert got == pytest.approx(want, abs=1e-12)
+    # recall discounts: rules that miss half the matches → lambda doubles
+    assert estimate_lambda_deterministic(df, rules, recall=0.5) == pytest.approx(
+        min(2 * want, 1.0), abs=1e-12
+    )
+    # a multi-column rule: email AND phone both equal — strictly fewer pairs
+    tight = estimate_lambda_deterministic(df, [["email", "phone"]])
+    assert 0 < tight < estimate_lambda_deterministic(df, [["email"]]) + 1e-15
+    with pytest.raises(ValueError):
+        estimate_lambda_deterministic(df, [])
+    with pytest.raises(ValueError):
+        estimate_lambda_deterministic(df, rules, recall=0.0)
+
+
+def test_fs_parameter_table_and_review_queue(spark):
+    """fs_parameter_table rows == the fitted params exactly; review_queue
+    is stratified (per_band cap per posterior band), deterministic across
+    reruns AND repartitioning (md5 order, no RNG), selects the same pairs
+    the Python md5 model selects, and band edges are honest (interior
+    edges go up, the last band includes its right edge)."""
+    from entity_linkings_spark.operators.linkage_model import (
+        fs_parameter_table,
+        review_queue,
+    )
+
+    ths = {"jw": [0.7, 0.9], "tok": [0.5]}
+    random.seed(8)
+    pairs = []
+    for i in range(120):
+        is_m = i % 3 == 0
+        jw = random.uniform(0.85, 1.0) if is_m else random.uniform(0.0, 0.8)
+        tk = random.uniform(0.5, 1.0) if is_m else random.uniform(0.0, 0.6)
+        pairs.append((f"L{i}", f"R{i}", jw, tk))
+    df = spark.createDataFrame(
+        pairs, "skey_a string, skey_b string, jw double, tok double"
+    )
+    scored, params = fit_fs_model(df, ths)
+
+    tbl = {
+        (r["feature"], r["level"]): (r["m"], r["u"], r["log2_bf"])
+        for r in fs_parameter_table(spark, params).collect()
+    }
+    assert len(tbl) == sum(params.n_levels)
+    for k, f in enumerate(params.features):
+        for l in range(params.n_levels[k]):
+            assert tbl[(f, l)] == (
+                params.m[k][l], params.u[k][l], params.log2_bf(k, l)
+            )
+
+    bands = [0.0, 0.25, 0.75, 1.0]
+    q = review_queue(scored, bands, per_band=5)
+    got = [(r["skey_a"], r["skey_b"], r["band_lo"], r["band_hi"],
+            r["review_rank"], r["fs_posterior"]) for r in q.collect()]
+    # stratified: <= 5 per band, ranks 1..n, posterior inside the band
+    from collections import defaultdict
+    by_band = defaultdict(list)
+    for a, b, lo, hi, rk, p in got:
+        by_band[(lo, hi)].append((rk, a, b))
+        assert lo <= p and (p < hi or (hi == bands[-1] and p <= hi))
+    for (lo, hi), members in by_band.items():
+        assert len(members) <= 5
+        assert sorted(rk for rk, _, _ in members) == list(
+            range(1, len(members) + 1)
+        )
+    # python md5 model picks the same pairs per band
+    import hashlib
+    post = {(r["skey_a"], r["skey_b"]): r["fs_posterior"]
+            for r in scored.collect()}
+    model = defaultdict(list)
+    for (a, b), p in post.items():
+        bi = None
+        for i in range(len(bands) - 1):
+            if bands[i] <= p and (p < bands[i + 1] or i == len(bands) - 2
+                                  and p <= bands[i + 1]):
+                bi = i
+                break
+        if bi is None:
+            continue
+        key = hashlib.md5(f"review\x1f{a}\x1f{b}".encode()).hexdigest()
+        model[bi].append((key, a, b))
+    want = set()
+    for bi, items in model.items():
+        for _, a, b in sorted(items)[:5]:
+            want.add((a, b))
+    assert {(a, b) for a, b, *_ in got} == want
+    # deterministic across repartitioning
+    q2 = review_queue(scored.repartition(7), bands, per_band=5)
+    assert {(r["skey_a"], r["skey_b"], r["review_rank"])
+            for r in q2.collect()} == {(a, b, rk) for a, b, _, _, rk, _ in got}
+    with pytest.raises(ValueError):
+        review_queue(scored, [0.5], per_band=1)
