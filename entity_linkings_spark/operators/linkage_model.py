@@ -381,8 +381,9 @@ def random_comparison_pairs(
     next k neighbors in that order. Reuses sorted_neighborhood_pairs'
     scale shape (bounded-collect global rank + explode/equi-join, linear
     candidate volume); the only new ingredient is the hash sort key.
-    Output (id_a, id_b, gap); the tail's last k records pair fewer times
-    (non-wrapping), which is immaterial at estimation sample sizes."""
+    Output (<id_col>_a, <id_col>_b, gap); the tail's last k records pair
+    fewer times (non-wrapping), which is immaterial at estimation sample
+    sizes."""
     hashed = records.select(
         F.col(id_col),
         F.md5(F.concat(F.lit(salt), F.lit("\x1f"), F.col(id_col).cast("string"))).alias("_hkey"),
@@ -548,3 +549,61 @@ def review_queue(
         .withColumn("band_hi", hi)
         .drop("_band")
     )
+
+
+def train_fs_unsupervised(
+    records: DataFrame,
+    levels_blocked: DataFrame,
+    levels_random: DataFrame,
+    thresholds: dict[str, list[float]],
+    det_rules: list[list[str]],
+    recall: float = 1.0,
+    n_iter: int = 30,
+) -> tuple[FSParams, FSParams]:
+    """The full unsupervised Splink training session, composed from the
+    three estimators that are each identifiable in a different pair
+    population (the point of the recipe — no single sample can estimate
+    all three):
+
+      lambda — ``estimate_lambda_deterministic`` over the RECORDS
+               (high-precision equality rules, inclusion-exclusion
+               arithmetic, no pairs materialized);
+      u      — ``estimate_u`` over RANDOM pairs (uniform pairs are
+               non-matches at realistic prevalence; blocked pairs
+               over-represent agreeing non-matches and would bias u up);
+      m      — ``em_fit(fixed_u=...)`` over BLOCKED pairs (match-dense,
+               so the m side of the mixture is identifiable there; the
+               EM's own lambda is the BLOCKED prevalence, a property of
+               the blocking scheme, not the population).
+
+    Returns ``(population, blocked)``: ``population`` carries the fitted
+    m/u with lambda replaced by the deterministic-rule estimate — the
+    params whose posterior answers the population-calibrated question
+    and whose prior survives a blocking-scheme change; ``blocked`` is
+    the raw EM fit (its lambda = candidate-set prevalence — the right
+    prior when scoring only within the same blocking scheme). Both
+    inherit every determinism guarantee of the parts (exact-integer
+    aggregates, canonical sorts): reruns are bit-identical.
+
+    ``levels_blocked`` / ``levels_random``: comparison_levels output over
+    the respective pair samples. Fails loudly when the deterministic
+    rules match nothing — a prior of 0 calibrates nothing."""
+    import dataclasses
+
+    features = list(thresholds)
+    n_levels = {f: len(t) + 1 for f, t in thresholds.items()}
+    lam = estimate_lambda_deterministic(records, det_rules, recall)
+    if lam <= 0.0:
+        raise ValueError(
+            "deterministic rules matched no pairs; cannot calibrate a prior"
+        )
+    u = estimate_u(levels_random, features, n_levels)
+    blocked = em_fit(
+        pattern_counts(levels_blocked, features),
+        features,
+        n_levels,
+        n_iter=n_iter,
+        fixed_u=u,
+    )
+    population = dataclasses.replace(blocked, lam=lam)
+    return population, blocked

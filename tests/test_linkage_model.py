@@ -657,3 +657,103 @@ def test_fs_parameter_table_and_review_queue(spark):
             for r in q2.collect()} == {(a, b, rk) for a, b, _, _, rk, _ in got}
     with pytest.raises(ValueError):
         review_queue(scored, [0.5], per_band=1)
+
+
+def test_train_fs_unsupervised_full_recipe(spark):
+    """The composed training session on a generative corpus with known
+    structure: lambda lands exactly on the deterministic-rule arithmetic
+    (rule recall 1.0 by construction → the true pair prevalence), u comes
+    from the random sample, m from fixed-u EM on the match-dense blocked
+    sample — and the population params separate match from non-match
+    pairs at the untuned 0.5 posterior. Reruns are bit-identical; a rule
+    set matching nothing fails loudly."""
+    from entity_linkings_spark.operators.linkage_model import (
+        comparison_levels,
+        fs_score,
+        random_comparison_pairs,
+        train_fs_unsupervised,
+    )
+
+    random.seed(80)
+    # 40 entities x 3 records; every family shares one email (det rule
+    # catches every true pair -> recall 1.0 exactly)
+    recs, feats = [], {}
+    for e in range(40):
+        for c in range(3):
+            rid = f"e{e}_{c}"
+            recs.append((rid, e, f"fam{e}@x.zz"))
+    records = spark.createDataFrame(recs, "skey string, ent int, email string")
+
+    def pair_features(ea, eb):
+        if ea == eb:
+            return (random.uniform(0.85, 1.0), random.uniform(0.6, 1.0))
+        return (random.uniform(0.0, 0.75), random.uniform(0.0, 0.55))
+
+    # blocked sample: all true pairs + 2x agreeing-ish non-matches
+    ents = {r[0]: r[1] for r in recs}
+    ids = [r[0] for r in recs]
+    blocked = []
+    for e in range(40):
+        fam = [f"e{e}_{c}" for c in range(3)]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                blocked.append((fam[i], fam[j], *pair_features(e, e)))
+    for i in range(240):
+        a, b = random.sample(ids, 2)
+        if ents[a] != ents[b]:
+            blocked.append((a, b, *pair_features(ents[a], ents[b])))
+    bdf = spark.createDataFrame(
+        blocked, "skey_a string, skey_b string, jw double, tok double"
+    )
+    # random sample via the deterministic hash-order pairer
+    rp = random_comparison_pairs(records, id_col="skey", k=2).collect()
+    rrows = [
+        (r["skey_a"], r["skey_b"],
+         *pair_features(ents[r["skey_a"]], ents[r["skey_b"]]))
+        for r in rp
+    ]
+    rdf = spark.createDataFrame(
+        rrows, "skey_a string, skey_b string, jw double, tok double"
+    )
+
+    ths = {"jw": [0.7, 0.9], "tok": [0.5]}
+    pop, blk = train_fs_unsupervised(
+        records, comparison_levels(bdf, ths), comparison_levels(rdf, ths),
+        ths, det_rules=[["email"]],
+    )
+    # lambda: exactly sum C(3,2)*40 / C(120,2)
+    n = 120
+    want_lam = (40 * 3) / (n * (n - 1) / 2)
+    assert pop.lam == pytest.approx(want_lam, abs=1e-15)
+    # blocked prevalence is far higher than the population prior
+    assert blk.lam > 5 * pop.lam
+    # m/u shared between the two param sets; only lambda differs
+    assert pop.m == blk.m and pop.u == blk.u
+    # the blocked-sample posterior at 0.5 separates true from false pairs
+    scored = fs_score(comparison_levels(bdf, ths), blk)
+    got = [(r["skey_a"], r["skey_b"], r["fs_posterior"]) for r in scored.collect()]
+    tp = fp = fn = 0
+    for a, b, p in got:
+        truth = ents[a] == ents[b]
+        if p >= 0.5 and truth:
+            tp += 1
+        elif p >= 0.5:
+            fp += 1
+        elif truth:
+            fn += 1
+    f1 = 2 * tp / (2 * tp + fp + fn)
+    assert f1 >= 0.95, (tp, fp, fn)
+    # bit-identical rerun
+    pop2, blk2 = train_fs_unsupervised(
+        records, comparison_levels(bdf, ths), comparison_levels(rdf, ths),
+        ths, det_rules=[["email"]],
+    )
+    assert pop2 == pop and blk2 == blk
+    # loud failure on a no-match rule set
+    import pyspark.sql.functions as SF
+    nomatch = records.withColumn("email", SF.concat(SF.col("skey"), SF.col("email")))
+    with pytest.raises(ValueError, match="matched no pairs"):
+        train_fs_unsupervised(
+            nomatch, comparison_levels(bdf, ths),
+            comparison_levels(rdf, ths), ths, det_rules=[["email"]],
+        )
