@@ -512,10 +512,19 @@ def review_queue(
     improvement, so stratify pairs into posterior bands and take
     ``per_band`` per band — ordered by md5(salt ‖ pair key), so the queue
     is uniform WITHIN a band, identical across reruns, and grows stably
-    as data arrives (no Python RNG, no collect). One window per band
-    partition (the band count is a literal handful; the heavy ordering
-    runs distributed under the band-partitioned row_number). Output:
-    band_lo/band_hi, review_rank, and the pair row."""
+    as data arrives (no Python RNG, no collect).
+
+    Scale shape: a band-partitioned row_number looks like the classic
+    low-cardinality window skew (every pair funneled through <= n_bands
+    sort tasks), but the ``review_rank <= per_band`` filter right above
+    it lets Catalyst's rank-limit pushdown insert a MAP-SIDE
+    WindowGroupLimit below the exchange (verified in the plan:
+    Sort -> WindowGroupLimit -> Exchange -> Sort -> WindowGroupLimit ->
+    Window) — each input task ships at most per_band rows per band, so
+    the band-keyed shuffle moves n_tasks * n_bands * per_band rows, not
+    the pair table. The hand-rolled two-phase top-k would add a second
+    exchange for the same trim. Output: band_lo/band_hi, review_rank,
+    and the pair row."""
     if sorted(bands) != list(bands) or len(bands) < 2:
         raise ValueError(f"bands must be >= 2 ascending edges: {bands}")
     a, b = id_cols
@@ -539,12 +548,18 @@ def review_queue(
         F.concat_ws("\x1f", F.lit(salt), F.col(a).cast("string"),
                     F.col(b).cast("string"))
     )
-    w = Window.partitionBy("_band").orderBy(order_key)
-    return (
+    banded = (
         scored_fs.withColumn("_band", band_idx)
         .where(F.col("_band").isNotNull())
-        .withColumn("review_rank", F.row_number().over(w))
+        .withColumn("_rkey", order_key)
+    )
+    # the rank<=k filter directly over the window is what triggers the
+    # map-side WindowGroupLimit — keep them adjacent
+    w = Window.partitionBy("_band").orderBy("_rkey")
+    return (
+        banded.withColumn("review_rank", F.row_number().over(w))
         .where(F.col("review_rank") <= per_band)
+        .drop("_rkey")
         .withColumn("band_lo", lo)
         .withColumn("band_hi", hi)
         .drop("_band")

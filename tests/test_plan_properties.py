@@ -137,3 +137,30 @@ def test_third_wave_no_cartesian_products(spark, name):
     # the WNP block self-join and both repair-side label joins are
     # equi-joins; nothing here may degenerate to a product
     assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_review_queue_gets_map_side_window_group_limit(spark):
+    """review_queue's rank<=k filter over the band window must keep
+    triggering Catalyst's rank-limit pushdown: a WindowGroupLimit BELOW
+    the band exchange (each input task ships at most per_band rows per
+    band — without it the low-cardinality band shuffle would carry the
+    whole pair table)."""
+    import pyspark.sql.functions as F
+
+    from entity_linkings_spark.operators.linkage_model import review_queue
+
+    df = spark.range(5000).select(
+        F.concat(F.lit("a"), F.col("id")).alias("skey_a"),
+        F.concat(F.lit("b"), F.col("id")).alias("skey_b"),
+        ((F.col("id") % 100) / 100.0).alias("fs_posterior"),
+    )
+    q = review_queue(df, [0.0, 0.25, 0.75, 1.0], per_band=5)
+    p = q._jdf.queryExecution().executedPlan().toString()
+    # two WindowGroupLimits: the Partial one below the Exchange is the
+    # map-side trim; the Final one above completes the top-k
+    assert p.count("WindowGroupLimit") == 2, p
+    first = p.index("WindowGroupLimit")
+    assert "Partial" in p or p.index("Exchange", first) > first
+    # the map-side limit sits below (after, in toString order) the exchange
+    ex = p.index("Exchange")
+    assert p.rindex("WindowGroupLimit") > ex, p
