@@ -1084,3 +1084,87 @@ def compact_band_store(store_dir: str, spark: SparkSession) -> int:
     plain-unioned (no reducer): a document's rows live in exactly one
     epoch delta. Crash windows and the BASE protocol: EpochStore.compact."""
     return _band_store(store_dir).compact(spark)
+
+
+def _label_reduce(df: DataFrame) -> DataFrame:
+    """Newest-epoch-wins per canonical pair: a clerical relabel SUPERSEDES
+    the earlier decision instead of coexisting with it. max_by on epoch
+    (ties cannot happen: within one epoch the delta is already one row
+    per pair — last write in the batch wins there)."""
+    return df.groupBy("pa", "pb").agg(
+        F.max_by("is_match", "epoch").alias("is_match"),
+        F.max("epoch").alias("epoch"),
+    )
+
+
+def _label_store(store_dir: str) -> "EpochStore":
+    return EpochStore(store_dir, ["labels"], {"labels": _label_reduce})
+
+
+def apply_label_epoch(
+    store_dir: str,
+    labels: DataFrame,
+    epoch_id: int,
+    id_a: str = "skey_a",
+    id_b: str = "skey_b",
+    label_col: str = "is_match",
+) -> DataFrame:
+    """Epoch-incremental clerical-label maintenance — the sixth EpochStore
+    family, closing the human-in-the-loop cycle the round-8 FS toolkit
+    opened: review_queue emits deterministic pair samples, reviewers
+    return (pair, is_match) verdicts in batches, this store keeps the
+    verdict table CURRENT (O(delta) written per epoch), and the committed
+    view feeds threshold_sweep / labeled evaluation directly.
+
+    Semantics the sum-reducing families don't have: labels are
+    ASSERTIONS, not increments — a pair relabeled in a later epoch
+    supersedes its earlier verdict (newest-epoch-wins reducer). Within
+    one epoch, duplicate identical verdicts collapse; CONFLICTING
+    verdicts for the same pair fail loudly (a double-entry data error —
+    any silent pick would be order-dependent). Pairs are canonicalized
+    (least/greatest) so orientation can never store two verdicts for one
+    pair. Output columns: (pa, pb, is_match, epoch)."""
+    spark = labels.sparkSession
+    store = _label_store(store_dir)
+    replay = store.replay_output(spark, epoch_id)
+    if replay is not None:
+        return replay
+    a, b = F.col(id_a), F.col(id_b)
+    agg = (
+        labels.select(
+            F.least(a, b).cast("string").alias("pa"),
+            F.greatest(a, b).cast("string").alias("pb"),
+            F.col(label_col).cast("boolean").alias("is_match"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.collect_set("is_match").alias("_verdicts"))
+    )
+    n_conflict = agg.where(F.size("_verdicts") > 1).count()  # label tables
+    # are human-scale; one bounded action for a loud data-error gate
+    if n_conflict:
+        raise ValueError(
+            f"epoch {epoch_id}: {n_conflict} pair(s) carry conflicting "
+            "verdicts within one label batch"
+        )
+    delta = agg.select(
+        "pa",
+        "pb",
+        F.element_at("_verdicts", 1).alias("is_match"),
+        F.lit(int(epoch_id)).alias("epoch"),
+    )
+    return store.commit(epoch_id, {"labels": delta}, delta)
+
+
+def read_label_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Committed clerical verdicts, one row per canonical pair with the
+    NEWEST epoch's label (pa, pb, is_match, epoch) — rename pa/pb to the
+    scorer's id columns and it drives threshold_sweep as its ``labels``
+    side. None before the first commit."""
+    return _label_store(store_dir).read(spark, "labels")
+
+
+def compact_label_store(store_dir: str, spark: SparkSession) -> int:
+    """Fold label deltas into one newest-wins base (shared protocol; the
+    reducer keeps relabel supersession exact because each row carries its
+    epoch)."""
+    return _label_store(store_dir).compact(spark)

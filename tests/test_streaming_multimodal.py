@@ -1285,3 +1285,88 @@ def test_fs_pattern_store_streaming_fit_matches_batch(spark, tmp_path):
         "fs_posterior"
     ).collect()
     assert all(0.0 <= r["fs_posterior"] <= 1.0 for r in scored)
+
+
+def test_label_store_supersession_and_threshold_sweep(spark, tmp_path):
+    """The 6th store family (apply_label_epoch): newest-epoch verdicts
+    supersede older ones (assertion semantics, not increments), pair
+    orientation canonicalizes to one verdict, within-epoch conflicts
+    fail loudly, replay serves the committed delta, compaction keeps the
+    view identical — and the committed view drives threshold_sweep as
+    its labels side (the human-in-the-loop cycle: review_queue ->
+    verdict epochs -> accuracy audit)."""
+    from entity_linkings_spark.operators.evaluate import threshold_sweep
+    from entity_linkings_spark.streaming.incremental import (
+        apply_label_epoch,
+        compact_label_store,
+        read_label_store,
+    )
+
+    store = str(tmp_path / "labels")
+    schema = "skey_a string, skey_b string, is_match boolean"
+    # epoch 0: three verdicts, one stored in swapped orientation later
+    apply_label_epoch(
+        store,
+        spark.createDataFrame(
+            [("a", "b", True), ("c", "d", False), ("e", "f", True)], schema
+        ),
+        0,
+    )
+    # epoch 1: relabel (c,d) -> True via the SWAPPED orientation, plus a
+    # new pair; duplicate identical verdicts within the epoch collapse
+    apply_label_epoch(
+        store,
+        spark.createDataFrame(
+            [("d", "c", True), ("d", "c", True), ("g", "h", False)], schema
+        ),
+        1,
+    )
+    got = {(r["pa"], r["pb"]): (r["is_match"], r["epoch"])
+           for r in read_label_store(spark, store).collect()}
+    assert got == {
+        ("a", "b"): (True, 0),
+        ("c", "d"): (True, 1),   # superseded, canonical orientation
+        ("e", "f"): (True, 0),
+        ("g", "h"): (False, 1),
+    }
+    # conflicting verdicts within one epoch fail loudly
+    with pytest.raises(ValueError, match="conflicting"):
+        apply_label_epoch(
+            store,
+            spark.createDataFrame(
+                [("x", "y", True), ("y", "x", False)], schema
+            ),
+            2,
+        )
+    # replay of epoch 1 ignores new input, serves the committed delta
+    replay = apply_label_epoch(
+        store,
+        spark.createDataFrame([("zz", "zz2", True)], schema),
+        1,
+    )
+    assert {(r["pa"], r["pb"], r["is_match"]) for r in replay.collect()} == {
+        ("c", "d", True), ("g", "h", False)
+    }
+    # compaction: view identical, deltas folded
+    assert compact_label_store(store, spark) == 2
+    assert {(r["pa"], r["pb"]): (r["is_match"], r["epoch"])
+            for r in read_label_store(spark, store).collect()} == got
+    # a post-compaction relabel still supersedes the base row
+    apply_label_epoch(
+        store, spark.createDataFrame([("a", "b", False)], schema), 2
+    )
+    got2 = {(r["pa"], r["pb"]): (r["is_match"], r["epoch"])
+            for r in read_label_store(spark, store).collect()}
+    assert got2[("a", "b")] == (False, 2)
+    # committed view -> threshold_sweep labels side
+    labels = read_label_store(spark, store).select(
+        F.col("pa").alias("skey_a"), F.col("pb").alias("skey_b"), "is_match"
+    )
+    scored = spark.createDataFrame(
+        [("a", "b", 0.9), ("c", "d", 0.4), ("e", "f", 0.8), ("g", "h", 0.2)],
+        "skey_a string, skey_b string, combined double",
+    )
+    sweep = {r["threshold"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+             for r in threshold_sweep(scored, labels, [0.5]).collect()}
+    # truth now: ab=False cd=True ef=True gh=False; link iff >= 0.5
+    assert sweep[0.5] == (1, 1, 1, 1)
