@@ -456,16 +456,20 @@ def estimate_lambda_deterministic(
         raise ValueError(f"recall must be in (0, 1], got {recall}")
 
     def pairs_on(cols: list[str]) -> int:
+        # exact integer C(n,2): n*(n-1) DIV 2 stays in long arithmetic —
+        # a double division here would lose exactness past 2^53 pairs
         grouped = (
             records.na.drop(subset=cols)
             .groupBy(*cols)
             .agg(F.count("*").alias("_n"))
             .groupBy()
-            .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("_p"))
+            .agg(
+                F.sum((F.col("_n") * (F.col("_n") - F.lit(1)))).alias("_p")
+            )
             .collect()  # single row
         )
         v = grouped[0]["_p"]
-        return int(v) if v is not None else 0
+        return int(v) // 2 if v is not None else 0
 
     from itertools import combinations
 
