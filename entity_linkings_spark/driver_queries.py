@@ -5107,6 +5107,170 @@ def cc_repair_neighborhood(spark, sf):
     return cluster_repair(labels, weak, 0.9, strong)
 
 
+# ---- Cluster graph metrics + multi-threshold sweep (round 8) ----------------
+# Both run over the sorted-neighborhood gram-similarity corpus (_SN_SIMS_SQL):
+# it is the one registered edge family with a genuine similarity SPECTRUM
+# (0.15-1.0) — the MinHash near-dup corpus only ever produces >= 0.8 pairs, so
+# thresholded queries would have nothing to discriminate there.
+
+
+def _sn_sims(spark, sf) -> DataFrame:
+    """(u, v, sim): sorted-neighborhood candidates verified at char-3-gram
+    Jaccard over the shared blocking-audit record table — the Spark half of
+    _SN_SIMS_SQL (same construction cc_repair_neighborhood uses inline)."""
+    from entity_linkings_spark.functions.strings import char_ngrams
+    from entity_linkings_spark.operators.blocking import sorted_neighborhood_pairs
+
+    records = _bq_records(spark, sf)
+    pairs = sorted_neighborhood_pairs(records, "surface", "skey", window=5)
+    grams = records.select(
+        "skey", F.array_distinct(char_ngrams("surface", 3)).alias("g")
+    )
+    j = (
+        pairs.join(grams.withColumnsRenamed({"skey": "skey_a", "g": "g_a"}), "skey_a")
+        .join(grams.withColumnsRenamed({"skey": "skey_b", "g": "g_b"}), "skey_b")
+    )
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size("g_a") + F.size("g_b") - inter
+    return j.select(
+        F.col("skey_a").alias("u"),
+        F.col("skey_b").alias("v"),
+        F.round(inter.cast("double") / F.greatest(union, F.lit(1)), 6).alias("sim"),
+    )
+
+
+_CC_LABELS_SQL = """
+    edges AS (SELECT id_a AS u, id_b AS v FROM weak
+              UNION SELECT id_b, id_a FROM weak),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    rec AS (WITH RECURSIVE reach(src, dst) AS (
+        SELECT u, v FROM edges
+        UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ) SELECT * FROM reach),
+    labels AS (SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+               FROM nodes n LEFT JOIN rec r ON r.src = n.node GROUP BY n.node)
+"""
+
+
+@register(
+    "cc_graph_metrics",
+    f"""
+    WITH {_SN_SIMS_SQL},
+    weak AS (SELECT id_a, id_b FROM sims WHERE sim >= 0.15),
+    {_CC_LABELS_SQL},
+    iedges AS (SELECT DISTINCT least(w.id_a, w.id_b) AS u,
+                      greatest(w.id_a, w.id_b) AS v, la.cluster_id
+               FROM weak w JOIN labels la ON la.node = w.id_a
+               JOIN labels lb ON lb.node = w.id_b
+                AND lb.cluster_id = la.cluster_id),
+    deg AS (SELECT node, cluster_id, CAST(COUNT(*) AS BIGINT) AS d FROM
+            (SELECT u AS node, cluster_id FROM iedges
+             UNION ALL SELECT v, cluster_id FROM iedges)
+            GROUP BY 1, 2),
+    tri AS (SELECT e1.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM iedges e1
+            JOIN iedges e2 ON e2.u = e1.v AND e2.cluster_id = e1.cluster_id
+            JOIN iedges e3 ON e3.u = e1.u AND e3.v = e2.v
+             AND e3.cluster_id = e1.cluster_id
+            GROUP BY 1),
+    wed AS (SELECT cluster_id, CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+            FROM deg GROUP BY 1),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+              FROM labels GROUP BY 1),
+    ne AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+           FROM iedges GROUP BY 1)
+    SELECT s.cluster_id, s.size,
+           CAST(COALESCE(ne.n_edges, 0) AS BIGINT) AS n_edges,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(COALESCE(w.n_wedges, 0) AS BIGINT) AS n_wedges,
+           CASE WHEN COALESCE(w.n_wedges, 0) > 0
+                THEN CAST(3 * COALESCE(t.n_triangles, 0) AS DOUBLE) / w.n_wedges
+                ELSE 0.0 END AS transitivity
+    FROM sizes s LEFT JOIN ne USING (cluster_id)
+    LEFT JOIN tri t USING (cluster_id)
+    LEFT JOIN wed w USING (cluster_id)
+    WHERE s.size >= 2
+    """,
+)
+def cc_graph_metrics(spark, sf):
+    """Per-cluster triangle count + transitivity (operators/clustering.py
+    cluster_graph_metrics) over the over-merged sorted-neighborhood
+    clustering — the audit signal DENSITY cannot see: a hub-glued star and
+    a braced duplicate group can read similar densities, but the star has
+    ZERO triangles. On this corpus the sloppy-threshold chains read
+    transitivity well below their density, which is exactly the shape the
+    repair family exists to catch. Spark counts triangles with the
+    degree-ordered node-iterator (oriented wedge self-join + one closure
+    equi-join, O(m^1.5) bound under hub skew — Suri & Vassilvitskii
+    WWW'11); the oracle restates triangles as the canonical a<b<c
+    three-way join and wedges as sum C(deg,2) in exact integers.
+    Registered outside the pinned r8 driver window (same path as
+    j12_meta_blocking last round: builder-swept at both scales now,
+    enforced NEW-UNCHECKED into the r9 rotation by
+    tools/check_freshness.py)."""
+    from entity_linkings_spark.operators.clustering import cluster_graph_metrics
+
+    sims = _sn_sims(spark, sf)
+    edges = sims.where(F.col("sim") >= 0.15).select("u", "v").localCheckpoint()
+    labels = connected_components(edges)
+    return cluster_graph_metrics(labels, edges)
+
+
+def _cc_sweep_sql(ths: list[float]) -> str:
+    """Oracle for components_at_thresholds: an INDEPENDENT recursive-CTE
+    connected-components run per threshold plus singleton fill over the
+    sweep universe — green rows prove the supernode-contraction composition
+    is invisible in the output."""
+    tmin = min(ths)
+    blocks, sel = [], []
+    for i, t in enumerate(ths):
+        g = f"t{i}"
+        blocks.append(f"""
+    e{g} AS (SELECT id_a AS u, id_b AS v FROM sims WHERE sim >= {t}
+             UNION SELECT id_b, id_a FROM sims WHERE sim >= {t}),
+    n{g} AS (SELECT DISTINCT u AS node FROM e{g}),
+    r{g} AS (WITH RECURSIVE reach(src, dst) AS (
+        SELECT u, v FROM e{g}
+        UNION SELECT r.src, e.v FROM reach r JOIN e{g} e ON r.dst = e.u
+    ) SELECT * FROM reach),
+    l{g} AS (SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+             FROM n{g} n LEFT JOIN r{g} r ON r.src = n.node GROUP BY n.node),
+    f{g} AS (SELECT u.node, COALESCE(l.cluster_id, u.node) AS cluster_id
+             FROM uni u LEFT JOIN l{g} l USING (node))""")
+        sel.append(
+            f"SELECT CAST({t} AS DOUBLE) AS threshold, node, cluster_id FROM f{g}"
+        )
+    return f"""
+    WITH {_SN_SIMS_SQL},
+    uni AS (SELECT DISTINCT id_a AS node FROM sims WHERE sim >= {tmin}
+            UNION SELECT id_b FROM sims WHERE sim >= {tmin}),
+    {",".join(blocks)}
+    {" UNION ALL ".join(sel)}
+    """
+
+
+@register("cc_threshold_sweep", _cc_sweep_sql([0.5, 0.3, 0.15]))
+def cc_threshold_sweep(spark, sf):
+    """Clustering at THREE resolve thresholds for ~the cost of one run
+    (operators/clustering.py components_at_thresholds — the Splink
+    multi-threshold-clustering shape re-derived for star contraction):
+    thresholds visit highest-first and each lower threshold runs connected
+    components on the CONTRACTED graph (previous labels as supernodes +
+    only the newly-admitted weight band), which reproduces the
+    full-recompute labeling bit-exactly because labels are component-min
+    node ids. The threshold-sensitivity table this emits — how clusters
+    merge as the gate drops 0.5 -> 0.3 -> 0.15 — is the operating-curve
+    companion to a11_threshold_sweep's pairwise view. The oracle runs an
+    independent recursive-CTE CC per threshold, so green means
+    contraction-composition == independent recompute at every threshold.
+    Registered outside the pinned r8 driver window (builder-swept at both
+    scales; enforced NEW-UNCHECKED into the r9 rotation)."""
+    from entity_linkings_spark.operators.clustering import components_at_thresholds
+
+    sims = _sn_sims(spark, sf).localCheckpoint()  # base + every band read it
+    return components_at_thresholds(sims, [0.5, 0.3, 0.15], weight_col="sim")
+
+
 # ---- Fellegi-Sunter front end + unlinkables audit (round 8) ------------------
 
 # Gamma thresholds over the driver scorer's ROUNDED feature columns

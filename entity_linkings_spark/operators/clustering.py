@@ -293,6 +293,181 @@ def cluster_repair(
     return kept.unionByName(repaired)
 
 
+def components_at_thresholds(
+    edges: DataFrame,
+    thresholds: list[float],
+    weight_col: str = "score",
+    **cc_kwargs,
+) -> DataFrame:
+    """Clustering at EVERY threshold of a descending sweep for the cost of
+    ~one full run: (threshold, node, cluster_id) for each requested
+    threshold, where the labeling at t is EXACTLY what
+    ``connected_components(edges where weight >= t)`` plus singletons over
+    the sweep's node universe would produce (the oracle-checked contract,
+    cc_threshold_sweep). The node universe is every endpoint of an edge at
+    or above min(thresholds), so a node whose only edge sits below the
+    current threshold appears as its own singleton — the same
+    zero-row lesson as blocking_quality / unlinkables.
+
+    Why it scales (the Splink multi-threshold-clustering shape, re-derived
+    for star contraction): thresholds are visited highest-first, and each
+    step runs connected components on the CONTRACTED graph — previous
+    labels become supernodes, and only the edges in the newly-admitted
+    weight band [t_k, t_{k-1}) are mapped through them. Lowering a
+    threshold can only ADD edges, so clusters only merge, and because
+    every label is the min node id of its members, the min over merged
+    supernode labels IS the min over their union's members — composition
+    reproduces the full-recompute label bit-exactly. A k-threshold sweep
+    therefore costs one full CC plus (k-1) band-sized contracted runs,
+    instead of k full runs over ever-larger edge sets; the label table is
+    the only O(nodes) state and is checkpointed per step because the next
+    band consumes it twice (endpoint lookup + relabel)."""
+    if not thresholds:
+        raise ValueError("components_at_thresholds: need at least one threshold")
+    ths = sorted(set(float(t) for t in thresholds), reverse=True)
+    w = F.col(weight_col)
+    base = _canon(edges.where(w >= ths[-1]).select("u", "v"))
+    nodes = (
+        base.select(F.col("u").alias("node"))
+        .unionByName(base.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()  # read by the first step's singleton union only,
+        # but pinning it keeps the sweep's node universe stable across bands
+    )
+    # weights survive canonicalization via re-join: _canon drops the weight
+    # column, so band filters run on the raw edges and canonicalize per band
+    out: DataFrame | None = None
+    labels: DataFrame | None = None
+    prev_t: float | None = None
+    for t in ths:
+        band_raw = edges.where(w >= t) if prev_t is None else edges.where(
+            (w >= t) & (w < prev_t)
+        )
+        band = _canon(band_raw.select("u", "v"))
+        if labels is None:
+            labels = clusters_with_singletons(connected_components(band, **cc_kwargs), nodes)
+        else:
+            lu = labels.select(F.col("node").alias("u"), F.col("cluster_id").alias("su"))
+            lv = labels.select(F.col("node").alias("v"), F.col("cluster_id").alias("sv"))
+            contracted = (
+                band.join(lu, "u").join(lv, "v")
+                .select(F.col("su").alias("u"), F.col("sv").alias("v"))
+                .where(F.col("u") != F.col("v"))
+            )
+            merged = connected_components(contracted, **cc_kwargs)
+            relabel = merged.select(
+                F.col("node").alias("cluster_id"),
+                F.col("cluster_id").alias("new_label"),
+            )
+            # the contracted graph is band-sized; its relabel map is too
+            labels = labels.join(F.broadcast(relabel), "cluster_id", "left").select(
+                "node", F.coalesce("new_label", F.col("cluster_id")).alias("cluster_id")
+            )
+        labels = labels.localCheckpoint()  # consumed by output AND the next band
+        step = labels.select(F.lit(t).alias("threshold"), "node", "cluster_id")
+        out = step if out is None else out.unionByName(step)
+        prev_t = t
+    return out
+
+
+def cluster_graph_metrics(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-cluster graph-quality metrics beyond density: triangle count and
+    transitivity (global clustering coefficient). A cluster can read a
+    respectable density yet be a STAR — one hub record gluing strangers
+    together, the canonical over-merge shape in record linkage — and a star
+    has ZERO triangles, so transitivity separates hub-glued clusters from
+    genuine near-clique duplicate groups in a way density alone cannot
+    (density of a k-star is 2/k; its transitivity is exactly 0).
+
+    ``labels`` is (node, cluster_id), ``edges`` the undirected unique match
+    pairs. Returns (cluster_id, size, n_edges, n_triangles, n_wedges,
+    transitivity) for clusters of size >= 2, where n_wedges = sum over
+    member nodes of C(intra_degree, 2) (paths of length 2) and
+    transitivity = 3 * n_triangles / n_wedges (0.0 when no wedges) — all
+    exact-integer inputs, so an oracle restates the division bit-exactly.
+
+    Scale shape (the degree-ordered node-iterator of Suri & Vassilvitskii,
+    WWW'11): every intra-cluster edge is ORIENTED from its lower-(degree,
+    node) endpoint to the higher one, wedges are generated by a self-join
+    on the oriented source, and a wedge closes into a triangle iff its two
+    far endpoints are themselves an edge (one equi-join against the
+    canonical edge set). The orientation bounds each node's out-degree by
+    O(sqrt(m)), so wedge volume is O(m^1.5) worst case regardless of hub
+    skew — a plain unoriented wedge join on a web-scale hub would explode
+    quadratically. Cross-cluster edges (labels from a different threshold
+    than the edge set) count for neither side, matching cluster_density."""
+    lab = labels.select("node", "cluster_id")
+    intra = (
+        _canon(edges)
+        .join(lab.withColumnsRenamed({"node": "u", "cluster_id": "cu"}), "u")
+        .join(lab.withColumnsRenamed({"node": "v", "cluster_id": "cv"}), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .select("u", "v", F.col("cu").alias("cluster_id"))
+        .localCheckpoint()  # degrees, orientation, closure join all read it
+    )
+    deg = (
+        intra.select(F.col("u").alias("node"), "cluster_id")
+        .unionByName(intra.select(F.col("v").alias("node"), "cluster_id"))
+        .groupBy("node", "cluster_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        intra.join(deg.withColumnsRenamed({"node": "u", "deg": "du"}),
+                   ["u", "cluster_id"])
+        .join(deg.withColumnsRenamed({"node": "v", "deg": "dv"}),
+              ["v", "cluster_id"])
+    )
+    # orient low -> high by (degree, node id); ties broken by the id so the
+    # orientation is a strict total order and each edge appears exactly once
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        "cluster_id",
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    o2 = oriented.withColumnsRenamed({"dst": "dst2"})
+    wedge = (
+        oriented.join(o2, ["cluster_id", "src"])
+        .where(F.col("dst") < F.col("dst2"))
+        .select(
+            "cluster_id",
+            F.col("dst").alias("u"),  # dst < dst2 already canonical (u < v)
+            F.col("dst2").alias("v"),
+        )
+    )
+    tri = (
+        wedge.join(intra.select("u", "v"), ["u", "v"], "left_semi")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    per_cluster = (
+        deg.groupBy("cluster_id")
+        # sum(d*(d-1)) is even term-by-term; integer DIV keeps the wedge
+        # count exact past 2^53 (double division would not)
+        .agg(F.sum(F.col("deg") * (F.col("deg") - F.lit(1))).alias("_w2"))
+        .select("cluster_id", F.expr("CAST(_w2 DIV 2 AS BIGINT)").alias("n_wedges"))
+    )
+    dens = cluster_density(labels, edges)
+    return (
+        dens.join(per_cluster, "cluster_id", "left")
+        .join(tri, "cluster_id", "left")
+        .na.fill({"n_wedges": 0, "n_triangles": 0})
+        .select(
+            "cluster_id",
+            "size",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(F.col("n_wedges") > 0,
+                   (3 * F.col("n_triangles")).cast("double") / F.col("n_wedges"))
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+        )
+    )
+
+
 def cluster_density(labels: DataFrame, edges: DataFrame) -> DataFrame:
     """Per-cluster edge density — the over-merge audit for a resolved
     clustering: a transitive-closure cluster glued together by one hub

@@ -324,3 +324,184 @@ def test_cluster_repair_matches_model_random(spark):
         got = {r["node"]: r["cluster_id"]
                for r in cluster_repair(labels, wdf, 0.75, sdf).collect()}
         assert got == _repair_py(weak, strong, 0.75), f"seed={seed}"
+
+
+# ---- cluster_graph_metrics: triangles + transitivity ------------------------
+
+
+def _graph_metrics_py(labels, edges):
+    """Pure-Python model: per cluster, brute-force triangle count over node
+    triples + wedge count sum(C(deg,2)) over INTRA-cluster edges only."""
+    from itertools import combinations
+
+    intra = sorted({
+        (min(u, v), max(u, v)) for u, v in edges
+        if u != v and labels.get(u) is not None and labels.get(u) == labels.get(v)
+    })
+    by_c: dict[str, set] = {}
+    for u, v in intra:
+        by_c.setdefault(labels[u], set()).add((u, v))
+    sizes: dict[str, int] = {}
+    for n, c in labels.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    out = {}
+    for c, es in by_c.items():
+        nodes = sorted({x for e in es for x in e})
+        tri = sum(
+            1 for a, b, x in combinations(nodes, 3)
+            if (a, b) in es and (a, x) in es and (b, x) in es
+        )
+        deg = {n: 0 for n in nodes}
+        for u, v in es:
+            deg[u] += 1
+            deg[v] += 1
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        out[c] = (sizes[c], len(es), tri, wedges,
+                  (3 * tri / wedges) if wedges else 0.0)
+    for c, sz in sizes.items():  # size>=2 clusters with zero intra edges
+        if sz >= 2 and c not in out:
+            out[c] = (sz, 0, 0, 0, 0.0)
+    return out
+
+
+def test_graph_metrics_triangle_vs_star(spark):
+    """The discriminating case density cannot see: a 4-star and a
+    triangle-with-pendant both have 4 nodes, but the star has ZERO
+    triangles (transitivity 0) while the braced cluster reads 3T/W =
+    3/5 = 0.6 — hub-glued vs genuinely mutual."""
+    from entity_linkings_spark.operators.clustering import cluster_graph_metrics
+
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("1", "3"), ("3", "4"),
+         ("5", "6"), ("5", "7"), ("5", "8")],
+        "u string, v string",
+    )
+    labels = connected_components(edges)
+    got = {r["cluster_id"]: (r["size"], r["n_edges"], r["n_triangles"],
+                             r["n_wedges"], r["transitivity"])
+           for r in cluster_graph_metrics(labels, edges).collect()}
+    assert got["1"] == (4, 4, 1, 5, 0.6)
+    assert got["5"] == (4, 3, 0, 3, 0.0)
+
+
+def test_graph_metrics_clique_and_cross_cluster_edges(spark):
+    """A k-clique reads transitivity 1.0; edges whose endpoints carry
+    different labels (edge set from a different threshold than the labels)
+    count for NEITHER side, matching cluster_density's contract."""
+    from entity_linkings_spark.operators.clustering import cluster_graph_metrics
+
+    clique = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1:]]
+    edges = spark.createDataFrame(
+        clique + [("p", "q"), ("a", "p")], "u string, v string"
+    )
+    labels = spark.createDataFrame(
+        [(n, "A") for n in "abcd"] + [("p", "P"), ("q", "P")],
+        "node string, cluster_id string",
+    )
+    got = {r["cluster_id"]: (r["size"], r["n_edges"], r["n_triangles"],
+                             r["transitivity"])
+           for r in cluster_graph_metrics(labels, edges).collect()}
+    assert got["A"] == (4, 6, 4, 1.0)   # C(4,3) triangles, transitivity 1
+    assert got["P"] == (2, 1, 0, 0.0)   # the a-p bridge counted nowhere
+
+
+def test_graph_metrics_match_brute_force_random(spark):
+    """Spark degree-oriented node-iterator == brute-force triple scan on
+    seeded random graphs (ties in the degree orientation included)."""
+    import random
+
+    from entity_linkings_spark.operators.clustering import cluster_graph_metrics
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        nodes = [f"n{i:02d}" for i in range(24)]
+        edges = sorted({
+            (min(a, b), max(a, b))
+            for a, b in ((rng.choice(nodes), rng.choice(nodes))
+                         for _ in range(60))
+            if a != b
+        })
+        df = spark.createDataFrame(edges, "u string, v string")
+        lab = {r["node"]: r["cluster_id"]
+               for r in connected_components(df).collect()}
+        labels = spark.createDataFrame(list(lab.items()),
+                                       "node string, cluster_id string")
+        got = {r["cluster_id"]: (r["size"], r["n_edges"], r["n_triangles"],
+                                 r["n_wedges"], r["transitivity"])
+               for r in cluster_graph_metrics(labels, df).collect()}
+        assert got == _graph_metrics_py(lab, edges), f"seed={seed}"
+
+
+# ---- components_at_thresholds: multi-threshold sweep -------------------------
+
+
+def test_components_at_thresholds_matches_independent_runs(spark):
+    """The sweep's contract: the labeling at every threshold equals an
+    INDEPENDENT connected_components run over edges >= t plus singletons
+    over the sweep's node universe — supernode contraction must be
+    invisible in the output. Random weighted graphs, weights landing on
+    both sides of every threshold."""
+    import random
+
+    from entity_linkings_spark.operators.clustering import components_at_thresholds
+
+    ths = [0.8, 0.5, 0.3]
+    for seed in range(4):
+        rng = random.Random(100 + seed)
+        nodes = [f"n{i:02d}" for i in range(30)]
+        seen = {}
+        for _ in range(50):
+            a, b = rng.choice(nodes), rng.choice(nodes)
+            if a != b:
+                seen[(min(a, b), max(a, b))] = round(rng.random(), 3)
+        edges = [(u, v, w) for (u, v), w in sorted(seen.items())]
+        df = spark.createDataFrame(edges, "u string, v string, score double")
+        got = components_at_thresholds(df, ths).collect()
+        universe = sorted({x for u, v, w in edges if w >= min(ths)
+                           for x in (u, v)})
+        for t in ths:
+            model = _uf([(u, v) for u, v, w in edges if w >= t])
+            want = {n: model.get(n, n) for n in universe}
+            have = {r["node"]: r["cluster_id"] for r in got
+                    if r["threshold"] == t}
+            assert have == want, f"seed={seed} t={t}"
+
+
+def test_components_at_thresholds_monotone_coarsening(spark):
+    """Lowering the threshold only MERGES: every cluster at a higher
+    threshold maps into exactly one cluster at each lower threshold."""
+    import random
+
+    from entity_linkings_spark.operators.clustering import components_at_thresholds
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(25)]
+    seen = {}
+    for _ in range(40):
+        a, b = rng.choice(nodes), rng.choice(nodes)
+        if a != b:
+            seen[(min(a, b), max(a, b))] = round(rng.random(), 3)
+    df = spark.createDataFrame(
+        [(u, v, w) for (u, v), w in sorted(seen.items())],
+        "u string, v string, score double",
+    )
+    ths = [0.7, 0.4, 0.1]
+    rows = components_at_thresholds(df, ths).collect()
+    by_t = {t: {r["node"]: r["cluster_id"] for r in rows
+                if r["threshold"] == t} for t in ths}
+    for hi, lo in [(0.7, 0.4), (0.4, 0.1)]:
+        mapping = {}
+        for node, c_hi in by_t[hi].items():
+            c_lo = by_t[lo][node]
+            assert mapping.setdefault(c_hi, c_lo) == c_lo, \
+                f"cluster {c_hi}@{hi} split across {lo}"
+
+
+def test_components_at_thresholds_validates_input(spark):
+    import pytest as _pytest
+
+    from entity_linkings_spark.operators.clustering import components_at_thresholds
+
+    df = spark.createDataFrame([("a", "b", 0.9)], "u string, v string, score double")
+    with _pytest.raises(ValueError):
+        components_at_thresholds(df, [])
