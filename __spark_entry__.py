@@ -152,6 +152,14 @@ RETIRED = frozenset({
     "j5_tfidf_topk_maxdf",
     "j5_tfidf_topk_gemm",
     "j5_tfidf_topk_auto",
+    # second fold (late round 8): the IVF sq8/rebalance rows share the
+    # ann_ivf_suite slot, whose 'exact' form also makes the retired recall
+    # scalar row-exactly derivable — needed because registering the two new
+    # clustering queries (cc_graph_metrics, cc_threshold_sweep) pushed the
+    # registry to 101, past the window∪prev = 100 coverage ceiling.
+    "ann_ivf_sq8_topk",
+    "ann_ivf_sq8_recall",
+    "ann_ivf_rebalance_topk",
 })
 
 

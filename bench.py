@@ -118,6 +118,12 @@ HEADLINE = [
     "fs_gamma_patterns",
     "unlinkables",
     "a11_threshold_sweep",
+    # round-8 third wave: per-cluster triangle/transitivity audit and the
+    # multi-threshold clustering sweep (supernode contraction). The IVF
+    # sq8/rebalance rows above keep their frozen rows, so the folded
+    # ann_ivf_suite is NOT benched separately (same rule as j5_tfidf_suite)
+    "cc_graph_metrics",
+    "cc_threshold_sweep",
 ]
 
 # the composed flagships get a third timed run (VERDICT r7: min-of-2 left

@@ -1441,6 +1441,42 @@ def ann_ivf_rebalance_topk(spark, sf):
     return SIM.ivf_search(q, c2, m2, lists2, k=10, nprobe=12)
 
 
+# One UNION of the IVF compression/repair regimes plus the exact float
+# top-k, each row tagged with its form. Registered so three driver rows
+# (ann_ivf_sq8_topk, ann_ivf_sq8_recall, ann_ivf_rebalance_topk) share ONE
+# slot — the second registry-ceiling fold, same shape as j5_tfidf_suite
+# (see __spark_entry__.RETIRED). The value check is STRICTLY stronger than
+# the retired rows': sq8/rebalance keep their exact per-row oracles, and
+# the retired recall SCALAR is row-exactly derivable from the suite's
+# 'sq8' x 'exact' forms (recall compared approx against this same
+# brute-force table), so every neighbor row is now hashed instead of one
+# averaged number.
+_IVF_SUITE_SQL = f"""
+    SELECT 'sq8' AS form, * FROM ({_IVF_SQ8_SQL})
+    UNION ALL SELECT 'rebalance' AS form, * FROM ({_ivf_rebalance_sql()})
+    UNION ALL SELECT 'exact' AS form, * FROM ({_ANN_SQL})
+"""
+
+
+@register("ann_ivf_suite", _IVF_SUITE_SQL)
+def ann_ivf_suite(spark, sf):
+    """IVF maintenance/compression suite in one gated table: int8-resident
+    IVF search (FAISS IVF+SQ8 analogue), post-rebalance search over the
+    skew-repaired index, and the exact float brute-force top-k the recall
+    audits divide against. Each form keeps the exact oracle its standalone
+    row had (reference dualencoder/indexer.py:94-132 build/search split)."""
+    parts = [
+        ("sq8", ann_ivf_sq8_topk),
+        ("rebalance", ann_ivf_rebalance_topk),
+        ("exact", ann_cosine_topk),
+    ]
+    out = None
+    for form, fn in parts:
+        tagged = fn(spark, sf).select(F.lit(form).alias("form"), "*")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 @register("ann_ivf_append_topk", _IVF_APPEND_SQL)
 def ann_ivf_append_topk(spark, sf):
     """Incremental INDEX maintenance (operators/similarity.py ivf_append /
