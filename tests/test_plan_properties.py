@@ -164,3 +164,22 @@ def test_review_queue_gets_map_side_window_group_limit(spark):
     # the map-side limit sits below (after, in toString order) the exchange
     ex = p.index("Exchange")
     assert p.rindex("WindowGroupLimit") > ex, p
+
+
+@pytest.mark.parametrize("name", ["cc_graph_metrics", "cc_threshold_sweep",
+                                  "ann_ivf_suite"])
+def test_fourth_wave_no_cartesian_products(spark, name):
+    # the wedge self-join and triangle-closure join are equi-joins on
+    # (cluster_id, src) / (u, v); the sweep's relabel is a broadcast
+    # equi-join; the IVF suite reuses already-gated query plans
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_graph_metrics_closure_is_semi_join(spark):
+    """The triangle closure must be a LEFT SEMI equi-join against the
+    canonical intra edge set — an inner join would double-count a wedge
+    whose closing edge somehow appeared twice, and a cartesian would be
+    the quadratic hub explosion the degree orientation exists to avoid."""
+    p = _plan(spark, "cc_graph_metrics")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
