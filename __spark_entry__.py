@@ -160,6 +160,12 @@ RETIRED = frozenset({
     "ann_ivf_sq8_topk",
     "ann_ivf_sq8_recall",
     "ann_ivf_rebalance_topk",
+    # third fold (late round 8): the uncapped and bucket-capped SimHash pair
+    # rows share the dedup_simhash_suite slot, freeing the slot that
+    # cc_decremental (edge-retraction maintenance) takes — the r9 rotation
+    # keeps exactly one spare either way.
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_capped",
 })
 
 

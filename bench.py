@@ -124,6 +124,10 @@ HEADLINE = [
     # ann_ivf_suite is NOT benched separately (same rule as j5_tfidf_suite)
     "cc_graph_metrics",
     "cc_threshold_sweep",
+    # edge-retraction clustering maintenance (the delete leg of the CRUD
+    # matrix). The simhash pair rows above keep their frozen rows, so the
+    # folded dedup_simhash_suite is NOT benched separately.
+    "cc_decremental",
 ]
 
 # the composed flagships get a third timed run (VERDICT r7: min-of-2 left

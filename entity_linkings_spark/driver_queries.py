@@ -2811,6 +2811,32 @@ def dedup_simhash_pairs_capped(spark, sf):
     )
 
 
+# One UNION of the uncapped and bucket-capped SimHash pair tables, rows
+# tagged by form — the third registry-ceiling fold (see
+# __spark_entry__.RETIRED): both variants keep their exact per-row oracles,
+# so the value check is as strong as the two standalone rows were, and the
+# cap's recall argument (true pairs recovered through other bands) is now
+# checked INSIDE one row by comparing the forms.
+_SIMHASH_SUITE_SQL = f"""
+    SELECT 'all' AS form, * FROM ({ORACLES["dedup_simhash_pairs"]})
+    UNION ALL SELECT 'capped' AS form, * FROM ({ORACLES["dedup_simhash_pairs_capped"]})
+"""
+
+
+@register("dedup_simhash_suite", _SIMHASH_SUITE_SQL)
+def dedup_simhash_suite(spark, sf):
+    """SimHash near-pair detection, uncapped and skew-capped forms in one
+    gated table (operators/dedup.py simhash_near_pairs; pigeonhole-complete
+    multi-band for Hamming <= 8). Each form keeps the exact oracle its
+    standalone row had."""
+    parts = [("all", dedup_simhash_pairs), ("capped", dedup_simhash_pairs_capped)]
+    out = None
+    for form, fn in parts:
+        tagged = fn(spark, sf).select(F.lit(form).alias("form"), "*")
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 def _pii_sql() -> str:
     from entity_linkings_spark.functions.strings import PII_PATTERNS
 
@@ -5305,6 +5331,42 @@ def cc_threshold_sweep(spark, sf):
 
     sims = _sn_sims(spark, sf).localCheckpoint()  # base + every band read it
     return components_at_thresholds(sims, [0.5, 0.3, 0.15], weight_col="sim")
+
+
+@register(
+    "cc_decremental",
+    f"""
+    WITH {_SN_SIMS_SQL},
+    weak AS (SELECT id_a, id_b FROM sims WHERE sim >= 0.2),
+    {_CC_LABELS_SQL},
+    uni AS (SELECT DISTINCT id_a AS node FROM sims WHERE sim >= 0.15
+            UNION SELECT id_b FROM sims WHERE sim >= 0.15)
+    SELECT u.node, COALESCE(l.cluster_id, u.node) AS cluster_id
+    FROM uni u LEFT JOIN labels l USING (node)
+    """,
+)
+def cc_decremental(spark, sf):
+    """Edge RETRACTION maintenance (operators/clustering.py
+    decremental_components — the delete leg of the clustering CRUD matrix:
+    incremental_components adds, cluster_repair splits on quality, this
+    retracts): the clerical-review story is 'every verified pair below
+    gram-Jaccard 0.2 was rejected', so those edges are withdrawn and only
+    the clusters that LOST an edge are re-clustered over their remaining
+    edges — O(affected subgraph), never a full recompute; members losing
+    every edge surface as singletons over the ORIGINAL node universe. The
+    oracle is the full recompute the operator must equal: recursive-CTE CC
+    over sims >= 0.2 plus singleton fill over the >= 0.15 universe.
+    Registered outside the pinned r8 driver window (builder-swept at both
+    scales; enforced NEW-UNCHECKED into the r9 rotation)."""
+    from entity_linkings_spark.operators.clustering import decremental_components
+
+    sims = _sn_sims(spark, sf).localCheckpoint()  # edges + retraction read it
+    edges = sims.where(F.col("sim") >= 0.15).select("u", "v")
+    retracted = sims.where(
+        (F.col("sim") >= 0.15) & (F.col("sim") < 0.2)
+    ).select("u", "v")
+    labels = connected_components(edges)
+    return decremental_components(labels, edges, retracted)
 
 
 # ---- Fellegi-Sunter front end + unlinkables audit (round 8) ------------------

@@ -235,6 +235,62 @@ def incremental_components(labels: DataFrame, delta_edges: DataFrame,
     return updated.unionByName(fresh.select("node", "cluster_id"))
 
 
+def decremental_components(
+    labels: DataFrame,
+    edges: DataFrame,
+    removed_edges: DataFrame,
+    **cc_kwargs,
+) -> DataFrame:
+    """Update an existing clustering after EDGE RETRACTIONS — the delete leg
+    of the clustering-maintenance matrix (incremental_components handles
+    additions, cluster_repair quality splits): given ``labels`` = (node,
+    cluster_id) from connected_components over ``edges``, and
+    ``removed_edges`` = pairs withdrawn since (a clerical nonmatch verdict,
+    a GDPR-retracted record's pairs, a feature fix invalidating old scores),
+    returns the labeling a full recompute over ``edges`` minus
+    ``removed_edges`` would produce, over the SAME node universe — a member
+    that loses every edge stays present as its own singleton, never
+    silently dropped.
+
+    Deletions can SPLIT clusters, so there is no local merge argument like
+    the incremental case — but the recompute is confined to the clusters
+    that actually lost an edge: every other cluster's edge set is
+    untouched, hence its labeling is untouched. Affected-cluster selection
+    is one label lookup on the retracted endpoints; the re-run is
+    connected components on the REMAINING intra edges of affected clusters
+    only — O(affected subgraph), never a full-corpus recluster. New labels
+    cannot collide with kept ones: every label is its component's min node,
+    and each re-clustered component is a subset of a dropped cluster's node
+    set (the same disjointness argument as cluster_repair)."""
+    lab = labels.select("node", "cluster_id")
+    rem = _canon(removed_edges)
+    # affected clusters: any cluster owning an endpoint of a retracted edge
+    # (a retracted edge whose endpoints were never clustered affects nothing)
+    ends = (
+        rem.select(F.col("u").alias("node"))
+        .unionByName(rem.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    affected = lab.join(ends, "node", "left_semi").select("cluster_id").distinct()
+    aff_nodes = lab.join(affected, "cluster_id", "left_semi").localCheckpoint()
+    # remaining edges of the affected subgraph only; the anti-join key is the
+    # canonical pair, so orientation/duplicates in removed_edges are harmless
+    remaining = _canon(edges).join(rem, ["u", "v"], "left_anti")
+    sub = (
+        remaining.join(
+            aff_nodes.withColumnsRenamed({"node": "u", "cluster_id": "cu"}), "u"
+        )
+        .join(aff_nodes.withColumnsRenamed({"node": "v", "cluster_id": "cv"}), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .select("u", "v")
+    )
+    relabeled = clusters_with_singletons(
+        connected_components(sub, **cc_kwargs), aff_nodes.select("node")
+    )
+    kept = lab.join(affected, "cluster_id", "left_anti")
+    return kept.unionByName(relabeled.select("node", "cluster_id"))
+
+
 def clusters_with_singletons(assignments: DataFrame, all_nodes: DataFrame) -> DataFrame:
     """Union in singleton clusters for nodes with no match edge (NIL-like
     mentions stay their own cluster — entity_dictionary.py:51-57 semantics)."""

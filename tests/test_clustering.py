@@ -505,3 +505,80 @@ def test_components_at_thresholds_validates_input(spark):
     df = spark.createDataFrame([("a", "b", 0.9)], "u string, v string, score double")
     with _pytest.raises(ValueError):
         components_at_thresholds(df, [])
+
+
+# ---- decremental_components: edge retraction --------------------------------
+
+
+def test_decremental_splits_chain(spark):
+    """Retracting the middle edge of a chain splits the cluster in two;
+    labels stay component-min node ids and nothing else moves."""
+    from entity_linkings_spark.operators.clustering import decremental_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "u string, v string"
+    )
+    labels = connected_components(edges)
+    removed = spark.createDataFrame([("c", "b")], "u string, v string")  # reversed
+    got = {r["node"]: r["cluster_id"]
+           for r in decremental_components(labels, edges, removed).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "x": "x", "y": "x"}
+
+
+def test_decremental_isolated_node_becomes_singleton(spark):
+    """A member that loses its ONLY edge must stay in the output as its own
+    singleton — never silently dropped (the blocking_quality zero-row
+    lesson applied to retraction)."""
+    from entity_linkings_spark.operators.clustering import decremental_components
+
+    edges = spark.createDataFrame([("a", "b")], "u string, v string")
+    labels = connected_components(edges)
+    removed = spark.createDataFrame([("a", "b")], "u string, v string")
+    got = {r["node"]: r["cluster_id"]
+           for r in decremental_components(labels, edges, removed).collect()}
+    assert got == {"a": "a", "b": "b"}
+
+
+def test_decremental_absent_edge_is_identity(spark):
+    """Retracting an edge that was never in the graph (or whose endpoints
+    were never clustered) changes nothing."""
+    from entity_linkings_spark.operators.clustering import decremental_components
+
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], "u string, v string")
+    labels = connected_components(edges)
+    removed = spark.createDataFrame([("p", "q")], "u string, v string")
+    got = {r["node"]: r["cluster_id"]
+           for r in decremental_components(labels, edges, removed).collect()}
+    assert got == {r["node"]: r["cluster_id"] for r in labels.collect()}
+
+
+def test_decremental_matches_full_recompute_random(spark):
+    """The contract: decremental == full recompute over edges minus removed,
+    over the original node universe — seeded random graphs, random
+    retraction subsets (including retractions that split, that isolate,
+    and that touch nothing)."""
+    import random
+
+    from entity_linkings_spark.operators.clustering import decremental_components
+
+    for seed in range(4):
+        rng = random.Random(200 + seed)
+        nodes = [f"n{i:02d}" for i in range(28)]
+        edges = sorted({
+            (min(a, b), max(a, b))
+            for a, b in ((rng.choice(nodes), rng.choice(nodes))
+                         for _ in range(45))
+            if a != b
+        })
+        removed = [e for e in edges if rng.random() < 0.4]
+        remaining = [e for e in edges if e not in set(removed)]
+        df = spark.createDataFrame(edges, "u string, v string")
+        labels = connected_components(df)
+        rdf = (spark.createDataFrame(removed, "u string, v string")
+               if removed else spark.createDataFrame([], "u string, v string"))
+        got = {r["node"]: r["cluster_id"]
+               for r in decremental_components(labels, df, rdf).collect()}
+        model = _uf(remaining)
+        universe = {x for e in edges for x in e}
+        want = {n: model.get(n, n) for n in universe}
+        assert got == want, f"seed={seed}"
