@@ -1370,3 +1370,47 @@ def test_label_store_supersession_and_threshold_sweep(spark, tmp_path):
              for r in threshold_sweep(scored, labels, [0.5]).collect()}
     # truth now: ab=False cd=True ef=True gh=False; link iff >= 0.5
     assert sweep[0.5] == (1, 1, 1, 1)
+
+
+def test_label_store_nonmatch_verdicts_drive_decremental_clustering(spark, tmp_path):
+    """The full human-in-the-loop retraction cycle: review verdicts commit
+    as label epochs, the committed NONMATCH pairs become the retraction
+    set, and decremental_components updates the clustering to exactly what
+    a full recompute over the surviving edges gives — including a
+    supersession (a pair rejected in epoch 1 re-accepted in epoch 2 must
+    NOT be retracted)."""
+    from entity_linkings_spark.operators.clustering import (
+        connected_components,
+        decremental_components,
+    )
+    from entity_linkings_spark.streaming.incremental import (
+        apply_label_epoch,
+        read_label_store,
+    )
+
+    d = str(tmp_path / "labels")
+    # chain a-b-c-d plus pair x-y; reviewers reject b-c and x-y in epoch 1
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "u string, v string"
+    )
+    labels = connected_components(edges)
+    e1 = spark.createDataFrame(
+        [("c", "b", False), ("x", "y", False), ("a", "b", True)],
+        "skey_a string, skey_b string, is_match boolean",
+    )
+    apply_label_epoch(d, e1, 1)
+    # epoch 2: x-y re-reviewed and ACCEPTED — supersedes the rejection
+    e2 = spark.createDataFrame(
+        [("y", "x", True)], "skey_a string, skey_b string, is_match boolean"
+    )
+    apply_label_epoch(d, e2, 2)
+    verdicts = read_label_store(spark, d)
+    from pyspark.sql import functions as F
+
+    retract = verdicts.where(~F.col("is_match")).select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in decremental_components(labels, edges, retract).collect()}
+    # only b-c stays retracted: chain splits, x-y survives the relabel
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "x": "x", "y": "x"}
