@@ -565,3 +565,111 @@ def cluster_density(labels: DataFrame, edges: DataFrame) -> DataFrame:
             ).alias("density"),
         )
     )
+
+
+def clustering_agreement(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Pair-counting agreement between TWO clusterings of the same node
+    universe — Rand index and Adjusted Rand (Hubert & Arabie 1985) plus the
+    split/merge decomposition record-linkage audits actually act on: how
+    many co-clustered pairs the right clustering separated (``splits``) and
+    how many new co-clusterings it introduced (``merges``). This is the
+    cross-clustering companion to :func:`~.evaluate.bcubed_table` (which
+    scores one clustering against gold) — the question here is "how much
+    did the clustering CHANGE", e.g. between two resolve thresholds of
+    ``components_at_thresholds``, between an epoch's incremental labels and
+    a fresh batch recompute, or before/after ``cluster_repair``.
+
+    ``left`` / ``right``: (node, cluster_id). A node present on only one
+    side counts as a singleton of itself on the other (the bcubed_table /
+    pairwise_f1 convention), so comparing clusterings built at different
+    thresholds needs no explicit universe fill.
+
+    Returns ONE row: (n_nodes, pairs_total, pairs_both, pairs_left,
+    pairs_right, splits, merges, rand_index, adjusted_rand). Every count is
+    an exact BIGINT — co-membership pair counts are stated arithmetically
+    as sum C(n,2) over the contingency / marginal tables, NEVER by
+    materializing node pairs, and each sum(n*(n-1)) is halved with integer
+    DIV (term-by-term even, and a double division would lose exactness past
+    2^53 — the estimate_lambda_deterministic lesson). ``rand_index`` is a
+    single division of exact integers; ``adjusted_rand`` is the standard
+    expected-index correction evaluated in doubles with a fixed operation
+    order (mirrored verbatim by the SQL oracle), with the sklearn
+    degenerate-case convention: 1.0 when both clusterings agree on every
+    pair (pairs_left == pairs_both == pairs_right), which also covers the
+    0/0 all-singletons and single-cluster cases.
+
+    Scale shape: one full-outer equi-join on node, ONE node-keyed shuffle
+    into the contingency table, then every further aggregate runs over the
+    contingency/marginal tables (bounded by the number of CO-OCCURRING
+    label pairs, « node count). No collects, no pair materialization."""
+    j = (
+        left.select("node", F.col("cluster_id").alias("lc"))
+        .join(
+            right.select("node", F.col("cluster_id").alias("rc")),
+            "node",
+            "full",
+        )
+        .select(
+            F.coalesce("lc", F.col("node")).alias("lc"),
+            F.coalesce("rc", F.col("node")).alias("rc"),
+        )
+    )
+    cells = j.groupBy("lc", "rc").agg(F.count("*").alias("n"))
+
+    def _pairs2(df: DataFrame, col: str, out: str) -> DataFrame:
+        return (
+            df.agg(F.sum(F.col(col) * (F.col(col) - F.lit(1))).alias("_p2"))
+            .select(F.expr(f"CAST(_p2 DIV 2 AS BIGINT) AS {out}"))
+        )
+
+    both = _pairs2(cells, "n", "pairs_both")
+    lmarg = cells.groupBy("lc").agg(F.sum("n").alias("m"))
+    rmarg = cells.groupBy("rc").agg(F.sum("n").alias("m"))
+    pl = _pairs2(lmarg, "m", "pairs_left")
+    pr = _pairs2(rmarg, "m", "pairs_right")
+    nn = cells.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_nodes"))
+    base = (
+        nn.crossJoin(both).crossJoin(pl).crossJoin(pr)  # four 1-row frames
+        .withColumn(
+            "pairs_total",
+            F.expr("CAST(n_nodes * (n_nodes - 1) DIV 2 AS BIGINT)"),
+        )
+    )
+    a_d = F.col("pairs_both").cast("double")
+    pl_d = F.col("pairs_left").cast("double")
+    pr_d = F.col("pairs_right").cast("double")
+    pt_d = F.col("pairs_total").cast("double")
+    expected = pl_d * pr_d / pt_d
+    perfect = (F.col("pairs_left") == F.col("pairs_both")) & (
+        F.col("pairs_right") == F.col("pairs_both")
+    )
+    return base.select(
+        "n_nodes",
+        "pairs_total",
+        "pairs_both",
+        "pairs_left",
+        "pairs_right",
+        (F.col("pairs_left") - F.col("pairs_both")).alias("splits"),
+        (F.col("pairs_right") - F.col("pairs_both")).alias("merges"),
+        F.when(F.col("pairs_total") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                (
+                    F.col("pairs_total")
+                    - F.col("pairs_left")
+                    - F.col("pairs_right")
+                    + 2 * F.col("pairs_both")
+                ).cast("double")
+                / F.col("pairs_total"),
+                6,
+            )
+        )
+        .alias("rand_index"),
+        F.when(perfect, F.lit(1.0))
+        .otherwise(
+            F.round(
+                (a_d - expected) / ((pl_d + pr_d) / F.lit(2.0) - expected), 6
+            )
+        )
+        .alias("adjusted_rand"),
+    )

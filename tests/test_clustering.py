@@ -582,3 +582,106 @@ def test_decremental_matches_full_recompute_random(spark):
         universe = {x for e in edges for x in e}
         want = {n: model.get(n, n) for n in universe}
         assert got == want, f"seed={seed}"
+
+
+def _agreement_model(left, right):
+    """Exact pair-counting reference: brute-force over node pairs with the
+    singleton-fill convention, returning every column clustering_agreement
+    emits (floats unrounded)."""
+    from itertools import combinations
+
+    universe = sorted(set(left) | set(right))
+    lc = {n: left.get(n, n) for n in universe}
+    rc = {n: right.get(n, n) for n in universe}
+    a = bl = br = 0
+    for x, y in combinations(universe, 2):
+        sl, sr = lc[x] == lc[y], rc[x] == rc[y]
+        a += sl and sr
+        bl += sl
+        br += sr
+    n = len(universe)
+    pt = n * (n - 1) // 2
+    rand = 1.0 if pt == 0 else (pt - bl - br + 2 * a) / pt
+    if bl == a and br == a:
+        ari = 1.0
+    else:
+        exp = float(bl) * float(br) / float(pt)
+        ari = (float(a) - exp) / ((float(bl) + float(br)) / 2.0 - exp)
+    return {
+        "n_nodes": n, "pairs_total": pt, "pairs_both": a,
+        "pairs_left": bl, "pairs_right": br,
+        "splits": bl - a, "merges": br - a,
+        "rand_index": rand, "adjusted_rand": ari,
+    }
+
+
+def _run_agreement(spark, left, right):
+    from entity_linkings_spark.operators.clustering import clustering_agreement
+
+    mk = lambda d: spark.createDataFrame(  # noqa: E731
+        list(d.items()), "node string, cluster_id string"
+    )
+    [row] = clustering_agreement(mk(left), mk(right)).collect()
+    return row.asDict()
+
+
+def test_agreement_identical_clusterings_is_perfect(spark):
+    left = {"a": "a", "b": "a", "c": "c", "d": "c", "e": "e"}
+    got = _run_agreement(spark, left, dict(left))
+    assert got["rand_index"] == 1.0
+    assert got["adjusted_rand"] == 1.0
+    assert got["splits"] == 0 and got["merges"] == 0
+    assert got["pairs_both"] == got["pairs_left"] == got["pairs_right"] == 2
+
+
+def test_agreement_singletons_vs_one_cluster(spark):
+    """All-singletons vs one-big-cluster: chance-level — ARI exactly 0,
+    Rand exactly 0 (every pair disagrees), merges = every pair."""
+    nodes = [f"n{i}" for i in range(6)]
+    left = {n: n for n in nodes}
+    right = {n: "c" for n in nodes}
+    got = _run_agreement(spark, left, right)
+    assert got["adjusted_rand"] == 0.0
+    assert got["rand_index"] == 0.0
+    assert got["splits"] == 0 and got["merges"] == 15
+
+
+def test_agreement_degenerate_both_singletons(spark):
+    """The 0/0 corner: both sides all singletons agree on every pair —
+    the sklearn convention says 1.0, not NaN."""
+    left = {"a": "a", "b": "b"}
+    got = _run_agreement(spark, left, dict(left))
+    assert got["adjusted_rand"] == 1.0
+    assert got["rand_index"] == 1.0
+
+
+def test_agreement_singleton_fill_for_missing_nodes(spark):
+    """A node absent from one side counts as its own singleton there:
+    {a,b} co-clustered on the left, b unknown to the right -> that pair is
+    a split, never a silent drop."""
+    got = _run_agreement(spark, {"a": "g", "b": "g"}, {"a": "a"})
+    assert got["n_nodes"] == 2
+    assert got["pairs_left"] == 1 and got["pairs_right"] == 0
+    assert got["splits"] == 1 and got["merges"] == 0
+
+
+def test_agreement_matches_brute_force_random(spark):
+    """Seeded random label maps (uneven cluster sizes, partial node
+    overlap) vs the exact pair-enumeration model — counts integer-exact,
+    floats to the operator's 6dp rounding."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(300 + seed)
+        nodes = [f"n{i:02d}" for i in range(40)]
+        left = {n: f"L{rng.randrange(6)}" for n in nodes if rng.random() < 0.9}
+        right = {n: f"R{rng.randrange(9)}" for n in nodes if rng.random() < 0.9}
+        got = _run_agreement(spark, left, right)
+        want = _agreement_model(left, right)
+        for k in ("n_nodes", "pairs_total", "pairs_both", "pairs_left",
+                  "pairs_right", "splits", "merges"):
+            assert got[k] == want[k], f"seed={seed} {k}"
+        assert got["rand_index"] == pytest.approx(want["rand_index"], abs=5e-7)
+        assert got["adjusted_rand"] == pytest.approx(
+            want["adjusted_rand"], abs=5e-7
+        ), f"seed={seed}"
