@@ -166,6 +166,17 @@ RETIRED = frozenset({
     # keeps exactly one spare either way.
     "dedup_simhash_pairs",
     "dedup_simhash_pairs_capped",
+    # fourth fold (late round 8): multi-probe LSH top-k, int8-quantized
+    # top-k, and the exact float top-k share the ann_lsh_suite slot
+    # (strictly stronger: the quantized form upgrades from one averaged
+    # recall scalar to every neighbor row hashed; both retired recall
+    # scalars are row-exactly derivable from the suite's forms). The three
+    # freed r8-window slots go to ann_lsh_suite itself, the new
+    # cc_agreement (cross-clustering Rand/ARI audit), and cc_graph_metrics
+    # pulled forward from the r9 must-cover list.
+    "ann_lsh_topk",
+    "ann_lsh_recall",
+    "ann_quantized_recall",
 })
 
 
@@ -281,8 +292,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keeper_quality",
         "decontaminate_ngrams",
         "ann_cosine_topk",
-        "ann_lsh_topk",
-        "ann_lsh_recall",
+        # late-r8 fold: the LSH/quantized rows check through the suite now;
+        # the two remaining freed slots take the new cross-clustering
+        # agreement audit and cc_graph_metrics (pulled forward from the
+        # precomputed r9 must-cover list, shrinking it by one)
+        "ann_lsh_suite",
+        "cc_agreement",
+        "cc_graph_metrics",
         "ann_ivf_append_topk",
         "j4_prior_cascade",
         "score_pairs",
@@ -308,7 +324,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_key_histogram",
         "quality_repetition",
         "quantize_embeddings",
-        "ann_quantized_recall",
         "dedup_duplicate_spans",
         "a4_top1_accuracy",
         "j8_blocking_pairs",

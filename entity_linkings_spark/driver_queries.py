@@ -4186,6 +4186,74 @@ def ann_quantized_recall(spark, sf):
     return S.topk_recall(approx, exact)
 
 
+# Per-row int8 brute-force top-k (the table ann_quantized_recall's approx
+# CTE ranks, emitted with rank + cos so every neighbor row is hashable).
+_QUANT_TOPK_SQL = f"""
+    WITH {_QUANT_SQL_BODY},
+    qq AS (SELECT * FROM q WHERE vec_id % 25 = 0),
+    cand AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(CAST(list_dot_product(p.qvec, c.qvec) AS DOUBLE)
+                     / greatest(sqrt(CAST(list_dot_product(p.qvec, p.qvec) AS DOUBLE))
+                              * sqrt(CAST(list_dot_product(c.qvec, c.qvec) AS DOUBLE)),
+                              1e-300), 6) AS cos
+        FROM qq p, q c WHERE c.vec_id <> p.vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM cand)
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos
+    FROM r WHERE rank <= 10
+"""
+
+# One UNION of the two approximate brute-force-rivals (multi-probe LSH,
+# int8-quantized) plus the exact float top-k, each row tagged with its
+# form — the fourth registry-ceiling fold (see __spark_entry__.RETIRED),
+# same shape as ann_ivf_suite. Strictly stronger than the retired rows:
+# ann_lsh_topk keeps its exact per-row oracle, the quantized form upgrades
+# from one averaged recall scalar to every neighbor row hashed, and both
+# retired recall SCALARS are row-exactly derivable from the 'lsh'/'quantized'
+# x 'exact' forms (the recalls divided approx by this same brute-force
+# table).
+_LSH_SUITE_SQL = f"""
+    SELECT 'lsh' AS form, * FROM ({_LSH_TOPK_SQL})
+    UNION ALL SELECT 'quantized' AS form, * FROM ({_QUANT_TOPK_SQL})
+    UNION ALL SELECT 'exact' AS form, * FROM ({_ANN_SQL})
+"""
+
+
+@register("ann_lsh_suite", _LSH_SUITE_SQL)
+def ann_lsh_suite(spark, sf):
+    """Hash/compression ANN suite in one gated table: multi-probe sign-LSH
+    top-k (operators/similarity.py lsh_topk — measured recall 0.97 on this
+    LSH-hostile corpus), int8 symmetric-quantized brute-force top-k
+    (quantized_topk — exact integer dot products, scales cancel in
+    cosine), and the exact float top-k both recall audits divide against
+    (reference dualencoder/indexer.py:94-132 delegates this rung to FAISS;
+    here each approximation's full neighbor table is value-checked, not
+    just its recall scalar)."""
+    from entity_linkings_spark.operators import similarity as S
+
+    emb = _embeddings(spark, sf)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    qemb = S.quantize_embeddings(emb)
+    parts = [
+        ("lsh", SIM.lsh_topk(emb, q, k=10, **_LSH_CFG)),
+        ("quantized", S.quantized_topk(qemb, qemb.where(F.col("vec_id") % 25 == 0), k=10)),
+        ("exact", SIM.brute_force_topk(emb, q, k=10)),
+    ]
+    out = None
+    for form, df in parts:
+        tagged = df.select(
+            F.lit(form).alias("form"),
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "cos",
+        )
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 # ---- LM-dataprep: within-corpus duplicated-span detection -------------------
 
 _SHINGLE50_SQL = """CASE WHEN len(ws) <= 50 THEN [array_to_string(ws, ' ')]
@@ -5367,6 +5435,90 @@ def cc_decremental(spark, sf):
     ).select("u", "v")
     labels = connected_components(edges)
     return decremental_components(labels, edges, retracted)
+
+
+def _cc_labels_at(tag: str, th: float) -> str:
+    """Recursive-CTE connected-components labels over ``sims >= th`` as
+    CTE ``l{tag}`` (the _CC_LABELS_SQL shape, parameterized so two
+    thresholds can coexist in one oracle)."""
+    return f"""
+    e{tag} AS (SELECT id_a AS u, id_b AS v FROM sims WHERE sim >= {th}
+               UNION SELECT id_b, id_a FROM sims WHERE sim >= {th}),
+    n{tag} AS (SELECT DISTINCT u AS node FROM e{tag}),
+    r{tag} AS (WITH RECURSIVE reach(src, dst) AS (
+        SELECT u, v FROM e{tag}
+        UNION SELECT r.src, e.v FROM reach r JOIN e{tag} e ON r.dst = e.u
+    ) SELECT * FROM reach),
+    l{tag} AS (SELECT n.node, least(n.node, min(r.dst)) AS cluster_id
+               FROM n{tag} n LEFT JOIN r{tag} r ON r.src = n.node
+               GROUP BY n.node)"""
+
+
+_CC_AGREEMENT_SQL = f"""
+    WITH {_SN_SIMS_SQL},
+    {_cc_labels_at("L", 0.3)},
+    {_cc_labels_at("R", 0.15)},
+    uni AS (SELECT node FROM lL UNION SELECT node FROM lR),
+    jn AS (SELECT COALESCE(a.cluster_id, u.node) AS lc,
+                  COALESCE(b.cluster_id, u.node) AS rc
+           FROM uni u LEFT JOIN lL a USING (node) LEFT JOIN lR b USING (node)),
+    cells AS (SELECT lc, rc, CAST(COUNT(*) AS BIGINT) AS n FROM jn GROUP BY 1, 2),
+    agg AS (SELECT CAST(SUM(n) AS BIGINT) AS n_nodes,
+                   CAST(SUM(n * (n - 1)) // 2 AS BIGINT) AS pairs_both
+            FROM cells),
+    lm AS (SELECT CAST(SUM(m * (m - 1)) // 2 AS BIGINT) AS pairs_left
+           FROM (SELECT SUM(n) AS m FROM cells GROUP BY lc)),
+    rm AS (SELECT CAST(SUM(m * (m - 1)) // 2 AS BIGINT) AS pairs_right
+           FROM (SELECT SUM(n) AS m FROM cells GROUP BY rc)),
+    base AS (SELECT n_nodes,
+                    CAST(n_nodes * (n_nodes - 1) // 2 AS BIGINT) AS pairs_total,
+                    pairs_both, pairs_left, pairs_right
+             FROM agg, lm, rm)
+    SELECT n_nodes, pairs_total, pairs_both, pairs_left, pairs_right,
+           pairs_left - pairs_both AS splits,
+           pairs_right - pairs_both AS merges,
+           CASE WHEN pairs_total = 0 THEN CAST(1 AS DOUBLE)
+                ELSE round(CAST(pairs_total - pairs_left - pairs_right
+                                + 2 * pairs_both AS DOUBLE) / pairs_total, 6)
+           END AS rand_index,
+           CASE WHEN pairs_left = pairs_both AND pairs_right = pairs_both
+                THEN CAST(1 AS DOUBLE)
+                ELSE round((CAST(pairs_both AS DOUBLE)
+                            - CAST(pairs_left AS DOUBLE)
+                              * CAST(pairs_right AS DOUBLE)
+                              / CAST(pairs_total AS DOUBLE))
+                           / ((CAST(pairs_left AS DOUBLE)
+                               + CAST(pairs_right AS DOUBLE)) / 2.0
+                              - CAST(pairs_left AS DOUBLE)
+                                * CAST(pairs_right AS DOUBLE)
+                                / CAST(pairs_total AS DOUBLE)), 6)
+           END AS adjusted_rand
+    FROM base
+"""
+
+
+@register("cc_agreement", _CC_AGREEMENT_SQL)
+def cc_agreement(spark, sf):
+    """Cross-clustering agreement (operators/clustering.py
+    clustering_agreement): Rand + Adjusted Rand (Hubert & Arabie 1985) and
+    the split/merge pair decomposition between the 0.3 and 0.15 threshold
+    clusterings of the sorted-neighborhood gram-similarity graph — "how
+    much does dropping the resolve gate change the entity partition",
+    stated in exactly the pair units the threshold-sweep audits use. The
+    thresholds are NESTED, so ``splits`` = 0 is part of the checked value
+    (every 0.3-pair survives at 0.15) while merges/ARI quantify the
+    coarsening; the two-sided behavior is pytest-gated against a
+    brute-force pair-enumeration model. All pair counts are exact BIGINTs
+    from sum C(n,2) over the contingency table (integer DIV halving — the
+    estimate_lambda_deterministic 2^53 lesson); the ARI double arithmetic
+    is mirrored operation-for-operation by this oracle. Registered into
+    the r8 driver window (late-r8 slot freed by the ann_lsh_suite fold)."""
+    from entity_linkings_spark.operators.clustering import clustering_agreement
+
+    sims = _sn_sims(spark, sf).localCheckpoint()  # both threshold cuts read it
+    left = connected_components(sims.where(F.col("sim") >= 0.3).select("u", "v"))
+    right = connected_components(sims.where(F.col("sim") >= 0.15).select("u", "v"))
+    return clustering_agreement(left, right)
 
 
 # ---- Fellegi-Sunter front end + unlinkables audit (round 8) ------------------
