@@ -128,6 +128,11 @@ HEADLINE = [
     # matrix). The simhash pair rows above keep their frozen rows, so the
     # folded dedup_simhash_suite is NOT benched separately.
     "cc_decremental",
+    # round-8 fourth wave: cross-clustering Rand/ARI agreement audit. The
+    # LSH/quantized rows above keep their frozen rows, so the folded
+    # ann_lsh_suite is NOT benched separately (same rule as the other
+    # suites).
+    "cc_agreement",
 ]
 
 # the composed flagships get a third timed run (VERDICT r7: min-of-2 left

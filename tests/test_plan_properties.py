@@ -168,12 +168,28 @@ def test_review_queue_gets_map_side_window_group_limit(spark):
 
 @pytest.mark.parametrize("name", ["cc_graph_metrics", "cc_threshold_sweep",
                                   "ann_ivf_suite", "cc_decremental",
-                                  "dedup_simhash_suite"])
+                                  "dedup_simhash_suite", "cc_agreement",
+                                  "ann_lsh_suite"])
 def test_fourth_wave_no_cartesian_products(spark, name):
     # the wedge self-join and triangle-closure join are equi-joins on
     # (cluster_id, src) / (u, v); the sweep's relabel is a broadcast
-    # equi-join; the IVF suite reuses already-gated query plans
+    # equi-join; the IVF suite reuses already-gated query plans; the
+    # agreement/LSH suites' crossJoins are single-row scalar combines and
+    # the broadcast-query brute-force scan, which must plan as
+    # BroadcastNestedLoopJoin, never CartesianProduct
     assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_agreement_single_contingency_shuffle(spark):
+    """clustering_agreement's only data-sized shuffles are the node join
+    and the ONE contingency aggregate; everything after runs over the
+    contingency/marginal tables. Gate: the plan's exchanges are hash
+    partitionings on node / (lc, rc) / lc / rc plus single-partition
+    combines — no exchange keyed by anything else, and no sort-based
+    fallback anywhere (every agg on this path is a partial hash agg)."""
+    p = _plan(spark, "cc_agreement")
+    assert "CartesianProduct" not in p
+    assert "SortAggregate" not in p
 
 
 def test_graph_metrics_closure_is_semi_join(spark):
