@@ -128,11 +128,12 @@ HEADLINE = [
     # matrix). The simhash pair rows above keep their frozen rows, so the
     # folded dedup_simhash_suite is NOT benched separately.
     "cc_decremental",
-    # round-8 fourth wave: cross-clustering Rand/ARI agreement audit. The
-    # LSH/quantized rows above keep their frozen rows, so the folded
-    # ann_lsh_suite is NOT benched separately (same rule as the other
-    # suites).
+    # round-8 fourth wave: cross-clustering Rand/ARI agreement audit and
+    # golden-record survivorship. The LSH/quantized rows above keep their
+    # frozen rows, so the folded ann_lsh_suite is NOT benched separately
+    # (same rule as the other suites).
     "cc_agreement",
+    "cc_golden_record",
 ]
 
 # the composed flagships get a third timed run (VERDICT r7: min-of-2 left

@@ -5521,6 +5521,80 @@ def cc_agreement(spark, sf):
     return clustering_agreement(left, right)
 
 
+_GOLDEN_SQL = f"""
+    WITH {_SN_SIMS_SQL},
+    {_cc_labels_at("L", 0.3)},
+    base AS (SELECT COALESCE(l.cluster_id, r.skey) AS cluster_id,
+                    r.skey, r.surface, r.ent,
+                    string_split(r.surface, ' ')[1] AS first_tok,
+                    CAST(length(r.surface) AS INT) AS n_chars
+             FROM records r LEFT JOIN lL l ON l.node = r.skey),
+    main AS (SELECT cluster_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_records,
+                    (max(CASE WHEN surface IS NOT NULL THEN
+                         struct_pack(o := length(surface), v := surface)
+                     END)).v AS surface,
+                    MIN(ent) AS entity_id,
+                    MAX(n_chars) AS n_chars,
+                    (max(CASE WHEN surface IS NOT NULL THEN
+                         struct_pack(o := skey, v := surface)
+                     END)).v AS surface_latest
+             FROM base GROUP BY cluster_id),
+    cnt AS (SELECT cluster_id, first_tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM base WHERE first_tok IS NOT NULL GROUP BY 1, 2),
+    mw AS (SELECT cluster_id,
+                  (max(struct_pack(o := n, v := first_tok))).v AS first_tok
+           FROM cnt GROUP BY cluster_id)
+    SELECT m.cluster_id, m.n_records, m.surface, mw.first_tok,
+           m.entity_id, m.n_chars, m.surface_latest
+    FROM main m LEFT JOIN mw USING (cluster_id)
+"""
+
+
+@register("cc_golden_record", _GOLDEN_SQL)
+def cc_golden_record(spark, sf):
+    """Golden-record survivorship (operators/canonicalize.py
+    golden_records): ONE canonical row per resolved cluster — the
+    post-clustering stage the reference stops short of (it resolves
+    mentions and stops at entity ids, pipeline.py:48); here every 0.3
+    threshold cluster of the sorted-neighborhood record graph collapses
+    under five deterministic rules at once: longest surface, modal first
+    token, min entity id, max char length, and newest-by-skey surface
+    (exercising the 'newest' ordering on a total order so the row is
+    reproducible). Every rule is a pure hash aggregate — the winner picks
+    are max over struct(order, value), which DuckDB's lexicographic
+    struct max restates verbatim, so ties and null-skipping hash
+    identically in both engines. Unlabeled records surface as their own
+    singletons (COALESCE on both sides)."""
+    from entity_linkings_spark.operators.canonicalize import golden_records
+
+    records = _bq_records(spark, sf).select(
+        "skey",
+        "surface",
+        "entity_id",
+        F.split("surface", " ").getItem(0).alias("first_tok"),
+        F.length("surface").cast("int").alias("n_chars"),
+        F.col("surface").alias("surface_latest"),
+    )
+    sims = _sn_sims(spark, sf)
+    labels = connected_components(
+        sims.where(F.col("sim") >= 0.3).select("u", "v")
+    )
+    return golden_records(
+        labels,
+        records,
+        {
+            "surface": "longest",
+            "first_tok": "mode",
+            "entity_id": "min",
+            "n_chars": "max",
+            "surface_latest": "newest",
+        },
+        key="skey",
+        order_col="skey",
+    )
+
+
 # ---- Fellegi-Sunter front end + unlinkables audit (round 8) ------------------
 
 # Gamma thresholds over the driver scorer's ROUNDED feature columns
