@@ -177,6 +177,14 @@ RETIRED = frozenset({
     "ann_lsh_topk",
     "ann_lsh_recall",
     "ann_quantized_recall",
+    # fifth fold (late round 8): the MinHash-LSH candidate pairs and their
+    # exact-Jaccard verification share the dedup_neardup_suite slot (both
+    # per-row oracles kept; band counts losslessly cast to the shared
+    # double metric column), freeing the r9 slot cc_stable_ids (cluster-id
+    # continuity across runs) takes — the r9 rotation keeps exactly one
+    # spare either way.
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
 })
 
 

@@ -134,6 +134,10 @@ HEADLINE = [
     # (same rule as the other suites).
     "cc_agreement",
     "cc_golden_record",
+    # cluster-id continuity across runs. The MinHash/Jaccard rows above
+    # keep their frozen rows, so the folded dedup_neardup_suite is NOT
+    # benched separately (same rule as the other suites).
+    "cc_stable_ids",
 ]
 
 # the composed flagships get a third timed run (VERDICT r7: min-of-2 left

@@ -660,6 +660,46 @@ def dedup_ngram_jaccard(spark, sf):
     return D.shingle_jaccard(docs, cand, "doc_id", "text", 5)
 
 
+# One UNION of the MinHash-LSH candidate pairs and their exact-Jaccard
+# verification, rows tagged by form over a shared double `metric` column
+# (the band count is a small exact integer, so the double cast is lossless)
+# — the fifth registry-ceiling fold (see __spark_entry__.RETIRED). Both
+# forms keep their exact per-row oracles; nothing is averaged away.
+_NEARDUP_SUITE_SQL = f"""
+    SELECT 'minhash' AS form, id_a, id_b,
+           CAST(n_shared_bands AS DOUBLE) AS metric
+    FROM ({_MINHASH_PAIRS_SQL})
+    UNION ALL
+    SELECT 'jaccard' AS form, id_a, id_b, jaccard AS metric
+    FROM ({_JACCARD_VERIFY_SQL})
+"""
+
+
+@register("dedup_neardup_suite", _NEARDUP_SUITE_SQL)
+def dedup_neardup_suite(spark, sf):
+    """Near-dup candidate generation + verification in one gated table:
+    the banded MinHash self-join's pair set (with shared-band counts) and
+    the exact shingle-Jaccard each candidate verifies at (reference has no
+    corpus dedup; this is the Lee et al. 2022 / Broder shape the dataprep
+    flagship composes). The two stages share one bands materialization."""
+    docs = _docs(spark, sf)
+    bands = D.minhash_bands(
+        docs, "doc_id", D.word_shingles("text", 5)
+    ).localCheckpoint()
+    pairs = D.band_pairs(bands, "doc_id")
+    mh = pairs.select(
+        F.lit("minhash").alias("form"), "id_a", "id_b",
+        F.col("n_shared_bands").cast("double").alias("metric"),
+    )
+    jc = D.shingle_jaccard(
+        docs, pairs.select("id_a", "id_b"), "doc_id", "text", 5
+    ).select(
+        F.lit("jaccard").alias("form"), "id_a", "id_b",
+        F.col("jaccard").alias("metric"),
+    )
+    return mh.unionByName(jc)
+
+
 _SIMHASH_SQL = f"""
     WITH sh AS ({_shingle_sql(3)}),
     feats AS (SELECT DISTINCT doc_id, s FROM sh),
@@ -5593,6 +5633,48 @@ def cc_golden_record(spark, sf):
         key="skey",
         order_col="skey",
     )
+
+
+_STABLE_IDS_SQL = f"""
+    WITH {_SN_SIMS_SQL},
+    {_cc_labels_at("L", 0.3)},
+    {_cc_labels_at("R", 0.15)},
+    cont AS (SELECT r.cluster_id AS nc, l.cluster_id AS oc,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM lR r JOIN lL l USING (node) GROUP BY 1, 2),
+    claim0 AS (SELECT nc, max(struct_pack(o := n, v := oc)) AS s
+               FROM cont GROUP BY nc),
+    claim AS (SELECT nc, s.v AS oc, s.o AS n FROM claim0),
+    award0 AS (SELECT oc, max(struct_pack(o := n, v := nc)) AS s
+               FROM claim GROUP BY oc),
+    award AS (SELECT oc, s.v AS win FROM award0),
+    mapping AS (SELECT c.nc, c.oc AS stable FROM claim c
+                JOIN award a ON a.oc = c.oc AND a.win = c.nc)
+    SELECT r.node, COALESCE(m.stable, 'new:' || r.cluster_id) AS stable_id
+    FROM lR r LEFT JOIN mapping m ON m.nc = r.cluster_id
+"""
+
+
+@register("cc_stable_ids", _STABLE_IDS_SQL)
+def cc_stable_ids(spark, sf):
+    """Cluster-id continuity across runs (operators/clustering.py
+    stable_cluster_ids): the 0.15 threshold clustering relabeled to keep
+    the 0.3 clustering's ids wherever a coarser cluster absorbs an old
+    one — min-node labels rename a whole cluster whenever membership
+    shifts near the min node, and this claim/award/namespace rule is what
+    lets golden records and review queues survive a recompute. Claims and
+    awards are max-over-struct reductions on the bounded contingency
+    table (ties -> greatest id, mirrored by DuckDB struct max); losing
+    clusters keep their own id under the 'new:' namespace, which makes
+    output-label non-collision structural (the split-remnant case is
+    pytest-pinned). Nested thresholds make every award's overlap exact in
+    both engines."""
+    from entity_linkings_spark.operators.clustering import stable_cluster_ids
+
+    sims = _sn_sims(spark, sf).localCheckpoint()  # both threshold cuts read it
+    old = connected_components(sims.where(F.col("sim") >= 0.3).select("u", "v"))
+    new = connected_components(sims.where(F.col("sim") >= 0.15).select("u", "v"))
+    return stable_cluster_ids(old, new)
 
 
 # ---- Fellegi-Sunter front end + unlinkables audit (round 8) ------------------

@@ -673,3 +673,64 @@ def clustering_agreement(left: DataFrame, right: DataFrame) -> DataFrame:
         )
         .alias("adjusted_rand"),
     )
+
+
+def stable_cluster_ids(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Label continuity across clustering runs: relabel ``new``'s clusters
+    so that downstream consumers (golden records, review queues, exported
+    entity tables) keep seeing the SAME cluster id for the same real-world
+    entity after a recompute, an epoch apply, a threshold change, or a
+    repair pass. connected_components labels are min-node ids, so any
+    membership change near the min node renames the whole cluster even
+    when 99% of members are unchanged — this operator undoes that churn.
+
+    Assignment rule (deterministic, two bounded reductions over the
+    contingency table):
+
+    1. Each new cluster CLAIMS the old cluster id it overlaps most
+       (ties -> greatest old id under struct ordering).
+    2. Each old id is AWARDED to the claimant with the largest overlap
+       (ties -> greatest new id) — an old id can survive into at most ONE
+       new cluster, so the output labeling stays a partition.
+    3. Losing / non-claiming clusters keep their own id under a ``new:``
+       prefix. The namespace is what makes non-collision STRUCTURAL: a
+       losing cluster's min-node label can coincide with an old id
+       awarded to a different cluster (old {b,c,d} splitting into {b} and
+       {a,c,d} awards id b to the larger piece while the {b} remnant is
+       also labeled b), and without the prefix those two distinct output
+       clusters would silently share an id.
+
+    Input/output: (node, cluster_id) frames; returns (node, stable_id)
+    over exactly ``new``'s nodes. Scale shape: one node equi-join into a
+    (new, old) contingency aggregate, then two cluster-keyed reductions
+    over that bounded table and one broadcast-sized mapping join back —
+    no windows over node-sized data, no collects."""
+    cont = (
+        new.join(old.withColumnsRenamed({"cluster_id": "_oc"}), "node")
+        .groupBy(F.col("cluster_id").alias("_nc"), "_oc")
+        .agg(F.count("*").alias("_n"))
+    )
+    claim = (
+        cont.groupBy("_nc")
+        .agg(F.max(F.struct(F.col("_n").alias("o"), F.col("_oc").alias("v"))).alias("_s"))
+        .select("_nc", F.col("_s.v").alias("_oc"), F.col("_s.o").alias("_n"))
+    )
+    award = (
+        claim.groupBy("_oc")
+        .agg(F.max(F.struct(F.col("_n").alias("o"), F.col("_nc").alias("v"))).alias("_s"))
+        .select("_oc", F.col("_s.v").alias("_win"))
+    )
+    mapping = (
+        claim.join(award, "_oc")
+        .where(F.col("_nc") == F.col("_win"))
+        .select("_nc", F.col("_oc").alias("_stable"))
+    )
+    return (
+        new.join(mapping, new["cluster_id"] == mapping["_nc"], "left")
+        .select(
+            "node",
+            F.coalesce(
+                "_stable", F.concat(F.lit("new:"), F.col("cluster_id"))
+            ).alias("stable_id"),
+        )
+    )

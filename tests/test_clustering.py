@@ -685,3 +685,99 @@ def test_agreement_matches_brute_force_random(spark):
         assert got["adjusted_rand"] == pytest.approx(
             want["adjusted_rand"], abs=5e-7
         ), f"seed={seed}"
+
+
+def _run_stable(spark, old, new):
+    from entity_linkings_spark.operators.clustering import stable_cluster_ids
+
+    mk = lambda d: spark.createDataFrame(  # noqa: E731
+        list(d.items()), "node string, cluster_id string"
+    )
+    return {r["node"]: r["stable_id"]
+            for r in stable_cluster_ids(mk(old), mk(new)).collect()}
+
+
+def _stable_model(old, new):
+    """Pure-python restatement of the claim/award/namespace rule."""
+    cont = {}
+    for n, nc in new.items():
+        if n in old:
+            key = (nc, old[n])
+            cont[key] = cont.get(key, 0) + 1
+    claim = {}
+    for (nc, oc), n in cont.items():
+        cur = claim.get(nc)
+        if cur is None or (n, oc) > cur:
+            claim[nc] = (n, oc)
+    award = {}
+    for nc, (n, oc) in claim.items():
+        cur = award.get(oc)
+        if cur is None or (n, nc) > cur:
+            award[oc] = (n, nc)
+    out = {}
+    for node, nc in new.items():
+        if nc in claim and award[claim[nc][1]][1] == nc:
+            out[node] = claim[nc][1]
+        else:
+            out[node] = "new:" + nc
+    return out
+
+
+def test_stable_ids_identity_on_unchanged_clustering(spark):
+    old = {"a": "a", "b": "a", "c": "c", "d": "c", "e": "e"}
+    got = _run_stable(spark, old, dict(old))
+    assert got == old  # every cluster is awarded its own id, no namespace
+
+
+def test_stable_ids_merge_takes_bigger_overlap(spark):
+    old = {"a": "a", "b": "a", "c": "c", "d": "c", "e": "c"}
+    new = {n: "a" for n in old}  # the two old clusters merged
+    got = _run_stable(spark, old, new)
+    assert set(got.values()) == {"c"}  # 3-member old cluster outweighs 2
+
+
+def test_stable_ids_split_keeps_id_on_larger_piece(spark):
+    old = {"a": "a", "b": "a", "c": "a", "d": "a"}
+    new = {"a": "a", "b": "a", "c": "a", "d": "d"}  # d split off
+    got = _run_stable(spark, old, new)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["d"] == "new:d"  # the remnant must NOT also read 'a'
+
+
+def test_stable_ids_namespace_prevents_label_collision(spark):
+    """Old {b,c,d} splits into {b} and {a,c,d}: the larger piece wins old
+    id 'b', and the {b} remnant's own min-node label is ALSO 'b' — the
+    namespace is what keeps the two output clusters distinct."""
+    old = {"b": "b", "c": "b", "d": "b"}
+    new = {"b": "b", "a": "a", "c": "a", "d": "a"}
+    got = _run_stable(spark, old, new)
+    assert got["a"] == got["c"] == got["d"] == "b"
+    assert got["b"] == "new:b"
+    # distinct new clusters -> distinct stable ids
+    assert len({got["a"], got["b"]}) == 2
+
+
+def test_stable_ids_all_new_nodes_get_namespaced_own_id(spark):
+    got = _run_stable(spark, {"x": "x"}, {"p": "p", "q": "p"})
+    assert got == {"p": "new:p", "q": "new:p"}
+
+
+def test_stable_ids_match_model_random(spark):
+    import random
+
+    for seed in range(4):
+        rng = random.Random(500 + seed)
+        nodes = [f"n{i:02d}" for i in range(36)]
+        old = {n: f"o{rng.randrange(7)}" for n in nodes if rng.random() < 0.8}
+        new = {n: f"c{rng.randrange(5)}" for n in nodes if rng.random() < 0.9}
+        got = _run_stable(spark, old, new)
+        want = _stable_model(old, new)
+        assert got == want, f"seed={seed}"
+        # partition sanity: same new cluster -> same stable id; distinct
+        # new clusters -> distinct stable ids
+        by_nc = {}
+        for n, nc in new.items():
+            by_nc.setdefault(nc, set()).add(got[n])
+        assert all(len(v) == 1 for v in by_nc.values())
+        ids = [next(iter(v)) for v in by_nc.values()]
+        assert len(ids) == len(set(ids)), f"seed={seed}: id collision"

@@ -169,7 +169,8 @@ def test_review_queue_gets_map_side_window_group_limit(spark):
 @pytest.mark.parametrize("name", ["cc_graph_metrics", "cc_threshold_sweep",
                                   "ann_ivf_suite", "cc_decremental",
                                   "dedup_simhash_suite", "cc_agreement",
-                                  "ann_lsh_suite", "cc_golden_record"])
+                                  "ann_lsh_suite", "cc_golden_record",
+                                  "cc_stable_ids", "dedup_neardup_suite"])
 def test_fourth_wave_no_cartesian_products(spark, name):
     # the wedge self-join and triangle-closure join are equi-joins on
     # (cluster_id, src) / (u, v); the sweep's relabel is a broadcast
