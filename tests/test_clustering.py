@@ -781,3 +781,35 @@ def test_stable_ids_match_model_random(spark):
         assert all(len(v) == 1 for v in by_nc.values())
         ids = [next(iter(v)) for v in by_nc.values()]
         assert len(ids) == len(set(ids)), f"seed={seed}: id collision"
+
+
+def test_stable_ids_compose_with_incremental_epoch(spark):
+    """The operational story the operator exists for: a streaming epoch
+    delivers new edges, incremental_components folds them in (min-node
+    labels, so a merge RENAMES the surviving cluster whenever the absorbed
+    side holds the smaller min node), and stable_cluster_ids restores
+    continuity — every cluster untouched by the delta keeps its exact old
+    id, and a merged cluster inherits the old id of its larger
+    constituent."""
+    from entity_linkings_spark.operators.clustering import stable_cluster_ids
+
+    base = [("m1", "m2"), ("m2", "m3"),       # cluster m1 (3 members)
+            ("a1", "a2"),                      # cluster a1 (2 members)
+            ("z8", "z9")]                      # cluster z8 (untouched)
+    df = spark.createDataFrame(base, "u string, v string")
+    old = connected_components(df).localCheckpoint()
+    # epoch delta: a0 joins the a-cluster (renames it a0), and a bridge
+    # merges the a-cluster into the m-cluster (min node a0 takes over)
+    delta = spark.createDataFrame(
+        [("a0", "a1"), ("a2", "m1")], "u string, v string"
+    )
+    new = incremental_components(old, delta)
+    got = {r["node"]: r["stable_id"]
+           for r in stable_cluster_ids(old, new).collect()}
+    # min-node labeling renamed the merged cluster to a0 in `new`...
+    assert {r["node"]: r["cluster_id"] for r in new.collect()}["m3"] == "a0"
+    # ...but the stable relabel hands back the LARGER constituent's old id
+    for n in ("m1", "m2", "m3", "a1", "a2", "a0"):
+        assert got[n] == "m1", n
+    # the untouched cluster keeps its id verbatim
+    assert got["z8"] == got["z9"] == "z8"
