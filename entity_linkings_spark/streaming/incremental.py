@@ -237,6 +237,59 @@ def apply_edge_epoch(labels_dir: str, edges: DataFrame, epoch_id: int) -> DataFr
     return spark.read.parquet(out_dir)
 
 
+def apply_stable_edge_epoch(
+    labels_dir: str, edges: DataFrame, epoch_id: int
+) -> DataFrame:
+    """apply_edge_epoch + ID CONTINUITY: the committed table is
+    (node, cluster_id, stable_id), where ``cluster_id`` keeps the min-node
+    contract incremental_components requires (so the O(delta) fold stays
+    available) and ``stable_id`` survives merges — min-node labels rename
+    the whole surviving cluster whenever the absorbed side holds the
+    smaller min node, which would churn every downstream consumer keyed by
+    cluster id (golden records, review queues, exported entity tables)
+    once per merge. Each epoch relabels the fresh min-node clustering
+    against the PREVIOUS epoch's stable ids with
+    operators.clustering.stable_cluster_ids (claim/award/`new:` namespace
+    — chaining is closed: inherited stable ids pass through verbatim and
+    only a cluster's own raw min-node label is ever newly prefixed).
+    First epoch: stable_id = cluster_id. Same commit protocol as
+    apply_edge_epoch (epoch dir + atomic CURRENT swap; replay after
+    commit short-circuits)."""
+    import os
+
+    from entity_linkings_spark.operators.clustering import (
+        connected_components,
+        incremental_components,
+        stable_cluster_ids,
+    )
+
+    spark = edges.sparkSession
+    os.makedirs(labels_dir, exist_ok=True)
+    name = f"epoch-{epoch_id}"
+    out_dir = os.path.join(labels_dir, name)
+    ptr = os.path.join(labels_dir, "CURRENT")
+    if _read_ptr(ptr) == name:
+        return spark.read.parquet(out_dir)
+    cur = read_cluster_labels(spark, labels_dir)
+    if cur is None:
+        updated = connected_components(edges)
+        committed = updated.select(
+            "node", "cluster_id", F.col("cluster_id").alias("stable_id")
+        )
+    else:
+        updated = incremental_components(
+            cur.select("node", "cluster_id"), edges
+        )
+        relabel = stable_cluster_ids(
+            cur.select("node", F.col("stable_id").alias("cluster_id")),
+            updated,
+        )
+        committed = updated.join(relabel, "node")
+    committed.write.mode("overwrite").parquet(out_dir)
+    _swap_ptr(ptr, name)  # atomic commit
+    return spark.read.parquet(out_dir)
+
+
 def clustering_maintenance_processor(labels_dir: str, edge_fn):
     """foreachBatch function maintaining the cross-epoch label table:
     ``edge_fn(batch)`` derives the micro-batch's match edges (u, v) —

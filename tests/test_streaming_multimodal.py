@@ -1414,3 +1414,57 @@ def test_label_store_nonmatch_verdicts_drive_decremental_clustering(spark, tmp_p
            for r in decremental_components(labels, edges, retract).collect()}
     # only b-c stays retracted: chain splits, x-y survives the relabel
     assert got == {"a": "a", "b": "a", "c": "c", "d": "c", "x": "x", "y": "x"}
+
+
+def test_stable_edge_epochs_keep_ids_across_merges(spark, tmp_path):
+    """The continuity contract of apply_stable_edge_epoch across three
+    epochs: cluster_id stays the raw min-node labeling (bit-equal to a
+    batch CC over all edges so far — the incremental_components contract),
+    while stable_id (1) never changes for clusters untouched by an epoch,
+    (2) survives a merge on the larger constituent even though the
+    min-node label renames, and (3) replays idempotently after commit."""
+    from entity_linkings_spark.operators.clustering import connected_components
+    from entity_linkings_spark.streaming.incremental import (
+        apply_stable_edge_epoch,
+        read_cluster_labels,
+    )
+
+    labels_dir = str(tmp_path / "stable-labels")
+    mk = lambda es: spark.createDataFrame(es, "u string, v string")  # noqa: E731
+
+    # epoch 1: three clusters m1{m1,m2,m3}, a1{a1,a2}, z8{z8,z9}
+    e1 = [("m1", "m2"), ("m2", "m3"), ("a1", "a2"), ("z8", "z9")]
+    t1 = {r["node"]: (r["cluster_id"], r["stable_id"])
+          for r in apply_stable_edge_epoch(labels_dir, mk(e1), 1).collect()}
+    assert t1["m3"] == ("m1", "m1") and t1["a2"] == ("a1", "a1")
+
+    # epoch 2: a0 joins and bridges a-cluster into m-cluster -> min-node
+    # label renames to a0, but the stable id stays m1 (larger constituent)
+    e2 = [("a0", "a1"), ("a2", "m1")]
+    t2 = {r["node"]: (r["cluster_id"], r["stable_id"])
+          for r in apply_stable_edge_epoch(labels_dir, mk(e2), 2).collect()}
+    for n in ("m1", "m2", "m3", "a0", "a1", "a2"):
+        assert t2[n] == ("a0", "m1"), n
+    assert t2["z8"] == ("z8", "z8")  # untouched cluster: both ids verbatim
+
+    # epoch 3: a brand-new cluster appears; everything else untouched
+    t3 = {r["node"]: (r["cluster_id"], r["stable_id"])
+          for r in apply_stable_edge_epoch(
+              labels_dir, mk([("q1", "q2")]), 3).collect()}
+    assert t3["q1"] == ("q1", "new:q1")  # genuinely new -> namespaced
+    assert t3["m3"] == ("a0", "m1") and t3["z9"] == ("z8", "z8")
+
+    # cluster_id column == batch CC over the union of all epochs' edges
+    batch = {r["node"]: r["cluster_id"]
+             for r in connected_components(mk(e1 + e2 + [("q1", "q2")])).collect()}
+    assert {n: c for n, (c, _) in t3.items()} == batch
+
+    # replay after commit is a pure no-op serving the committed table
+    replay = {r["node"]: (r["cluster_id"], r["stable_id"])
+              for r in apply_stable_edge_epoch(
+                  labels_dir, mk([("poison", "rows")]), 3).collect()}
+    assert replay == t3
+    # and the served view is the committed 3-column table
+    got = {r["node"]: (r["cluster_id"], r["stable_id"])
+           for r in read_cluster_labels(spark, labels_dir).collect()}
+    assert got == t3
