@@ -88,6 +88,13 @@ class LinkageConfig:
     fs_posterior_threshold: float = 0.5  # the UNTUNED Bayes point; the
     # fs-vs-blend tests show it reproduces the blend's best operating
     # point on the tiny corpus without any threshold search
+    golden: bool = False  # emit a `golden` output from run(): one
+    # canonical row per final cluster under deterministic survivorship
+    # rules (operators/canonicalize.golden_records — longest surface as
+    # the display form, modal resolved entity, max resolve score). Off by
+    # default so run()'s output dict and every default plan stay
+    # byte-identical; costs one hash aggregate plus one bounded
+    # (cluster, entity) count when on.
 
 
 class LinkagePipeline:
@@ -406,7 +413,7 @@ class LinkagePipeline:
             )
             .orderBy("conv_id", "turn_idx", "start")  # T6 stable ordering
         )
-        return {
+        out = {
             "mentions": mentions,
             "surfaces": surfaces,
             "pairs": pairs,
@@ -415,3 +422,27 @@ class LinkagePipeline:
             "resolved": resolved,
             "resolved_mentions": resolved_mentions,
         }
+        if self.cfg.golden:
+            out["golden"] = self.golden(clusters, surfaces, resolved)
+        return out
+
+    def golden(
+        self, clusters: DataFrame, surfaces: DataFrame, resolved: DataFrame
+    ) -> DataFrame:
+        """One canonical row per final cluster (golden-record
+        survivorship, operators/canonicalize.golden_records): the longest
+        member surface as the display form, the modal resolved entity id,
+        and the best resolve score — the exported entity table a consumer
+        reads instead of re-deriving canonical forms per query. All picks
+        are deterministic hash aggregates (ties -> greatest value)."""
+        from entity_linkings_spark.operators import canonicalize as G
+
+        records = surfaces.select("skey", "surface").join(
+            resolved.select("skey", "entity_id", "score"), "skey", "left"
+        )
+        return G.golden_records(
+            clusters,
+            records,
+            {"surface": "longest", "entity_id": "mode", "score": "max"},
+            key="skey",
+        )

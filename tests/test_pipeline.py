@@ -534,3 +534,36 @@ def test_threshold_sweep_on_real_scored_pairs(spark, tiny):
     # label volume is conserved at every threshold
     n = lp.count()
     assert all(r["tp"] + r["fp"] + r["fn"] + r["tn"] == n for r in tab.values())
+
+
+def test_golden_hook_emits_canonical_rows(spark, tiny):
+    """The config-gated golden-record output (LinkageConfig.golden): one
+    row per final cluster, the display surface is the LONGEST member
+    surface, the entity id is the cluster's modal resolved id, and the
+    default run() output dict is unchanged when the flag is off."""
+    from entity_linkings_spark.plans.pipeline import LinkageConfig
+
+    base = LinkagePipeline(tiny["dictionary"]).run(tiny["transcripts"])
+    assert "golden" not in base  # off by default: dict byte-identical
+
+    pipe = LinkagePipeline(tiny["dictionary"], config=LinkageConfig(golden=True))
+    out = pipe.run(tiny["transcripts"])
+    golden = {r["cluster_id"]: r.asDict() for r in out["golden"].collect()}
+    clusters = out["clusters"].collect()
+    by_c = {}
+    for r in clusters:
+        by_c.setdefault(r["cluster_id"], set()).add(r["node"])
+    assert set(golden) == set(by_c)  # exactly one row per cluster
+    surf = {r["skey"]: r["surface"]
+            for r in out["surfaces"].select("skey", "surface").collect()}
+    ents = {r["skey"]: r["entity_id"]
+            for r in out["resolved"].select("skey", "entity_id").collect()}
+    for cid, members in by_c.items():
+        g = golden[cid]
+        assert g["n_records"] == len(members)
+        want_surface = max((surf[m] for m in members), key=lambda s: (len(s), s))
+        assert g["surface"] == want_surface, cid
+        vals = [ents[m] for m in members if ents.get(m) is not None]
+        if vals:
+            counts = {v: vals.count(v) for v in set(vals)}
+            assert g["entity_id"] == max(vals, key=lambda v: (counts[v], v)), cid
