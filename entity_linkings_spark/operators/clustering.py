@@ -617,8 +617,15 @@ def clustering_agreement(left: DataFrame, right: DataFrame) -> DataFrame:
     cells = j.groupBy("lc", "rc").agg(F.count("*").alias("n"))
 
     def _pairs2(df: DataFrame, col: str, out: str) -> DataFrame:
+        # coalesce: a sum over ZERO rows (empty clusterings) is null, and a
+        # null pair count would null-poison every downstream metric instead
+        # of yielding the degenerate-perfect 1.0 row
         return (
-            df.agg(F.sum(F.col(col) * (F.col(col) - F.lit(1))).alias("_p2"))
+            df.agg(
+                F.coalesce(
+                    F.sum(F.col(col) * (F.col(col) - F.lit(1))), F.lit(0)
+                ).alias("_p2")
+            )
             .select(F.expr(f"CAST(_p2 DIV 2 AS BIGINT) AS {out}"))
         )
 

@@ -813,3 +813,19 @@ def test_stable_ids_compose_with_incremental_epoch(spark):
         assert got[n] == "m1", n
     # the untouched cluster keeps its id verbatim
     assert got["z8"] == got["z9"] == "z8"
+
+
+def test_agreement_empty_inputs_degenerate_perfect(spark):
+    """Two empty clusterings agree on every (zero) pair: the row must be
+    the exact-integer zeros + 1.0/1.0, never null-poisoned by the empty
+    aggregates."""
+    from entity_linkings_spark.operators.clustering import clustering_agreement
+
+    empty = spark.createDataFrame([], "node string, cluster_id string")
+    [row] = clustering_agreement(empty, empty).collect()
+    d = row.asDict()
+    assert d == {
+        "n_nodes": 0, "pairs_total": 0, "pairs_both": 0,
+        "pairs_left": 0, "pairs_right": 0, "splits": 0, "merges": 0,
+        "rand_index": 1.0, "adjusted_rand": 1.0,
+    }
