@@ -185,6 +185,14 @@ RETIRED = frozenset({
     # spare either way.
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    # sixth fold (late round 8): the run-detection and run-removal halves of
+    # exact-substring dedup share the dedup_substring_suite slot (same gram
+    # spine, same planted corpus, both per-row oracles kept verbatim),
+    # freeing the r9 slot j13_one_to_one (one-to-one bipartite assignment —
+    # distributed greedy matching, operators/assignment.py) takes — the r9
+    # rotation keeps exactly one spare either way.
+    "dedup_substring_runs",
+    "dedup_substring_cut",
 })
 
 

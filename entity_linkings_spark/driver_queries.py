@@ -3456,6 +3456,45 @@ def dedup_substring_cut(spark, sf):
     return D.cut_duplicate_substring_runs(dirty, k=10, min_len=25)
 
 
+# One UNION of the run-detection and run-removal halves of exact-substring
+# dedup, rows tagged by form — the sixth registry-ceiling fold (see
+# __spark_entry__.RETIRED): the halves share one gram spine and one planted
+# corpus, and each keeps the exact oracle its standalone row had, so the
+# value check is as strong as the two standalone rows were.
+_SUBSTRING_SUITE_SQL = f"""
+    SELECT 'runs' AS form, doc_id, span_start, span_end, span_len,
+           CAST(NULL AS VARCHAR) AS text
+    FROM ({ORACLES["dedup_substring_runs"]})
+    UNION ALL
+    SELECT 'cut' AS form, doc_id, CAST(NULL AS BIGINT) AS span_start,
+           CAST(NULL AS BIGINT) AS span_end, CAST(NULL AS BIGINT) AS span_len,
+           text
+    FROM ({ORACLES["dedup_substring_cut"]})
+"""
+
+
+@register("dedup_substring_suite", _SUBSTRING_SUITE_SQL)
+def dedup_substring_suite(spark, sf):
+    """Exact-substring dedup, detection and removal forms in one gated
+    table (operators/dedup.py duplicate_substring_runs /
+    cut_duplicate_substring_runs over the same spliced-quote plant). Each
+    form keeps the exact oracle its standalone row had."""
+    runs = dedup_substring_runs(spark, sf).select(
+        F.lit("runs").alias("form"),
+        "doc_id", "span_start", "span_end", "span_len",
+        F.lit(None).cast("string").alias("text"),
+    )
+    cut = dedup_substring_cut(spark, sf).select(
+        F.lit("cut").alias("form"),
+        "doc_id",
+        F.lit(None).cast("long").alias("span_start"),
+        F.lit(None).cast("long").alias("span_end"),
+        F.lit(None).cast("long").alias("span_len"),
+        "text",
+    )
+    return runs.unionByName(cut)
+
+
 @register(
     "quality_surprisal",
     """
@@ -5156,6 +5195,94 @@ def j12_meta_blocking(spark, sf):
         .select("block_key")
     )
     return meta_blocking_wnp(tk.join(capped, "block_key"), "skey")
+
+
+# ---- J13: one-to-one bipartite assignment (clean-clean linker mode) ---------
+# Heavy planted contention: every customer offers 3 candidate entities drawn
+# from a 40-slot space, so ~40 rights are fought over by 150-1500 lefts and
+# the matching genuinely needs multiple locally-dominant-edge rounds; scores
+# are md5-derived on a 97-level grid so the deterministic tie-break
+# (score DESC, partner id ASC) carries real weight. The oracle unrolls the
+# same three rounds as row_number windows + NOT IN retirement, so every
+# round's mutual-best set is value-checked, not just the final matching.
+
+_J13_ROUND_SQL = """
+    r{n} AS (SELECT left_id, right_id, score FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY left_id
+                                  ORDER BY score DESC, right_id) AS rl,
+               row_number() OVER (PARTITION BY right_id
+                                  ORDER BY score DESC, left_id) AS rr
+        FROM p{p}) WHERE rl = 1 AND rr = 1),
+    p{n} AS (SELECT * FROM p{p}
+             WHERE left_id NOT IN (SELECT left_id FROM r{n})
+               AND right_id NOT IN (SELECT right_id FROM r{n}))
+"""
+
+_J13_SQL = f"""
+    WITH pr AS (
+        SELECT DISTINCT 'c' || c_custkey AS left_id,
+               'e' || ((c_custkey * j) % 40) AS right_id
+        FROM customer, unnest([1, 2, 3]) AS t(j)),
+    p0 AS (
+        SELECT left_id, right_id,
+               CAST(('0x' || substr(md5(left_id || '|' || right_id), 1, 5))
+                    AS BIGINT) % 97 / 97.0 AS score
+        FROM pr),
+    {_J13_ROUND_SQL.format(n=1, p=0)},
+    {_J13_ROUND_SQL.format(n=2, p=1)},
+    {_J13_ROUND_SQL.format(n=3, p=2)}
+    SELECT left_id, right_id, score, CAST(1 AS INT) AS round FROM r1
+    UNION ALL SELECT left_id, right_id, score, 2 FROM r2
+    UNION ALL SELECT left_id, right_id, score, 3 FROM r3
+"""
+
+
+@register("j13_one_to_one", _J13_SQL)
+def j13_one_to_one(spark, sf):
+    """One-to-one bipartite assignment (operators/assignment.py
+    one_to_one_match): iterated locally-dominant-edge selection — the
+    distributed form of greedy matching by descending score — capped at 3
+    rounds to keep the oracle's unrolled-round shape exact. The reference
+    resolves each mention independently (top-1 argmax per mention,
+    candidate_reranker/crossencoder.py:142-162); this is the clean-clean
+    linkage decision stage that independent argmax cannot express."""
+    from entity_linkings_spark.operators.assignment import one_to_one_match
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    pairs = (
+        cust.select(
+            "c_custkey",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "left_id"
+            ),
+            F.concat(
+                F.lit("e"),
+                ((F.col("c_custkey") * F.col("j")) % 40).cast("string"),
+            ).alias("right_id"),
+        )
+        .distinct()
+        .withColumn(
+            "score",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat("left_id", F.lit("|"), "right_id")),
+                        1,
+                        5,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 97
+            ).cast("double")
+            / 97.0,
+        )
+    )
+    return one_to_one_match(pairs, max_rounds=3)
 
 
 # ---- CC repair: split low-density (over-merged) clusters --------------------

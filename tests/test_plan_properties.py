@@ -201,3 +201,42 @@ def test_graph_metrics_closure_is_semi_join(spark):
     p = _plan(spark, "cc_graph_metrics")
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize("name", ["dedup_substring_suite", "j13_one_to_one"])
+def test_fifth_wave_no_cartesian_products(spark, name):
+    # the substring suite unions two already-gated gram-spine plans; the
+    # matching's mutual join is an equi-join on (left_id, right_id)
+    assert "CartesianProduct" not in _plan(spark, name)
+
+
+def test_one_to_one_round_combines_map_side(spark):
+    """Each matching round's best-edge pick must partial-combine BEFORE its
+    exchange (one row per endpoint per task crosses the network) and use
+    no window: min_by over the (-score, partner) struct plans as a partial
+    SortAggregate below the exchange — the struct ordering excludes the
+    HashAggregate fast path, and the map-side combine is what makes the
+    round shuffle O(endpoints), not O(edges)."""
+    from pyspark.sql import functions as F
+
+    from entity_linkings_spark.operators.assignment import one_to_one_match
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    edges = cust.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("left_id"),
+        F.concat(F.lit("e"), (F.col("c_custkey") % 40).cast("string")).alias("right_id"),
+        (F.col("c_custkey") % 7).cast("double").alias("score"),
+    )
+    p = (
+        one_to_one_match(edges, max_rounds=1, checkpoint=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "partial_min_by" in p
+    # every exchange below a final min_by agg carries the partial agg's
+    # output, never raw edges: the partial agg appears before its exchange
+    first_partial = p.index("partial_min_by")
+    assert "min_by" in p[:first_partial], "final agg should sit above partial"
