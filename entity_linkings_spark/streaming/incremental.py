@@ -1221,3 +1221,91 @@ def compact_label_store(store_dir: str, spark: SparkSession) -> int:
     reducer keeps relabel supersession exact because each row carries its
     epoch)."""
     return _label_store(store_dir).compact(spark)
+
+
+# ---------------------------------------------------------------------------
+# Assignment store: streaming one-to-one matching (the 7th EpochStore family)
+# ---------------------------------------------------------------------------
+
+def _max_pair_score(df: DataFrame) -> DataFrame:
+    """Collapse re-arrived candidate pairs to their best score."""
+    return df.groupBy("left_id", "right_id").agg(F.max("score").alias("score"))
+
+
+def _assignment_store(store_dir: str) -> "EpochStore":
+    # matched rows are disjoint across epochs by construction (endpoints
+    # retire), so the matched family needs no reducer
+    return EpochStore(
+        store_dir, ["pairs", "matched"], {"pairs": _max_pair_score}
+    )
+
+
+def apply_assignment_epoch(
+    store_dir: str,
+    new_pairs: DataFrame,
+    epoch_id: int,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Epoch-incremental one-to-one assignment — the seventh EpochStore
+    family, the streaming twin of operators/assignment.one_to_one_match:
+    scored candidate pairs (left_id, right_id, score) ARRIVE in epochs
+    and matches are COMMITMENTS (a matched record is merged/published
+    downstream), so each epoch matches only the still-open pair pool:
+    every pair ever arrived whose endpoints are not yet taken — losers of
+    earlier epochs stay in the pool and can match later, but a committed
+    match is never displaced, even by a higher-scoring late arrival.
+    That is the online matching contract, and the honest divergence from
+    a batch rerun: epoch-fold greedy == batch greedy ONLY when no later
+    epoch outscores an earlier commitment (the parity test pins both the
+    agreement case and a constructed displacement divergence).
+
+    Per epoch: the pairs family appends the epoch's deduped arrivals
+    (O(delta) written); the open pool is the committed pairs view
+    anti-joined against matched endpoints (an O(store) read, same as the
+    gram store's spine re-read — the scan is the price of append-only
+    deltas); one one_to_one_match run over the pool; the matched family
+    appends the epoch's newly committed matches. Output = the epoch's
+    new matches (left_id, right_id, score, round, epoch); replay serves
+    the committed output verbatim."""
+    spark = new_pairs.sparkSession
+    store = _assignment_store(store_dir)
+    replay = store.replay_output(spark, epoch_id)
+    if replay is not None:
+        return replay
+    delta = _max_pair_score(
+        new_pairs.select(
+            F.col("left_id").cast("string"),
+            F.col("right_id").cast("string"),
+            F.col("score").cast("double"),
+        )
+    )
+    prior_pairs = store.read(spark, "pairs")
+    pool = (
+        _max_pair_score(prior_pairs.unionByName(delta))
+        if prior_pairs is not None
+        else delta
+    )
+    prior_matched = store.read(spark, "matched")
+    if prior_matched is not None:
+        pool = pool.join(
+            prior_matched.select("left_id"), "left_id", "left_anti"
+        ).join(prior_matched.select("right_id"), "right_id", "left_anti")
+    from ..operators.assignment import one_to_one_match
+
+    newly = one_to_one_match(pool, max_rounds=max_rounds).withColumn(
+        "epoch", F.lit(int(epoch_id))
+    )
+    return store.commit(epoch_id, {"pairs": delta, "matched": newly}, newly)
+
+
+def read_assignment_store(spark: SparkSession, store_dir: str) -> DataFrame | None:
+    """Committed matching so far: (left_id, right_id, score, round, epoch),
+    one-to-one on both sides across ALL epochs. None before the first
+    commit."""
+    return _assignment_store(store_dir).read(spark, "matched")
+
+
+def compact_assignment_store(store_dir: str, spark: SparkSession) -> int:
+    """Fold pair deltas into one best-score base and matched deltas into
+    one base (shared protocol; matched rows are already disjoint)."""
+    return _assignment_store(store_dir).compact(spark)

@@ -1468,3 +1468,93 @@ def test_stable_edge_epochs_keep_ids_across_merges(spark, tmp_path):
     got = {r["node"]: (r["cluster_id"], r["stable_id"])
            for r in read_cluster_labels(spark, labels_dir).collect()}
     assert got == t3
+
+
+def test_assignment_store_commitments_replay_compaction(spark, tmp_path):
+    """The 7th EpochStore family (apply_assignment_epoch): matches are
+    commitments — an epoch-1 loser matches a later arrival, a later
+    higher-scoring pair never displaces a committed match (the pinned
+    divergence from batch greedy) — and replay/compaction keep the
+    committed view identical."""
+    from entity_linkings_spark.streaming.incremental import (
+        apply_assignment_epoch,
+        compact_assignment_store,
+        read_assignment_store,
+    )
+
+    store = str(tmp_path / "assign")
+    sch = "left_id string, right_id string, score double"
+    epochs = {
+        1: [("l1", "r1", 0.9), ("l2", "r1", 0.8)],
+        2: [("l2", "r2", 0.3)],
+        3: [("l3", "r1", 0.99)],  # r1 is committed to l1: must NOT displace
+    }
+    outs = {}
+    for e, rows in epochs.items():
+        out = apply_assignment_epoch(store, spark.createDataFrame(rows, sch), e)
+        outs[e] = {(r["left_id"], r["right_id"], r["epoch"]) for r in out.collect()}
+    assert outs[1] == {("l1", "r1", 1)}
+    assert outs[2] == {("l2", "r2", 2)}  # the epoch-1 loser matched later
+    assert outs[3] == set()  # commitment holds against the 0.99 late pair
+    view = {(r["left_id"], r["right_id"], r["epoch"])
+            for r in read_assignment_store(spark, store).collect()}
+    assert view == {("l1", "r1", 1), ("l2", "r2", 2)}
+    # batch greedy on the union WOULD differ — the documented divergence
+    from entity_linkings_spark.operators.assignment import one_to_one_match
+
+    batch = one_to_one_match(
+        spark.createDataFrame(sum(epochs.values(), []), sch)
+    )
+    got_batch = {(r["left_id"], r["right_id"]) for r in batch.collect()}
+    assert got_batch == {("l3", "r1"), ("l2", "r2")}
+    assert got_batch != {(a, b) for a, b, _ in view}
+    # replay serves the committed output, not a recompute against a store
+    # already holding epoch 2's rows
+    replay = apply_assignment_epoch(
+        store, spark.createDataFrame(epochs[2], sch), 2
+    )
+    assert {(r["left_id"], r["right_id"], r["epoch"])
+            for r in replay.collect()} == outs[2]
+    # compaction folds both families and keeps the reader view identical
+    assert compact_assignment_store(store, spark) > 0
+    assert {(r["left_id"], r["right_id"], r["epoch"])
+            for r in read_assignment_store(spark, store).collect()} == view
+
+
+def test_assignment_store_parity_with_sequential_model(spark, tmp_path):
+    """Random-epoch parity: the store's cumulative matching equals a pure
+    Python epoch-sequential greedy model (arrive -> open pool -> greedy ->
+    commit), including best-score collapse of re-arrived pairs."""
+    import random
+
+    from entity_linkings_spark.streaming.incremental import (
+        apply_assignment_epoch,
+        read_assignment_store,
+    )
+
+    rng = random.Random(83)
+    store = str(tmp_path / "assign_rand")
+    sch = "left_id string, right_id string, score double"
+    pool, taken_l, taken_r, model = {}, set(), set(), set()
+    for e in range(1, 4):
+        rows = [
+            (f"l{rng.randint(0, 9)}", f"r{rng.randint(0, 6)}",
+             rng.randint(1, 9) / 9.0)
+            for _ in range(12)
+        ]
+        apply_assignment_epoch(store, spark.createDataFrame(rows, sch), e)
+        for l, r, s in rows:  # model: arrivals collapse to best score
+            pool[(l, r)] = max(pool.get((l, r), s), s)
+        open_pairs = sorted(
+            ((l, r, s) for (l, r), s in pool.items()
+             if l not in taken_l and r not in taken_r),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        for l, r, s in open_pairs:  # sequential greedy over the open pool
+            if l not in taken_l and r not in taken_r:
+                taken_l.add(l)
+                taken_r.add(r)
+                model.add((l, r))
+    got = {(r["left_id"], r["right_id"])
+           for r in read_assignment_store(spark, store).collect()}
+    assert got == model

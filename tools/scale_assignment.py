@@ -27,7 +27,12 @@ CORES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 N_LEFT = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
 DEGREE = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
-spark = get_spark(master=f"local[{CORES}]", shuffle_partitions=max(CORES, 8))
+# 4 partitions per core keeps each task's groupBy/min_by slice small enough
+# to aggregate in memory at any core count (the memory pool is shared across
+# concurrent tasks, so per-task slices must shrink as parallelism grows);
+# SPARK_GRAFT_DRIVER_MEM sizes the single local JVM — use the same value at
+# both core counts so the comparison varies parallelism only.
+spark = get_spark(master=f"local[{CORES}]", shuffle_partitions=4 * max(CORES, 8))
 spark.sparkContext.setLogLevel("ERROR")
 
 n_right = max(N_LEFT // 4, 1)
