@@ -5282,7 +5282,7 @@ def j13_one_to_one(spark, sf):
             / 97.0,
         )
     )
-    return one_to_one_match(pairs, max_rounds=3)
+    return one_to_one_match(pairs, max_rounds=3, assume_distinct=True)
 
 
 # ---- CC repair: split low-density (over-merged) clusters --------------------

@@ -48,6 +48,7 @@ def one_to_one_match(
     score_col: str = "score",
     max_rounds: int = 20,
     checkpoint: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Reduce scored candidate pairs to a one-to-one matching by iterated
     locally-dominant-edge selection (distributed greedy matching).
@@ -68,10 +69,17 @@ def one_to_one_match(
     raise ``max_rounds`` (rounds never exceed min(|L|, |R|)).
 
     Duplicate (left, right) rows are collapsed to their best score first
-    so the total order is over distinct edges.
+    so the total order is over distinct edges. ``assume_distinct=True``
+    skips that collapse — at scale it is a full shuffle + materialization
+    of the edge set (the measured dominant cost of the whole matching on
+    pre-deduped input), so callers that already aggregated per pair (the
+    epoch store's reducer, a blocking stage's groupBy) should pass it.
     """
     l, r, s = left_col, right_col, score_col
-    rem = pairs.groupBy(l, r).agg(F.max(s).alias(s))
+    if assume_distinct:
+        rem = pairs.select(l, r, s)
+    else:
+        rem = pairs.groupBy(l, r).agg(F.max(s).alias(s))
     if checkpoint:
         rem = rem.localCheckpoint(eager=False)
     spark = pairs.sparkSession

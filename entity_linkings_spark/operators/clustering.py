@@ -741,3 +741,190 @@ def stable_cluster_ids(old: DataFrame, new: DataFrame) -> DataFrame:
             ).alias("stable_id"),
         )
     )
+
+
+def source_conflict_audit(
+    labels: DataFrame,
+    records: DataFrame,
+    id_col: str = "node",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-cluster audit of the multi-source clean-ER invariant: when every
+    source file is internally duplicate-free, a cluster holding two records
+    from the SAME source provably contains an error (JedAI's clean-clean
+    setting generalized past two sources). Returns one row per cluster:
+    (cluster_id, n_records, n_sources, max_source_multiplicity,
+    n_conflicted_sources) — conflicted == any source with multiplicity > 1.
+    Records without a label self-singleton (the blocking_quality zero-row
+    lesson: the unclustered record must appear, not vanish). Two hash
+    aggregates over (cluster, source), never a pairwise join."""
+    lab = labels.select(F.col("node").cast("string"), "cluster_id")
+    rec = records.select(
+        F.col(id_col).cast("string").alias("node"),
+        F.col(source_col).cast("string").alias("_src"),
+    )
+    joined = rec.join(lab, "node", "left").select(
+        F.coalesce("cluster_id", F.col("node")).alias("cluster_id"), "_src"
+    )
+    per_src = joined.groupBy("cluster_id", "_src").agg(
+        F.count("*").alias("m")
+    )
+    return per_src.groupBy("cluster_id").agg(
+        F.sum("m").cast("long").alias("n_records"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.max("m").cast("long").alias("max_source_multiplicity"),
+        F.sum(F.when(F.col("m") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_conflicted_sources"),
+    )
+
+
+def source_consistent_components(
+    edges: DataFrame,
+    sources: DataFrame,
+    id_col: str = "node",
+    source_col: str = "source",
+    max_rounds: int = 30,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Constrained agglomerative clustering for multi-source clean ER:
+    connected components would happily chain records from one source into
+    a cluster; here a merge is LEGAL only while the two clusters' source
+    sets stay disjoint, so the invariant source_conflict_audit checks is
+    enforced BY CONSTRUCTION rather than repaired after.
+
+    Contract (deterministic): repeatedly merge the best legal cluster pair
+    — cluster-level edges carry the MAX original score between the two
+    clusters, ordered (score DESC, lo ASC, hi ASC) — until no legal pair
+    remains. Executed distributed as iterated locally-dominant legal
+    merges (the one_to_one_match argument lifted from matching to
+    contraction: per round, every cluster pair that is the best legal
+    edge of BOTH its clusters contracts; the globally best legal pair is
+    always mutual, so progress is guaranteed, and round merges touch
+    disjoint clusters, so the fixpoint equals the one-at-a-time
+    agglomeration — pinned against a pure-Python model on random
+    graphs). Labels keep the min-node contract (the canonical lower
+    label wins each merge), so outputs compose with
+    clusters_with_singletons / stable_cluster_ids unchanged.
+
+    Per round: one edge relabel (two label joins) + one (lo, hi) max
+    aggregate + a cluster-sized source-set disjointness join + the two
+    dominant-pick aggregates + a broadcast relabel of the merge map
+    (merge maps are matching-sized, never corpus-sized). Source sets
+    live at CLUSTER granularity and merge by array union — no
+    corpus-wide recollect per round. Rounds are bounded by
+    ``max_rounds`` (cluster count at least halves along any merge chain,
+    so fixpoints arrive in O(log n) rounds on real graphs; hitting the
+    cap raises rather than returning a half-contracted labeling).
+
+    ``edges``: (u, v, score). ``sources``: (id_col, source_col) — the
+    record universe; every edge endpoint must appear in it (raises
+    otherwise: a silently dropped endpoint would fake consistency).
+    Returns (node, cluster_id) over the full record universe.
+    """
+    spark = edges.sparkSession
+    src = sources.select(
+        F.col(id_col).cast("string").alias("node"),
+        F.col(source_col).cast("string").alias("_src"),
+    )
+    e0 = edges.select(
+        F.col("u").cast("string"),
+        F.col("v").cast("string"),
+        F.col("score").cast("double"),
+    ).where(F.col("u") != F.col("v"))
+    n_missing = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .distinct()
+        .join(src.select("node"), "node", "left_anti")
+        .count()
+    )
+    if n_missing:
+        raise ValueError(
+            f"source_consistent_components: {n_missing} edge endpoint(s) "
+            "missing from the sources table"
+        )
+    lab = src.select("node", F.col("node").alias("cluster_id"))
+    srcsets = src.select(
+        F.col("node").alias("cluster_id"), F.array("_src").alias("_srcs")
+    )
+    if checkpoint:
+        lab = lab.localCheckpoint(eager=False)
+        srcsets = srcsets.localCheckpoint(eager=False)
+    for _ in range(max_rounds):
+        lu = lab.select(F.col("node").alias("u"), F.col("cluster_id").alias("la"))
+        lv = lab.select(F.col("node").alias("v"), F.col("cluster_id").alias("lb"))
+        ce = (
+            e0.join(lu, "u").join(lv, "v")
+            .where(F.col("la") != F.col("lb"))
+            .select(
+                F.least("la", "lb").alias("lo"),
+                F.greatest("la", "lb").alias("hi"),
+                "score",
+            )
+            .groupBy("lo", "hi")
+            .agg(F.max("score").alias("score"))
+        )
+        legal = (
+            ce.join(
+                srcsets.select(F.col("cluster_id").alias("lo"),
+                               F.col("_srcs").alias("_sl")), "lo")
+            .join(
+                srcsets.select(F.col("cluster_id").alias("hi"),
+                               F.col("_srcs").alias("_sh")), "hi")
+            .where(F.size(F.array_intersect("_sl", "_sh")) == 0)
+            .select("lo", "hi", "score")
+        )
+        # locally dominant legal pairs: best legal edge of BOTH clusters.
+        # Unlike the bipartite matching, a cluster takes BOTH orientations
+        # in the canonical (lo, hi) edge table, so its best partner must be
+        # aggregated over a symmetrized view — per-orientation bests would
+        # let one cluster join two merges in a round (a relabel chain that
+        # corrupts labels) and let a non-best edge pass as dominant.
+        sym = legal.select(
+            F.col("lo").alias("c"), F.col("hi").alias("p"), "score"
+        ).unionByName(
+            legal.select(
+                F.col("hi").alias("c"), F.col("lo").alias("p"), "score"
+            )
+        )
+        best = sym.groupBy("c").agg(
+            F.min_by(F.col("p"), F.struct(-F.col("score"), F.col("p"))).alias("p")
+        )
+        merges = (
+            legal.join(
+                best.select(F.col("c").alias("lo"), F.col("p").alias("_plo")),
+                "lo",
+            )
+            .join(
+                best.select(F.col("c").alias("hi"), F.col("p").alias("_phi")),
+                "hi",
+            )
+            .where((F.col("_plo") == F.col("hi")) & (F.col("_phi") == F.col("lo")))
+            .select("lo", "hi")
+        )
+        if checkpoint:
+            merges = merges.localCheckpoint(eager=False)
+        if merges.limit(1).count() == 0:
+            return lab
+        remap = merges.select(
+            F.col("hi").alias("cluster_id"), F.col("lo").alias("_new")
+        )
+        lab = lab.join(F.broadcast(remap), "cluster_id", "left").select(
+            "node", F.coalesce("_new", F.col("cluster_id")).alias("cluster_id")
+        )
+        srcsets = (
+            srcsets.join(F.broadcast(remap), "cluster_id", "left")
+            .select(
+                F.coalesce("_new", F.col("cluster_id")).alias("cluster_id"),
+                "_srcs",
+            )
+            .groupBy("cluster_id")
+            .agg(F.array_distinct(F.flatten(F.collect_list("_srcs"))).alias("_srcs"))
+        )
+        if checkpoint:
+            lab = lab.localCheckpoint(eager=False)
+            srcsets = srcsets.localCheckpoint(eager=False)
+    raise RuntimeError(
+        f"source_consistent_components: no fixpoint in {max_rounds} rounds"
+    )

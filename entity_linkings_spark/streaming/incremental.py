@@ -1292,7 +1292,9 @@ def apply_assignment_epoch(
         ).join(prior_matched.select("right_id"), "right_id", "left_anti")
     from ..operators.assignment import one_to_one_match
 
-    newly = one_to_one_match(pool, max_rounds=max_rounds).withColumn(
+    newly = one_to_one_match(
+        pool, max_rounds=max_rounds, assume_distinct=True
+    ).withColumn(
         "epoch", F.lit(int(epoch_id))
     )
     return store.commit(epoch_id, {"pairs": delta, "matched": newly}, newly)

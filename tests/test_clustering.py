@@ -829,3 +829,141 @@ def test_agreement_empty_inputs_degenerate_perfect(spark):
         "pairs_left": 0, "pairs_right": 0, "splits": 0, "merges": 0,
         "rand_index": 1.0, "adjusted_rand": 1.0,
     }
+
+
+# ---------------------------------------------------------------------------
+# source-consistent clustering (multi-source clean ER)
+# ---------------------------------------------------------------------------
+
+def _scc(spark, edges, sources, **kw):
+    from entity_linkings_spark.operators.clustering import (
+        source_consistent_components,
+    )
+
+    e = spark.createDataFrame(edges, "u string, v string, score double")
+    s = spark.createDataFrame(sources, "node string, source string")
+    rows = source_consistent_components(e, s, **kw).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["cluster_id"], set()).add(r["node"])
+    return {frozenset(v) for v in out.values()}
+
+
+def _scc_model(edges, sources):
+    """One-at-a-time agglomeration: repeatedly merge the best legal cluster
+    pair, cluster edges = max original score, order (score desc, lo, hi),
+    legal = source sets disjoint."""
+    src = dict(sources)
+    label = {n: n for n, _ in sources}
+
+    def cluster_nodes():
+        cl = {}
+        for n, c in label.items():
+            cl.setdefault(c, set()).add(n)
+        return cl
+
+    while True:
+        cl = cluster_nodes()
+        ce = {}
+        for u, v, s in edges:
+            a, b = label[u], label[v]
+            if a == b:
+                continue
+            lo, hi = min(a, b), max(a, b)
+            ce[(lo, hi)] = max(ce.get((lo, hi), s), s)
+        legal = [
+            (lo, hi, s) for (lo, hi), s in ce.items()
+            if not ({src[n] for n in cl[lo]} & {src[n] for n in cl[hi]})
+        ]
+        if not legal:
+            return {frozenset(v) for v in cl.values()}
+        lo, hi, _ = min(legal, key=lambda t: (-t[2], t[0], t[1]))
+        for n in cl[hi]:
+            label[n] = lo
+
+
+def test_scc_blocks_same_source_merge(spark):
+    # a-b legal; c shares a source with a, so {a,b}-c stays split even
+    # though the edge score is high
+    edges = [("a", "b", 0.9), ("b", "c", 0.95), ("a", "c", 0.2)]
+    sources = [("a", "s1"), ("b", "s2"), ("c", "s1")]
+    # b-c is the best edge and legal FIRST (b:s2, c:s1) — so greedy merges
+    # b-c, then a (s1) conflicts with {b,c} -> a stays singleton
+    got = _scc(spark, edges, sources)
+    assert got == {frozenset({"b", "c"}), frozenset({"a"})}
+
+
+def test_scc_equals_unconstrained_cc_when_sources_unique(spark):
+    edges = [("a", "b", 0.5), ("b", "c", 0.4), ("d", "e", 0.9)]
+    sources = [(n, f"s_{n}") for n in "abcdef"]
+    got = _scc(spark, edges, sources)
+    assert got == {frozenset("abc"), frozenset("de"), frozenset("f")}
+
+
+def test_scc_min_label_contract_and_singletons(spark):
+    edges = [("n3", "n1", 0.7)]
+    sources = [("n1", "x"), ("n3", "y"), ("n9", "z")]
+    from entity_linkings_spark.operators.clustering import (
+        source_consistent_components,
+    )
+
+    e = spark.createDataFrame(edges, "u string, v string, score double")
+    s = spark.createDataFrame(sources, "node string, source string")
+    got = {r["node"]: r["cluster_id"]
+           for r in source_consistent_components(e, s).collect()}
+    assert got == {"n1": "n1", "n3": "n1", "n9": "n9"}
+
+
+def test_scc_missing_endpoint_raises(spark):
+    import pytest as _pytest
+
+    from entity_linkings_spark.operators.clustering import (
+        source_consistent_components,
+    )
+
+    e = spark.createDataFrame([("a", "zz", 0.5)], "u string, v string, score double")
+    s = spark.createDataFrame([("a", "s1")], "node string, source string")
+    with _pytest.raises(ValueError, match="missing from the sources"):
+        source_consistent_components(e, s)
+
+
+def test_scc_parity_with_sequential_agglomeration(spark):
+    import random
+
+    rng = random.Random(59)
+    for trial in range(3):
+        n = rng.randint(8, 14)
+        nodes = [f"n{i:02d}" for i in range(n)]
+        sources = [(x, f"s{rng.randint(0, 3)}") for x in nodes]
+        edges = []
+        for _ in range(rng.randint(8, 20)):
+            u, v = rng.sample(nodes, 2)
+            edges.append((u, v, rng.randint(1, 9) / 9.0))
+        got = _scc(spark, edges, sources, max_rounds=40)
+        want = _scc_model(edges, sources)
+        assert got == want, f"trial {trial}"
+        # invariant: no cluster ever holds two records of one source
+        src = dict(sources)
+        for cl in got:
+            srcs = [src[x] for x in cl]
+            assert len(srcs) == len(set(srcs))
+
+
+def test_source_conflict_audit_counts(spark):
+    from entity_linkings_spark.operators.clustering import source_conflict_audit
+
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c2")],
+        "node string, cluster_id string",
+    )
+    records = spark.createDataFrame(
+        [("a", "s1"), ("b", "s1"), ("c", "s2"), ("d", "s1"), ("e", "s9")],
+        "node string, source string",
+    )
+    got = {r["cluster_id"]: r.asDict()
+           for r in source_conflict_audit(labels, records).collect()}
+    assert got["c1"]["n_records"] == 3 and got["c1"]["n_sources"] == 2
+    assert got["c1"]["max_source_multiplicity"] == 2
+    assert got["c1"]["n_conflicted_sources"] == 1
+    assert got["c2"]["max_source_multiplicity"] == 1
+    assert got["e"]["n_records"] == 1  # unlabeled record self-singletons
