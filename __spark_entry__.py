@@ -193,6 +193,17 @@ RETIRED = frozenset({
     # rotation keeps exactly one spare either way.
     "dedup_substring_runs",
     "dedup_substring_cut",
+    # seventh fold (late round 8): the as-of and range temporal joins share
+    # the w_temporal_suite slot (both native-DuckDB oracles kept verbatim,
+    # nulls typed per form). Unlike the earlier folds, the retired rows
+    # were r6-fresh and OWED an r8 window slot — the suite takes that slot
+    # itself, so the temporal surface stays checked in round 8, and the
+    # second freed slot goes to the new cc_source_audit (multi-source
+    # clean-ER invariant over the near-dup components; the enforcement
+    # operator source_consistent_components is pytest-gated — no
+    # fixed-round SQL form for its fixpoint).
+    "w2_asof_join",
+    "w3_range_join",
 })
 
 
@@ -288,6 +299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 new / changed
         "a10_bcubed",
         "a9_blocking_quality",
+        # late round 8: the temporal fold's suite takes the window slot its
+        # r6-fresh constituents owed; cc_source_audit takes the other
+        "w_temporal_suite",
+        "cc_source_audit",
         # late-round-7 queries that never had a driver row (the enforced
         # NEW-UNCHECKED promise — see tools/check_freshness.py)
         "j12_meta_blocking",
@@ -318,8 +333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_append_topk",
         "j4_prior_cascade",
         "score_pairs",
-        "w2_asof_join",
-        "w3_range_join",
         "f4_word_tokens",
         "f5_char_ngrams",
         "f_redact_pii",

@@ -2133,6 +2133,60 @@ def w3_range_join(spark, sf):
     ).select("event_id", "user_id", "tms", "session_seq", "start_ms", "end_ms")
 
 
+# One UNION of the as-of and range temporal joins, rows tagged by form —
+# the seventh registry-ceiling fold (see __spark_entry__.RETIRED): both
+# forms keep the exact oracle their standalone rows had (DuckDB native
+# ASOF LEFT JOIN / native inequality join), nulls typed per form.
+_TEMPORAL_SUITE_SQL = f"""
+    SELECT 'asof' AS form, event_id, user_id, tms, value,
+           click_value_asof, tms_asof,
+           CAST(NULL AS INT) AS session_seq,
+           CAST(NULL AS BIGINT) AS start_ms, CAST(NULL AS BIGINT) AS end_ms
+    FROM ({{w2}})
+    UNION ALL
+    SELECT 'range' AS form, event_id, user_id, tms,
+           CAST(NULL AS DOUBLE) AS value,
+           CAST(NULL AS DOUBLE) AS click_value_asof,
+           CAST(NULL AS BIGINT) AS tms_asof,
+           session_seq, start_ms, end_ms
+    FROM ({{w3}})
+"""
+
+
+def _register_temporal_suite():
+    sql = _TEMPORAL_SUITE_SQL.format(
+        w2=ORACLES["w2_asof_join"], w3=ORACLES["w3_range_join"]
+    )
+
+    @register("w_temporal_suite", sql)
+    def w_temporal_suite(spark, sf):
+        """As-of and range temporal joins in one gated table
+        (operators/temporal.py asof_join / range_join_buckets). Each form
+        keeps the exact oracle its standalone row had."""
+        asof = w2_asof_join(spark, sf).select(
+            F.lit("asof").alias("form"),
+            "event_id", "user_id", "tms", "value",
+            "click_value_asof", "tms_asof",
+            F.lit(None).cast("int").alias("session_seq"),
+            F.lit(None).cast("long").alias("start_ms"),
+            F.lit(None).cast("long").alias("end_ms"),
+        )
+        rng = w3_range_join(spark, sf).select(
+            F.lit("range").alias("form"),
+            "event_id", "user_id", "tms",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(None).cast("double").alias("click_value_asof"),
+            F.lit(None).cast("long").alias("tms_asof"),
+            "session_seq", "start_ms", "end_ms",
+        )
+        return asof.unionByName(rng)
+
+    return w_temporal_suite
+
+
+w_temporal_suite = _register_temporal_suite()
+
+
 # ---- J9: wiki_map 4-way left join + redirect chase --------------------------
 
 @register(
@@ -5802,6 +5856,64 @@ def cc_stable_ids(spark, sf):
     old = connected_components(sims.where(F.col("sim") >= 0.3).select("u", "v"))
     new = connected_components(sims.where(F.col("sim") >= 0.15).select("u", "v"))
     return stable_cluster_ids(old, new)
+
+
+# ---- multi-source clean-ER audit (round 8) ----------------------------------
+# Clusters = the Jaccard>=0.5 near-dup components (the cc_components
+# contract, restated by its recursive-CTE oracle); sources = the documents
+# table's own `source` column. Near-dup clusters routinely hold several
+# docs from ONE crawl source, so the invariant genuinely fires here:
+# max_source_multiplicity > 1 rows are the clean-ER violations
+# source_consistent_components would have prevented.
+
+_CC_SOURCE_AUDIT_SQL = """
+    WITH lab AS ({cc}),
+    rec AS (SELECT CAST(doc_id AS VARCHAR) AS node, source FROM documents),
+    j AS (SELECT COALESCE(CAST(l.cluster_id AS VARCHAR), r.node) AS cluster_id,
+                 r.source
+          FROM rec r LEFT JOIN lab l ON CAST(l.node AS VARCHAR) = r.node),
+    per AS (SELECT cluster_id, source, count(*) AS m
+            FROM j GROUP BY cluster_id, source)
+    SELECT cluster_id,
+           CAST(sum(m) AS BIGINT) AS n_records,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(max(m) AS BIGINT) AS max_source_multiplicity,
+           CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_conflicted_sources
+    FROM per GROUP BY cluster_id
+"""
+
+
+def _register_cc_source_audit():
+    @register(
+        "cc_source_audit",
+        _CC_SOURCE_AUDIT_SQL.format(cc=ORACLES["cc_components"]),
+    )
+    def cc_source_audit(spark, sf):
+        """Multi-source clean-ER audit (operators/clustering.py
+        source_conflict_audit) over the near-dup components: one row per
+        cluster with per-source multiplicity counts; every document
+        appears (unclustered docs self-singleton). The companion
+        enforcement operator source_consistent_components is pytest-gated
+        (its fixpoint has no fixed-round SQL form); this row gates the
+        invariant the enforcement exists to keep."""
+        from entity_linkings_spark.operators.clustering import (
+            source_conflict_audit,
+        )
+
+        labels = cc_components(spark, sf).select(
+            F.col("node").cast("string").alias("node"),
+            F.col("cluster_id").cast("string").alias("cluster_id"),
+        )
+        docs = _docs(spark, sf).select(
+            F.col("doc_id").cast("string").alias("node"), "source"
+        )
+        return source_conflict_audit(labels, docs)
+
+    return cc_source_audit
+
+
+cc_source_audit = _register_cc_source_audit()
 
 
 # ---- Fellegi-Sunter front end + unlinkables audit (round 8) ------------------

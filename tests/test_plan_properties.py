@@ -203,10 +203,13 @@ def test_graph_metrics_closure_is_semi_join(spark):
     assert "CartesianProduct" not in p
 
 
-@pytest.mark.parametrize("name", ["dedup_substring_suite", "j13_one_to_one"])
+@pytest.mark.parametrize("name", ["dedup_substring_suite", "j13_one_to_one",
+                                  "w_temporal_suite", "cc_source_audit"])
 def test_fifth_wave_no_cartesian_products(spark, name):
     # the substring suite unions two already-gated gram-spine plans; the
-    # matching's mutual join is an equi-join on (left_id, right_id)
+    # matching's mutual join is an equi-join on (left_id, right_id); the
+    # temporal suite unions the gated as-of/range plans; the source audit
+    # is two label joins + two hash aggregates
     assert "CartesianProduct" not in _plan(spark, name)
 
 
