@@ -138,6 +138,12 @@ HEADLINE = [
     # keep their frozen rows, so the folded dedup_neardup_suite is NOT
     # benched separately (same rule as the other suites).
     "cc_stable_ids",
+    # round-8 fifth wave: one-to-one bipartite assignment (the linker-mode
+    # decision stage) and the multi-source clean-ER audit. The substring
+    # and temporal rows above keep their frozen rows, so the folded
+    # dedup_substring_suite / w_temporal_suite are NOT benched separately.
+    "j13_one_to_one",
+    "cc_source_audit",
 ]
 
 # the composed flagships get a third timed run (VERDICT r7: min-of-2 left

@@ -140,6 +140,33 @@ def cmd_build_artifacts(args) -> int:
     return 0
 
 
+def cmd_link(args) -> int:
+    """Clean-clean two-file linkage (linker mode, plans/linker.py): read two
+    record parquet files, emit matches + unmatched audits as parquet under
+    --store, print the stage row counts. The linker analogue of ``run`` —
+    cross-source-only blocking, one-to-one decisions."""
+    from entity_linkings_spark.plans.linker import LinkerConfig, link_datasets
+
+    spark = _session(args)
+    left = spark.read.parquet(args.left)
+    right = spark.read.parquet(args.right)
+    cfg = LinkerConfig(
+        fs_match=args.fs,
+        min_score=args.min_score,
+    )
+    out = link_datasets(
+        left, right,
+        id_col=args.id_col, surface_col=args.surface_col, config=cfg,
+    )
+    counts = {}
+    for name in ("matches", "unmatched_left", "unmatched_right"):
+        path = os.path.join(args.store, f"link_{name}")
+        out[name].write.mode("overwrite").parquet(path)
+        counts[name] = spark.read.parquet(path).count()
+    print(json.dumps(counts))
+    return 0
+
+
 def cmd_datagen(args) -> int:
     from entity_linkings_spark.datagen import ensure_dataset
 
@@ -155,6 +182,7 @@ def main(argv=None) -> int:
         ("run", cmd_run),
         ("evaluate", cmd_evaluate),
         ("build-artifacts", cmd_build_artifacts),
+        ("link", cmd_link),
         ("datagen", cmd_datagen),
     ):
         sp = sub.add_parser(name)
@@ -165,6 +193,15 @@ def main(argv=None) -> int:
         sp.add_argument("--store", default="/tmp/el_spark_store")
         sp.add_argument("--fingerprint", help="input fingerprint for resume identity")
         sp.add_argument("--master", help="override spark master")
+        if name == "link":
+            sp.add_argument("--left", required=True, help="left record parquet")
+            sp.add_argument("--right", required=True, help="right record parquet")
+            sp.add_argument("--id-col", dest="id_col", default="record_id")
+            sp.add_argument("--surface-col", dest="surface_col", default="surface")
+            sp.add_argument("--fs", action="store_true",
+                            help="Fellegi-Sunter posterior decisions")
+            sp.add_argument("--min-score", dest="min_score", type=float,
+                            default=0.5)
     args = p.parse_args(argv)
     return args.fn(args)
 
