@@ -497,3 +497,111 @@ def threshold_sweep(
             / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1))
         ).alias("f1"),
     ).orderBy("threshold")
+
+
+def select_blocking_schemes(
+    records: DataFrame,
+    keys: DataFrame,
+    target_completeness: float = 0.95,
+    max_schemes: int | None = None,
+) -> DataFrame:
+    """Evidence-driven blocking-plan construction: greedy weighted set
+    cover over the gold pairs — blocking_quality tells you how each
+    scheme scored; this tells you WHICH schemes to run, in which order,
+    and when to stop. (Dedupe.io learns blocking rules the same way —
+    greedy cover of labeled matches against rule cost; Splink leaves the
+    choice to the user. At 100 TB the union-of-schemes choice IS the job
+    cost, so it deserves an operator, not a hunch.)
+
+    Same interface as blocking_quality: ``records`` = (skey, entity_id)
+    gold labels, ``keys`` = (scheme, skey, bkey) block memberships.
+    Greedy loop: pick the scheme covering the most still-uncovered gold
+    pairs (ties -> lower candidate-pair cost, then scheme name), retire
+    its covered pairs, stop when cumulative pair-completeness reaches
+    ``target_completeness``, no scheme adds coverage, or ``max_schemes``
+    is hit. Returns the selection table (step, scheme,
+    marginal_covered, cum_covered, cum_completeness, n_cand_pairs,
+    cum_cand_pairs) — ``step`` orders the plan; schemes never selected
+    do not appear (blocking_quality is the per-scheme audit; this is the
+    plan).
+
+    Scale posture: the scheme->covered-pair table joins gold pairs to
+    keys on (entity-derived pair) x (scheme, bkey) — distributed, never
+    collected; each greedy iteration costs ONE n_schemes-row aggregate
+    collect plus a delta anti-join of the uncovered frontier, and
+    iterations are bounded by the (small) scheme count. Scheme costs are
+    sum C(block, 2) integer arithmetic, never materialized pairs.
+    """
+    ent = records.select("skey", "entity_id")
+    gold = (
+        ent.alias("a")
+        .join(ent.alias("b"), "entity_id")
+        .where(F.col("a.skey") < F.col("b.skey"))
+        .select(F.col("a.skey").alias("pa"), F.col("b.skey").alias("pb"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_gold = gold.count()
+    spark = records.sparkSession
+    out_schema = (
+        "step int, scheme string, marginal_covered long, cum_covered long, "
+        "cum_completeness double, n_cand_pairs long, cum_cand_pairs long"
+    )
+    if n_gold == 0:
+        return spark.createDataFrame([], out_schema)
+    ka = keys.select(
+        "scheme", "bkey", F.col("skey").alias("pa")
+    )
+    kb = keys.select("scheme", "bkey", F.col("skey").alias("pb"))
+    cov = (
+        gold.join(ka, "pa")
+        .join(kb, ["scheme", "bkey", "pb"], "left_semi")
+        .select("scheme", "pa", "pb")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    costs = {
+        r["scheme"]: r["cost"]
+        for r in (
+            keys.groupBy("scheme", "bkey")
+            .agg(F.count("*").alias("m"))
+            .groupBy("scheme")
+            .agg(F.sum(F.expr("m * (m - 1) div 2")).cast("long").alias("cost"))
+            .collect()
+        )
+    }
+    rows, covered, cum_cost, remaining = [], 0, 0, gold
+    chosen: set[str] = set()
+    while True:
+        if max_schemes is not None and len(rows) >= max_schemes:
+            break
+        marg = {
+            r["scheme"]: r["n"]
+            for r in (
+                cov.join(remaining, ["pa", "pb"], "left_semi")
+                .groupBy("scheme")
+                .agg(F.count("*").cast("long").alias("n"))
+                .collect()
+            )
+            if r["scheme"] not in chosen and r["n"] > 0
+        }
+        if not marg:
+            break
+        best = min(marg, key=lambda s: (-marg[s], costs.get(s, 0), s))
+        chosen.add(best)
+        covered += marg[best]
+        cum_cost += costs.get(best, 0)
+        rows.append(
+            (
+                len(rows) + 1, best, marg[best], covered,
+                covered / n_gold, costs.get(best, 0), cum_cost,
+            )
+        )
+        if covered / n_gold >= target_completeness:
+            break
+        remaining = remaining.join(
+            cov.where(F.col("scheme") == best).select("pa", "pb"),
+            ["pa", "pb"],
+            "left_anti",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(rows, out_schema)

@@ -270,3 +270,115 @@ def test_global_rank_empty_input(spark):
     df = spark.createDataFrame([], "k string, id string")
     assert B.global_rank(df, ["k", "id"]).count() == 0
     assert B.sorted_neighborhood_pairs(df, "k", "id").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# greedy blocking-scheme selection (weighted set cover over gold pairs)
+# ---------------------------------------------------------------------------
+
+def _select_model(records, keys, target=0.95, max_schemes=None):
+    """Reference greedy: most uncovered gold pairs, ties -> lower sum
+    C(block,2) cost, then name."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    ents = defaultdict(list)
+    for skey, ent in records:
+        ents[ent].append(skey)
+    gold = set()
+    for members in ents.values():
+        for a, b in combinations(sorted(members), 2):
+            gold.add((a, b))
+    blocks = defaultdict(set)
+    for scheme, skey, bkey in keys:
+        blocks[(scheme, bkey)].add(skey)
+    cov = defaultdict(set)
+    costs = defaultdict(int)
+    for (scheme, _), members in blocks.items():
+        costs[scheme] += len(members) * (len(members) - 1) // 2
+        for a, b in combinations(sorted(members), 2):
+            if (a, b) in gold:
+                cov[scheme].add((a, b))
+    rows, covered, chosen = [], set(), set()
+    while max_schemes is None or len(rows) < max_schemes:
+        marg = {s: len(c - covered) for s, c in cov.items()
+                if s not in chosen and c - covered}
+        if not marg:
+            break
+        best = min(marg, key=lambda s: (-marg[s], costs[s], s))
+        chosen.add(best)
+        covered |= cov[best]
+        rows.append((len(rows) + 1, best, marg[best], len(covered)))
+        if len(covered) / len(gold) >= target:
+            break
+    return rows
+
+
+def _run_select(spark, records, keys, **kw):
+    from entity_linkings_spark.operators.evaluate import select_blocking_schemes
+
+    r = spark.createDataFrame(records, "skey string, entity_id string")
+    k = spark.createDataFrame(keys, "scheme string, skey string, bkey string")
+    return [
+        (x["step"], x["scheme"], x["marginal_covered"], x["cum_covered"])
+        for x in select_blocking_schemes(r, k, **kw)
+        .orderBy("step")
+        .collect()
+    ]
+
+
+def test_select_schemes_hand_case(spark):
+    # entity e1 = {a, b, c}; gold pairs: ab, ac, bc. Scheme tok covers all
+    # three in one block of 4 (cost 6); scheme init covers only ab (block
+    # of 2, cost 1); scheme zip covers nothing. Greedy: tok first (3 > 1),
+    # then nothing left -> init never selected, zip never appears.
+    records = [("a", "e1"), ("b", "e1"), ("c", "e1"), ("d", "e2")]
+    keys = [
+        ("tok", s, "t1") for s in "abcd"
+    ] + [("init", "a", "i1"), ("init", "b", "i1"),
+         ("zip", "a", "z1"), ("zip", "d", "z2")]
+    got = _run_select(spark, records, keys, target_completeness=1.0)
+    assert got == [(1, "tok", 3, 3)]
+
+
+def test_select_schemes_cost_tiebreak_and_union(spark):
+    # two schemes each cover one distinct gold pair; equal marginals ->
+    # the CHEAPER (smaller blocks) scheme goes first; both needed for
+    # full completeness
+    records = [("a", "e1"), ("b", "e1"), ("c", "e2"), ("d", "e2")]
+    keys = [
+        # expensive: covers (a,b), block of 3 -> cost 3
+        ("exp", "a", "x"), ("exp", "b", "x"), ("exp", "d", "x"),
+        # cheap: covers (c,d), block of 2 -> cost 1
+        ("chp", "c", "y"), ("chp", "d", "y"),
+    ]
+    got = _run_select(spark, records, keys, target_completeness=1.0)
+    assert [g[1] for g in got] == ["chp", "exp"]
+    assert got[-1][3] == 2  # both gold pairs covered
+
+
+def test_select_schemes_target_stops_early(spark):
+    records = [("a", "e1"), ("b", "e1"), ("c", "e2"), ("d", "e2")]
+    keys = [("s1", "a", "k"), ("s1", "b", "k"),
+            ("s2", "c", "k2"), ("s2", "d", "k2")]
+    got = _run_select(spark, records, keys, target_completeness=0.5)
+    assert len(got) == 1  # half the gold pairs suffice
+
+
+def test_select_schemes_random_parity(spark):
+    import random
+
+    rng = random.Random(47)
+    for trial in range(3):
+        n_rec, n_ent, n_scheme = 14, 5, 4
+        records = [(f"r{i:02d}", f"e{rng.randint(0, n_ent - 1)}")
+                   for i in range(n_rec)]
+        keys = []
+        for s in range(n_scheme):
+            for skey, _ in records:
+                if rng.random() < 0.6:
+                    keys.append((f"s{s}", skey, f"b{rng.randint(0, 3)}"))
+        keys = list(set(keys))
+        got = _run_select(spark, records, keys, target_completeness=1.0)
+        want = _select_model(records, keys, target=1.0)
+        assert got == want, f"trial {trial}"
