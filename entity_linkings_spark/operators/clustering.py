@@ -201,7 +201,9 @@ def incremental_components(labels: DataFrame, delta_edges: DataFrame,
     e = _canon(delta_edges)
     lu = lab.select(F.col("node").alias("u"), F.col("cluster_id").alias("lu"))
     lv = lab.select(F.col("node").alias("v"), F.col("cluster_id").alias("lv"))
-    looked_up = e.join(lu, "u", "left").join(lv, "v", "left").localCheckpoint()
+    looked_up = e.join(lu, "u", "left").join(lv, "v", "left").localCheckpoint(
+        eager=False
+    )  # lazy: the merge CC's first action materializes it (one job saved)
     contracted = looked_up.select(
         F.coalesce("lu", F.col("u")).alias("u"),
         F.coalesce("lv", F.col("v")).alias("v"),
@@ -272,7 +274,9 @@ def decremental_components(
         .distinct()
     )
     affected = lab.join(ends, "node", "left_semi").select("cluster_id").distinct()
-    aff_nodes = lab.join(affected, "cluster_id", "left_semi").localCheckpoint()
+    aff_nodes = lab.join(affected, "cluster_id", "left_semi").localCheckpoint(
+        eager=False
+    )  # lazy: the subgraph CC's first action materializes it
     # remaining edges of the affected subgraph only; the anti-join key is the
     # canonical pair, so orientation/duplicates in removed_edges are harmless
     remaining = _canon(edges).join(rem, ["u", "v"], "left_anti")
@@ -387,7 +391,7 @@ def components_at_thresholds(
         base.select(F.col("u").alias("node"))
         .unionByName(base.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()  # read by the first step's singleton union only,
+        .localCheckpoint(eager=False)  # read by the first step's singleton union only,
         # but pinning it keeps the sweep's node universe stable across bands
     )
     # weights survive canonicalization via re-join: _canon drops the weight
@@ -419,7 +423,7 @@ def components_at_thresholds(
             labels = labels.join(F.broadcast(relabel), "cluster_id", "left").select(
                 "node", F.coalesce("new_label", F.col("cluster_id")).alias("cluster_id")
             )
-        labels = labels.localCheckpoint()  # consumed by output AND the next band
+        labels = labels.localCheckpoint(eager=False)  # consumed by output AND the next band (lazy: the next CC/count materializes it)
         step = labels.select(F.lit(t).alias("threshold"), "node", "cluster_id")
         out = step if out is None else out.unionByName(step)
         prev_t = t
@@ -459,7 +463,7 @@ def cluster_graph_metrics(labels: DataFrame, edges: DataFrame) -> DataFrame:
         .join(lab.withColumnsRenamed({"node": "v", "cluster_id": "cv"}), "v")
         .where(F.col("cu") == F.col("cv"))
         .select("u", "v", F.col("cu").alias("cluster_id"))
-        .localCheckpoint()  # degrees, orientation, closure join all read it
+        .localCheckpoint(eager=False)  # degrees, orientation, closure join all read it
     )
     deg = (
         intra.select(F.col("u").alias("node"), "cluster_id")

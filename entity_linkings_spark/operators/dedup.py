@@ -137,7 +137,7 @@ def shingle_jaccard(
     at scale since candidates are LSH-bounded while the corpus is not).
     ``pairs`` is checkpointed because it is consumed twice (id universe +
     the verify join); it is candidate-sized by construction."""
-    p = pairs.localCheckpoint()
+    p = pairs.localCheckpoint(eager=False)
     ids = (
         p.select(F.col("id_a").alias(id_col))
         .unionByName(p.select(F.col("id_b").alias(id_col)))
@@ -149,7 +149,7 @@ def shingle_jaccard(
             F.col(id_col).alias("jid"),
             F.array_distinct(word_shingles(text_col, n)).alias("sh"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     j = (
         p.join(sh.withColumnsRenamed({"jid": "id_a", "sh": "sh_a"}), "id_a")
@@ -475,7 +475,7 @@ def containment_pairs(
     # the rare-shingle set self-joins below: without a materialization the
     # shingle explode + df aggregate would run once PER SIDE (the LSH-band
     # lesson from round 2 — self-joins recompute their input)
-    sr = sh.join(rare, "h").localCheckpoint()
+    sr = sh.join(rare, "h").localCheckpoint(eager=False)
     a = sr.select("h", F.col(id_col).alias("id_a"))
     b = sr.select("h", F.col(id_col).alias("id_b"))
     cand = (

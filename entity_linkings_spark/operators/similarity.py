@@ -59,6 +59,18 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-300))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the two norms supplied as precomputed columns.
+
+    Bit-identical to ``cosine`` (same multiply of the same two doubles, same
+    greatest guard) — but callers that join sides into a pair table can
+    evaluate each norm ONCE PER ROW on its own side instead of once per
+    pair, which removes two thirds of the per-pair aggregate work in the
+    brute-force / re-rank joins (the norm is a 64-element fold, same cost
+    as the dot)."""
+    return _dot(a, b) / F.greatest(na * nb, F.lit(1e-300))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,13 +81,22 @@ def brute_force_topk(
     """(query_id, neighbor_id, rank, cos) — exact top-k by cosine; ties broken
     by neighbor id; self-pairs excluded. Queries are broadcast."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -206,14 +227,25 @@ def lsh_topk(
     )
     cand = (
         cand_ids.join(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                _norm(F.col(vec_col)).alias("cn"),
+            ),
             "neighbor_id",
         )
         .join(
-            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                _norm(F.col(vec_col)).alias("qn"),
+            ),
             "query_id",
         )
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -839,9 +871,15 @@ def ivf_search(
         "query_id", "qv", nprobe, "list_id", cent_ids, cmat,
     )
     cand = (
-        lists.join(probes, "list_id")
+        lists.withColumn("cn", _norm(F.col("cv")))
+        .join(probes.withColumn("qn", _norm(F.col("qv"))), "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6
+            ),
+        )
         .groupBy("query_id", "neighbor_id")
         .agg(F.first("cos").alias("cos"))
     )
@@ -931,13 +969,15 @@ def neardup_pairs_grid(
         for d in range(grid_dims)
     ]
     base = emb.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), *[
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("vn"), *[
             c.alias(f"c{d}") for d, c in enumerate(cells)
         ]
     )
     home = base.select(
         F.col("vid").alias("id_r"),
         F.col("vec").alias("vec_r"),
+        F.col("vn").alias("n_r"),
         F.concat_ws(":", *[F.col(f"c{d}").cast("string") for d in range(grid_dims)]).alias("cell"),
     )
     offsets = [()]
@@ -954,12 +994,18 @@ def neardup_pairs_grid(
     probes = base.select(
         F.col("vid").alias("id_l"),
         F.col("vec").alias("vec_l"),
+        F.col("vn").alias("n_l"),
         F.explode(probe_cells).alias("cell"),
     )
     cand = (
         probes.join(home, "cell")
         .where(F.col("id_l") < F.col("id_r"))
-        .withColumn("cos_raw", cosine(F.col("vec_l"), F.col("vec_r")))
+        # norms precomputed once per side (cosine_pre): bit-identical value,
+        # two thirds less per-candidate aggregate work
+        .withColumn(
+            "cos_raw",
+            cosine_pre(F.col("vec_l"), F.col("vec_r"), F.col("n_l"), F.col("n_r")),
+        )
         .where(F.col("cos_raw") >= tau)
     )
     # a pair can be seen through several probe offsets of the SAME left id
@@ -1495,13 +1541,19 @@ def ivf_pq_topk(
     )
     exact = (
         shortlist
-        .join(qv, "query_id")
+        .join(qv.withColumn("qn", _norm(F.col("qv"))), "query_id")
         .join(
             corpus.select(F.col(id_col).alias("neighbor_id"),
-                          F.col(vec_col).alias("nv")),
+                          F.col(vec_col).alias("nv"),
+                          _norm(F.col(vec_col)).alias("nn")),
             "neighbor_id",
         )
-        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_pre(F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")), 6
+            ),
+        )
         .select("query_id", "neighbor_id", "cos")
     )
     return (
