@@ -138,7 +138,7 @@ def global_rank(
     parts = (
         df.repartitionByRange(n, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)  # the counts collect materializes it
+        .localCheckpoint()
     )
     counts = sorted(
         parts.groupBy("_pid").agg(F.count("*").alias("c")).collect(),

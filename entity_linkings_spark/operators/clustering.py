@@ -201,9 +201,7 @@ def incremental_components(labels: DataFrame, delta_edges: DataFrame,
     e = _canon(delta_edges)
     lu = lab.select(F.col("node").alias("u"), F.col("cluster_id").alias("lu"))
     lv = lab.select(F.col("node").alias("v"), F.col("cluster_id").alias("lv"))
-    looked_up = e.join(lu, "u", "left").join(lv, "v", "left").localCheckpoint(
-        eager=False
-    )  # lazy: the merge CC's first action materializes it (one job saved)
+    looked_up = e.join(lu, "u", "left").join(lv, "v", "left").localCheckpoint()
     contracted = looked_up.select(
         F.coalesce("lu", F.col("u")).alias("u"),
         F.coalesce("lv", F.col("v")).alias("v"),
@@ -274,9 +272,7 @@ def decremental_components(
         .distinct()
     )
     affected = lab.join(ends, "node", "left_semi").select("cluster_id").distinct()
-    aff_nodes = lab.join(affected, "cluster_id", "left_semi").localCheckpoint(
-        eager=False
-    )  # lazy: the subgraph CC's first action materializes it
+    aff_nodes = lab.join(affected, "cluster_id", "left_semi").localCheckpoint()
     # remaining edges of the affected subgraph only; the anti-join key is the
     # canonical pair, so orientation/duplicates in removed_edges are harmless
     remaining = _canon(edges).join(rem, ["u", "v"], "left_anti")
@@ -463,7 +459,10 @@ def cluster_graph_metrics(labels: DataFrame, edges: DataFrame) -> DataFrame:
         .join(lab.withColumnsRenamed({"node": "v", "cluster_id": "cv"}), "v")
         .where(F.col("cu") == F.col("cv"))
         .select("u", "v", F.col("cu").alias("cluster_id"))
-        .localCheckpoint(eager=False)  # degrees, orientation, closure join all read it
+        .localCheckpoint()  # degrees, orientation, closure join all read it —
+        # EAGER deliberately: they run as concurrent stages of one action, and
+        # a lazy checkpoint lets them race into redundant recomputation of the
+        # whole upstream (measured 3.6s -> 9s when this was briefly lazy)
     )
     deg = (
         intra.select(F.col("u").alias("node"), "cluster_id")
