@@ -150,9 +150,19 @@ def cmd_link(args) -> int:
     spark = _session(args)
     left = spark.read.parquet(args.left)
     right = spark.read.parquet(args.right)
+    # which floor applies: --min-score gates the blended score (default
+    # path); with --fs the decision floor is the POSTERIOR threshold —
+    # --fs-posterior-threshold when given, else --min-score routes to it so
+    # "--fs --min-score 0.9" floors the posterior at 0.9 instead of being
+    # silently ignored (ADVICE r8).
     cfg = LinkerConfig(
         fs_match=args.fs,
         min_score=args.min_score,
+        fs_posterior_threshold=(
+            args.fs_posterior_threshold
+            if args.fs_posterior_threshold is not None
+            else args.min_score
+        ),
     )
     out = link_datasets(
         left, right,
@@ -201,7 +211,14 @@ def main(argv=None) -> int:
             sp.add_argument("--fs", action="store_true",
                             help="Fellegi-Sunter posterior decisions")
             sp.add_argument("--min-score", dest="min_score", type=float,
-                            default=0.5)
+                            default=0.5,
+                            help="decision floor: blended score, or the FS "
+                                 "posterior when --fs is set (unless "
+                                 "--fs-posterior-threshold overrides)")
+            sp.add_argument("--fs-posterior-threshold",
+                            dest="fs_posterior_threshold", type=float,
+                            default=None,
+                            help="explicit FS posterior floor (with --fs)")
     args = p.parse_args(argv)
     return args.fn(args)
 

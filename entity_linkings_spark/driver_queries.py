@@ -5299,7 +5299,7 @@ def j13_one_to_one(spark, sf):
     distributed form of greedy matching by descending score — capped at 3
     rounds to keep the oracle's unrolled-round shape exact. The reference
     resolves each mention independently (top-1 argmax per mention,
-    candidate_reranker/crossencoder.py:142-162); this is the clean-clean
+    candidate_reranker/crossencoder/crossencoder.py:142-162); this is the clean-clean
     linkage decision stage that independent argmax cannot express."""
     from entity_linkings_spark.operators.assignment import one_to_one_match
 

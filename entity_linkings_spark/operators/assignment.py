@@ -5,7 +5,7 @@ record may match at most one right record and vice versa, so the scored
 candidate table must be reduced to a matching, not a clustering.
 
 The reference resolves every mention independently (top-1 argmax per
-mention, candidate_reranker/crossencoder.py:142-162), which lets two
+mention, candidate_reranker/crossencoder/crossencoder.py:142-162), which lets two
 mentions claim the same entity; that is correct for entity LINKING but
 wrong for record LINKAGE between two deduplicated files — the setting
 Fellegi-Sunter was built for (Jaro 1989 forced one-to-one with an LSAP

@@ -755,7 +755,13 @@ def source_conflict_audit(
     """Per-cluster audit of the multi-source clean-ER invariant: when every
     source file is internally duplicate-free, a cluster holding two records
     from the SAME source provably contains an error (JedAI's clean-clean
-    setting generalized past two sources). Returns one row per cluster:
+    setting generalized past two sources).
+
+    ``labels`` must carry the clustering operators' output schema —
+    columns ``node`` (string-castable record id) and ``cluster_id``;
+    ``id_col`` / ``source_col`` rename only the ``records`` side
+    (ADVICE r8: the labels schema is fixed, now documented).
+    Returns one row per cluster:
     (cluster_id, n_records, n_sources, max_source_multiplicity,
     n_conflicted_sources) — conflicted == any source with multiplicity > 1.
     Records without a label self-singleton (the blocking_quality zero-row
@@ -796,17 +802,21 @@ def source_consistent_components(
     sets stay disjoint, so the invariant source_conflict_audit checks is
     enforced BY CONSTRUCTION rather than repaired after.
 
-    Contract (deterministic): repeatedly merge the best legal cluster pair
-    — cluster-level edges carry the MAX original score between the two
-    clusters, ordered (score DESC, lo ASC, hi ASC) — until no legal pair
-    remains. Executed distributed as iterated locally-dominant legal
-    merges (the one_to_one_match argument lifted from matching to
-    contraction: per round, every cluster pair that is the best legal
-    edge of BOTH its clusters contracts; the globally best legal pair is
-    always mutual, so progress is guaranteed, and round merges touch
-    disjoint clusters, so the fixpoint equals the one-at-a-time
-    agglomeration — pinned against a pure-Python model on random
-    graphs). Labels keep the min-node contract (the canonical lower
+    Contract (deterministic): a parallel fixpoint of iterated
+    locally-dominant legal merges — cluster-level edges carry the MAX
+    original score between the two clusters, ordered (score DESC, lo ASC,
+    hi ASC); per round, every cluster pair that is the best legal edge of
+    BOTH its clusters contracts (the one_to_one_match argument lifted from
+    matching to contraction; the globally best legal pair is always
+    mutual, so progress is guaranteed, and round merges touch disjoint
+    clusters). When the scores are TIE-FREE this equals one-at-a-time
+    best-first agglomeration (pinned against a pure-Python model on
+    random tie-free graphs). On score ties the result is still
+    deterministic and source-disjoint, but merging relabels clusters to
+    the min id, which can reorder the (score, lo, hi) tie-break relative
+    to the sequential order — parallel and sequential agglomeration may
+    then differ (ADVICE r8: the contract is stated for tie-free scores
+    only). Labels keep the min-node contract (the canonical lower
     label wins each merge), so outputs compose with
     clusters_with_singletons / stable_cluster_ids unchanged.
 

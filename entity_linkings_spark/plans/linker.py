@@ -34,7 +34,7 @@ decision stage must produce a one-to-one MATCHING, not clusters.
 
 The reference links each mention independently to a dictionary and never
 constrains two mentions from claiming one entity
-(candidate_reranker/crossencoder.py:142-162); linker mode is the
+(candidate_reranker/crossencoder/crossencoder.py:142-162); linker mode is the
 classical two-file contract that per-row argmax cannot express.
 """
 

@@ -935,10 +935,16 @@ def test_scc_parity_with_sequential_agglomeration(spark):
         n = rng.randint(8, 14)
         nodes = [f"n{i:02d}" for i in range(n)]
         sources = [(x, f"s{rng.randint(0, 3)}") for x in nodes]
+        # tie-free scores (ADVICE r8): the parallel-equals-sequential
+        # contract is stated for tie-free scores only — on ties the merge
+        # relabeling can reorder the (score, lo, hi) tie-break, so random
+        # tie-heavy scores made this parity flaky by construction
+        n_edges = rng.randint(8, 20)
+        distinct_scores = rng.sample(range(1, 100_000), n_edges)
         edges = []
-        for _ in range(rng.randint(8, 20)):
+        for sc in distinct_scores:
             u, v = rng.sample(nodes, 2)
-            edges.append((u, v, rng.randint(1, 9) / 9.0))
+            edges.append((u, v, sc / 100_000.0))
         got = _scc(spark, edges, sources, max_rounds=40)
         want = _scc_model(edges, sources)
         assert got == want, f"trial {trial}"
