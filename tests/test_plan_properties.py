@@ -30,12 +30,55 @@ def test_scan_pushdown_and_pruning(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["t4_top1_per_doc", "a2_prior_topk", "ann_cosine_topk", "j5_tfidf_topk",
+    ["t4_top1_per_doc", "a2_prior_topk", "ann_cosine_topk",
      "dedup_keeper_quality"],
 )
 def test_topk_uses_window_group_limit(spark, name):
-    # row_number <= k must push below the sort (never full per-partition sorts)
+    # row_number <= k must push below the sort (never full per-partition
+    # sorts). j5_tfidf_topk moved to the dedicated core gate below: its fill
+    # branch checkpoints the candidate subtree (r9), which truncates the
+    # lineage this string probe reads — the property is asserted on the
+    # un-truncated fill=False core instead.
     assert "WindowGroupLimit" in _plan(spark, name)
+
+
+def test_tfidf_core_single_exchange_and_group_limit(spark):
+    """r9 shape gates for the tfidf scored core (the registered query's fill
+    branch checkpoints it, hiding the lineage from the test above): the
+    candidate subtree must keep WindowGroupLimit, and its fan-out path must
+    cross exactly ONE hash exchange — the pre-explode query repartition —
+    with no exchange between the score aggregate and the ranking window."""
+    from pyspark.sql import functions as F
+
+    from entity_linkings_spark.driver_queries import _part, _variants
+    from entity_linkings_spark.operators.retrieval import tfidf_topk
+
+    ents = _part(spark, SF).select(
+        F.col("p_partkey").alias("entity_id"), F.col("p_name").alias("text")
+    )
+    qs = (
+        _variants(spark, SF)
+        .where(F.col("p_partkey") % 5 == 0)
+        .select(F.col("p_partkey").alias("query_id"), F.col("surface").alias("text"))
+    )
+    p = (
+        tfidf_topk(ents, qs, k=5, fill=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in p
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", p)
+    # the r9 property: the score aggregate and the ranking window reuse the
+    # pre-explode query partitioning — no exchange keyed (query_id,
+    # entity_id) (the old agg shuffle of the whole fan-out) and exactly one
+    # exchange keyed on query_id alone (the pre-explode query repartition).
+    # Exchanges keyed on tok may appear when the planner picks a non-
+    # broadcast strategy for the postings join (scale/stats dependent) and
+    # carry only dimension-table rows.
+    agg_keyed = [e for e in hash_exchanges
+                 if "query_id" in e and "entity_id" in e]
+    q_keyed = [e for e in hash_exchanges
+               if e.startswith("query_id") and "entity_id" not in e]
+    assert not agg_keyed and len(q_keyed) == 1, hash_exchanges
 
 
 @pytest.mark.parametrize(
