@@ -390,6 +390,20 @@ class LinkagePipeline:
         )
         return blocking_quality(golds, keyed)
 
+    @staticmethod
+    def _materialize_concurrently(cached: list[DataFrame]) -> None:
+        """Populate several cached DataFrames with concurrent count() jobs
+        (guide §2.6). Job descriptions/groups are thread-local, so each job
+        keeps its own label; exceptions propagate to the caller."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(cached) < 2:
+            for df in cached:
+                df.count()
+            return
+        with ThreadPoolExecutor(max_workers=len(cached)) as pool:
+            list(pool.map(lambda df: df.count(), cached))
+
     # ---- full run ------------------------------------------------------------
     def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
         """Compose all stages. Shared intermediates are cached: surfaces,
@@ -403,6 +417,16 @@ class LinkagePipeline:
         pairs = self.pairs(surfaces, keys)
         scored = self.scored_pairs(pairs, surfaces).cache()
         resolved = self.resolve(surfaces, keys).cache()
+        # Materialize the two independent branches as CONCURRENT jobs before
+        # the clustering probe consumes both (guide §2.6 "overlap independent
+        # jobs"): the scored tail (pair generation + Arrow scoring) and the
+        # resolved tail (dictionary keying + argmax) share only the cached
+        # mentions/surfaces/keys prefix — the BlockManager's per-partition
+        # locks make the shared prefix compute once while the tails back-fill
+        # each other's idle capacity. Populating a cache is not a result:
+        # every output stays bit-identical, and each run() still computes
+        # everything from its inputs.
+        self._materialize_concurrently([scored, resolved])
         clusters = self.clusters(scored, surfaces, resolved)
         mention_clusters = self.mention_clusters(mentions, clusters)
         resolved_mentions = (
