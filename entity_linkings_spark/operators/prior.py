@@ -71,12 +71,67 @@ def topk_prior(alias_counts: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _tiered_best(alias_counts: DataFrame) -> DataFrame:
+    """All three tiers' argmax tables in ONE pass over the alias dimension:
+    (tier, key, entity_id, prior), numerically identical to running
+    ``best_entity_per_key(alias_tier_tables(...)[t])`` per tier — the explode
+    adds ``tier`` to every group/partition key, so the per-group sums, the
+    deterministic tie-break and the prior normalization see exactly the same
+    groups. One aggregation exchange + one window exchange replace the six of
+    the per-tier shape (guide §2.4), and the cache makes the three broadcast
+    probes build from the same materialized rows instead of re-aggregating
+    the dimension three times."""
+    tiered = (
+        alias_counts.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("exact").alias("tier"),
+                        norm_exact("mention").alias("key"),
+                    ),
+                    F.struct(
+                        F.lit("despace").alias("tier"),
+                        norm_despace("mention").alias("key"),
+                    ),
+                    F.struct(
+                        F.lit("alnum").alias("tier"),
+                        norm_alnum("mention").alias("key"),
+                    ),
+                )
+            ).alias("tk"),
+            "entity_id",
+            "count",
+        )
+        .select(F.col("tk.tier").alias("tier"), F.col("tk.key").alias("key"),
+                "entity_id", "count")
+        .where(F.length("key") > 0)
+        .groupBy("tier", "key", "entity_id")
+        .agg(F.sum("count").alias("count"))
+    )
+    w = Window.partitionBy("tier", "key")
+    wo = w.orderBy(F.desc("count"), F.asc("entity_id"))
+    return (
+        tiered.withColumn("rn", F.row_number().over(wo))
+        .withColumn("total", F.sum("count").over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "tier", "key", "entity_id",
+            (F.col("count") / F.col("total")).alias("prior"),
+        )
+        .cache()
+    )
+
+
 def resolve_by_prior(surfaces: DataFrame, alias_counts: DataFrame) -> DataFrame:
     """Probe cascade over the three tiers (broadcast left joins + coalesce):
     adds (prior_entity, prior_score, prior_tier) to a surface table; NULL
     entity = no dictionary evidence (the NIL-ish outcome of the exact probes,
     entity_dictionary.py:51-57)."""
-    tiers = {k: best_entity_per_key(v) for k, v in alias_tier_tables(alias_counts).items()}
+    best = _tiered_best(alias_counts)
+    tiers = {
+        name: best.where(F.col("tier") == name).drop("tier")
+        for name in ("exact", "despace", "alnum")
+    }
     out = surfaces
     for name, norm in (
         ("exact", norm_exact("surface")),
