@@ -406,26 +406,40 @@ class LinkagePipeline:
 
     # ---- full run ------------------------------------------------------------
     def run(self, transcripts: DataFrame) -> dict[str, DataFrame]:
-        """Compose all stages. Shared intermediates are cached: surfaces,
-        scored and resolved each feed multiple downstream branches (and the
-        CC driver loop runs repeated actions) — without materialization Spark
-        would recompute the whole upstream per branch. The lifecycle runner
-        (plans/lifecycle.py) replaces these caches with durable snapshots."""
-        mentions = self.mentions(transcripts).cache()
-        surfaces = self.surfaces(mentions).cache()
-        keys = self.surface_keys(surfaces).cache()  # shared by pairs + resolve
+        """Compose all stages. Shared intermediates are materialized once
+        (lazy localCheckpoints): surfaces, scored and resolved each feed
+        multiple downstream branches (and the CC driver loop runs repeated
+        actions) — without materialization Spark would recompute the whole
+        upstream per branch. The lifecycle runner (plans/lifecycle.py)
+        replaces these in-memory snapshots with durable ones."""
+        # Shared intermediates are LAZY localCheckpoints rather than cache():
+        # both materialize once per run, but the checkpoint also TRUNCATES
+        # lineage (the DataFrame's plan becomes a LogicalRDD). With cache()
+        # the analyzed trees nest — mentions inside surfaces inside keys
+        # inside scored/resolved inside the final join — so the downstream
+        # plans grow combinatorially (the resolved_mentions tree passed 5,000
+        # Exchange nodes printed) and Catalyst analysis/planning time, not
+        # execution, dominated the tail of the query (guide §3.3 "very large
+        # plans: planning time itself can become the bottleneck").
+        mentions = self.mentions(transcripts).localCheckpoint(eager=False)
+        surfaces = self.surfaces(mentions).localCheckpoint(eager=False)
+        keys = self.surface_keys(surfaces).localCheckpoint(eager=False)
+        # one action pins the shared prefix (computing keys materializes the
+        # mentions and surfaces checkpoints as a side effect) so the two
+        # concurrent tails below cannot race its partitions into duplicate
+        # upstream recomputation — the documented lazy-checkpoint hazard
+        keys.count()
         pairs = self.pairs(surfaces, keys)
-        scored = self.scored_pairs(pairs, surfaces).cache()
-        resolved = self.resolve(surfaces, keys).cache()
+        scored = self.scored_pairs(pairs, surfaces).localCheckpoint(eager=False)
+        resolved = self.resolve(surfaces, keys).localCheckpoint(eager=False)
         # Materialize the two independent branches as CONCURRENT jobs before
         # the clustering probe consumes both (guide §2.6 "overlap independent
         # jobs"): the scored tail (pair generation + Arrow scoring) and the
-        # resolved tail (dictionary keying + argmax) share only the cached
-        # mentions/surfaces/keys prefix — the BlockManager's per-partition
-        # locks make the shared prefix compute once while the tails back-fill
-        # each other's idle capacity. Populating a cache is not a result:
-        # every output stays bit-identical, and each run() still computes
-        # everything from its inputs.
+        # resolved tail (dictionary keying + argmax) are disjoint above the
+        # pinned prefix, so they back-fill each other's idle capacity.
+        # Populating a checkpoint is not a result: every output stays
+        # bit-identical, and each run() still computes everything from its
+        # inputs.
         self._materialize_concurrently([scored, resolved])
         clusters = self.clusters(scored, surfaces, resolved)
         mention_clusters = self.mention_clusters(mentions, clusters)
