@@ -138,7 +138,12 @@ def global_rank(
     parts = (
         df.repartitionByRange(n, *cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # LAZY: the counts aggregation below is always the first action and
+        # reads every partition, so the checkpoint materializes inside that
+        # job instead of costing its own (guide §1.2 fixed-overhead audit);
+        # the rank join then reads the pinned partitions, which is the
+        # "downstream jobs must see the SAME boundaries" requirement.
+        .localCheckpoint(eager=False)
     )
     counts = sorted(
         parts.groupBy("_pid").agg(F.count("*").alias("c")).collect(),
