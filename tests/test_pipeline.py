@@ -567,3 +567,19 @@ def test_golden_hook_emits_canonical_rows(spark, tiny):
         if vals:
             counts = {v: vals.count(v) for v in set(vals)}
             assert g["entity_id"] == max(vals, key=lambda v: (counts[v], v)), cid
+
+
+def test_run_output_plans_stay_lineage_truncated(run):
+    """Round-9 planning-cost gate: run()'s composed outputs must NOT nest
+    the shared intermediates' plans (the five stages used to compose via
+    cache(), so resolved_mentions' printed tree reached ~3.2 MB with 230
+    repeated InMemoryRelation subtrees and Catalyst planning dominated the
+    query — see OPTIMIZATION_r09.md). With the lazy-localCheckpoint shape
+    every shared stage is a LogicalRDD leaf: the analyzed tree stays small
+    and contains no nested pipeline scan."""
+    plan = run["resolved_mentions"]._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 200_000, f"composed plan blew up again: {len(plan)} chars"
+    # the shared intermediates must appear as materialized leaves, not as
+    # re-analyzed subtrees re-reading the transcript source
+    assert "LogicalRDD" in plan
+    assert "parquet" not in plan.lower()
